@@ -1,0 +1,87 @@
+"""Uniswap-V2 Swap-event parsing as a pure DataFrame transform.
+
+Re-expression of the reference's ``DeFiSwapParser`` (etl_pipeline.py:137-188).
+The reference ABI-decodes 4 uint256 slots with eth_abi; a uint256 slot is a
+fixed 64-hex-char big-endian field, so the decode is pure column algebra:
+``substring(data, 3 + 64*k, 64)`` per slot -> uint256-hex -> float64. No
+eth_abi, no Python loop, stays parallel and (except the hex UDF) in codegen.
+
+Deliberate divergence, documented: the reference preprocesses data with
+``data.lstrip("0x")`` (etl_pipeline.py:148). ``str.lstrip`` strips *any*
+leading '0'/'x' characters — so any swap whose amount0_in has leading zero
+hex digits (i.e. virtually all real swaps) loses bytes, eth_abi raises, and
+the row is silently dropped. The reference's own tests never exercise the
+parser and its demo layer fabricates swap frames directly
+(api/data_service.py:222-233), so the bug is unobserved there. We implement
+the evident intent (strip the '0x' *prefix* only). Rows where both
+amount0_in and amount1_in are zero are still dropped, matching the
+reference's ZeroDivisionError -> except -> None path at :159.
+
+Price expression replicates the quirky fallback chain at :159 exactly:
+``a1o/a0i if a0i else (a0o/a1i or 1)`` — including "result == 0 => 1".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hex import hex_to_double
+from ..functions.keccak import UNISWAP_V2_SWAP_TOPIC
+
+
+def _slot(data: Column, k: int) -> Column:
+    """k-th 32-byte ABI slot of 0x-prefixed calldata as float64."""
+    return hex_to_double(F.substring(data, 3 + 64 * k, 64))
+
+
+def swap_price(a0i: Column, a1i: Column, a0o: Column, a1o: Column) -> Column:
+    """Reference price fallback chain (etl_pipeline.py:159), faithfully."""
+    alt = a0o / a1i
+    return (
+        F.when(a0i != 0.0, a1o / a0i)
+        .otherwise(F.when(alt != 0.0, alt).otherwise(F.lit(1.0)))
+    )
+
+
+def parse_swaps(events: DataFrame) -> DataFrame:
+    """events (envelope schema) -> defi_swaps (SURVEY.md §1.4)."""
+    p = F.col("payload")
+    topics = p["topics"]
+
+    base = (
+        events.filter(topics.isNotNull() & (F.size(topics) >= 1))
+        .filter(F.try_element_at(topics, F.lit(1)) == F.lit(UNISWAP_V2_SWAP_TOPIC))
+        .filter(p["data"].isNotNull() & (F.length(p["data"]) >= 2 + 64 * 4))
+    )
+
+    data = p["data"]
+    parsed = base.select(
+        F.lit("uniswap_v2").alias("protocol"),
+        p["contract"].alias("pool"),
+        _slot(data, 0).alias("amount0_in"),
+        _slot(data, 1).alias("amount1_in"),
+        _slot(data, 2).alias("amount0_out"),
+        _slot(data, 3).alias("amount1_out"),
+        F.col("block_number"),
+        F.timestamp_seconds(F.col("block_timestamp")).alias("block_timestamp"),
+        F.col("chain_id"),
+        F.coalesce(p["tx_hash"], F.lit("")).alias("tx_hash"),
+    )
+
+    return (
+        # both denominators zero -> reference raises & drops the row (:159)
+        parsed.filter(~((F.col("amount0_in") == 0.0) & (F.col("amount1_in") == 0.0)))
+        .withColumn(
+            "price",
+            swap_price(
+                F.col("amount0_in"), F.col("amount1_in"),
+                F.col("amount0_out"), F.col("amount1_out"),
+            ),
+        )
+        .select(
+            "protocol", "pool", "amount0_in", "amount1_in", "amount0_out",
+            "amount1_out", "price", "block_number", "block_timestamp",
+            "chain_id", "tx_hash",
+        )
+    )
