@@ -100,19 +100,22 @@ def rolling_var_cvar(
     row (api/data_service.py:141-150): rows with a full `window` preceding
     rows emit (idx, var, cvar).
 
-    ``idx_col`` must be a unique orderable key (driver row index).
+    ``idx_col`` must be a unique orderable key; it need not be contiguous —
+    a dense ``row_number`` is derived internally so the rows-frame window
+    and the bounded self-join see the same neighborhoods.
     """
-    w = Window.orderBy(idx_col).rowsBetween(-window, -1)
+    base = returns.withColumn("_rn", F.row_number().over(Window.orderBy(idx_col)))
+    w = Window.orderBy("_rn").rowsBetween(-window, -1)
     q = F.expr(f"percentile({value_col}, {1 - confidence})").over(w)
     cnt = F.count(value_col).over(w)
     with_q = (
-        returns.withColumn("q", q)
+        base.withColumn("q", q)
         .withColumn("_cnt", cnt)
         .where(F.col("_cnt") == window)
-        .select(F.col(idx_col).alias("i"), "q")
+        .select(F.col(idx_col).alias("_i"), F.col("_rn").alias("i"), "q")
     )
 
-    rs = returns.select(F.col(idx_col).alias("j"), F.col(value_col).alias("r_j"))
+    rs = base.select(F.col("_rn").alias("j"), F.col(value_col).alias("r_j"))
     # bounded range join: j in [i-window, i-1] — `window` rows per anchor
     tail = (
         with_q.join(
@@ -120,11 +123,11 @@ def rolling_var_cvar(
             (F.col("j") >= F.col("i") - window) & (F.col("j") <= F.col("i") - 1),
         )
         .where(F.col("r_j") <= F.col("q"))
-        .groupBy("i", "q")
+        .groupBy("_i", "q")
         .agg(F.avg("r_j").alias("tail_mean"))
     )
     return tail.select(
-        F.col("i").alias(idx_col),
+        F.col("_i").alias(idx_col),
         (-F.col("q") * position_size).alias("var"),
         (-F.col("tail_mean") * position_size).alias("cvar"),
     )

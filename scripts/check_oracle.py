@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Local emulation of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and, where present,
+its ``oracle_sql()`` twin on DuckDB over the same parquet tables; compares
+row count, sorted column names, and an order-insensitive value comparison
+(exact after normalization; reports approx-only matches separately so
+float-parity risks surface before the real driver runs).
+
+Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.001] [-q name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [str(c) for c in df.columns]
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    sort_cols = list(df.columns)
+    df = df.sort_values(by=sort_cols, kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> dict:
+    out = {"rows": (len(spark_pd), len(oracle_pd)),
+           "rows_match": len(spark_pd) == len(oracle_pd)}
+    a, b = normalize(spark_pd), normalize(oracle_pd)
+    out["schema_match"] = list(a.columns) == list(b.columns)
+    if not (out["rows_match"] and out["schema_match"]):
+        out["value_match"] = False
+        out["detail"] = f"spark cols {list(a.columns)} vs oracle {list(b.columns)}"
+        return out
+    exact = True
+    approx = True
+    first_diff = None
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            if not eq.all():
+                exact = False
+                close = np.isclose(av.astype(float), bv.astype(float),
+                                   rtol=1e-9, atol=1e-12, equal_nan=True)
+                if not close.all():
+                    approx = False
+                    i = int(np.argmin(close))
+                    first_diff = first_diff or (c, av[i], bv[i])
+                else:
+                    i = int(np.argmin(eq))
+                    first_diff = first_diff or (c, av[i], bv[i])
+        else:
+            an = pd.Series(av).astype(object).where(pd.Series(av).notna(), None)
+            bn = pd.Series(bv).astype(object).where(pd.Series(bv).notna(), None)
+            neq = [x != y and not (x is None and y is None) for x, y in zip(an, bn)]
+            if any(neq):
+                exact = approx = False
+                i = neq.index(True)
+                first_diff = first_diff or (c, an[i], bn[i])
+    out["value_match"] = exact
+    out["approx_only"] = (not exact) and approx
+    if first_diff is not None:
+        out["detail"] = f"col {first_diff[0]}: spark={first_diff[1]!r} oracle={first_diff[2]!r}"
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.queries or list(queries)
+    n_pass = n_fail = n_approx = n_rowsonly = 0
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle — rows-only check) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        r = compare(sdf, odf)
+        dt = time.time() - t0
+        if r["value_match"]:
+            print(f"OK    {name}: {r['rows'][0]} rows exact [{dt:.1f}s]")
+            n_pass += 1
+        elif r.get("approx_only"):
+            print(f"~OK   {name}: {r['rows'][0]} rows APPROX ONLY — float risk! "
+                  f"{r.get('detail','')} [{dt:.1f}s]")
+            n_approx += 1
+        else:
+            print(f"FAIL  {name}: rows {r['rows']}, schema_match={r['schema_match']} "
+                  f"{r.get('detail','')} [{dt:.1f}s]")
+            n_fail += 1
+    print(f"\n{n_pass} exact, {n_approx} approx-only, {n_rowsonly} rows-only, "
+          f"{n_fail} fail / {len(names)} total")
+    return 1 if n_fail or n_approx else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
