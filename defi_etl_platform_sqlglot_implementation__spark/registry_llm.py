@@ -1,0 +1,312 @@
+"""Driver-contract entries for the scale extensions (SURVEY.md §7.2 step 8):
+deduplication, similarity search, text analysis, multimodal plumbing.
+
+Same float-parity policy as :mod:`registry`; here almost everything is
+exact — md5 digests, integer counts, int/int divisions, and dot products
+expressed as identical sequential double folds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import ORACLES, QUERIES, register, t
+
+DIM = 64  # embedding dimensionality in the driver tables
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, len(string_split(text, ' ')) - 2) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ipair AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLES_CTE}
+    SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM ipair
+    JOIN sz sa ON sa.doc_id = d1
+    JOIN sz sb ON sb.doc_id = d2
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
+"""
+
+
+def _dot_chain(a: str, b: str) -> str:
+    """64-term left-assoc double product chain — the same fold order as
+    Spark's aggregate(zip_with(...)) sequential accumulation."""
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# MinHash-LSH with exact-Jaccard verification: at threshold 0.5 every
+# surviving pair must pass the same exact-Jaccard test as the brute force,
+# and with b=16, r=2 the LSH miss probability at j>=0.5 is <= (1-0.25)^16
+# = 1.0e-2 per pair at the threshold — and the corpus' planted near-dups
+# sit at j>=0.97 where the miss probability is ~1e-20, so the verified
+# output equals the brute-force oracle.
+@register("dedup_minhash_lsh", _JACCARD_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    sums = ", ".join(
+        f"SUM(((h // {2 ** j}) % 2) * 2 - 1) AS s{j}" for j in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN 1 ELSE 0 END) * {2 ** j}" for j in range(32))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {hexval} AS h FROM toks),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash_signatures", _simhash_sql())
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_signatures
+
+    return simhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({_simhash_sql()})
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    p AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ({_dot_chain('q', 'e')})
+               / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('e', 'e')})) AS cosine
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("similarity_ann_ivf")  # approximate by construction: rows-only check
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_ivf
+
+    e = t(spark, sf_dir, "embeddings")
+    return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_profile",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stopwords,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_word_len,
+           (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text)) * 4e-1
+           + (CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+               / len(string_split(text, ' '))) * 3e-1
+           + least(1e0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50) * 3e-1
+               AS quality_score
+    FROM documents
+    """,
+)
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import text_profile
+
+    return text_profile(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               CAST((length(' ' || text || ' ')
+                     - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS n_en,
+               CAST((length(' ' || text || ' ')
+                     - length(replace(' ' || text || ' ', ' der ', ''))) / 5 AS BIGINT) AS n_de,
+               CAST((length(' ' || text || ' ')
+                     - length(replace(' ' || text || ' ', ' le ', ''))) / 4 AS BIGINT) AS n_fr,
+               CAST((length(' ' || text || ' ')
+                     - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT) AS n_es
+        FROM documents
+    )
+    SELECT doc_id, n_en, n_de, n_fr, n_es,
+           CASE WHEN n_en >= greatest(n_de, n_fr, n_es) AND n_en > 0 THEN 'en'
+                WHEN n_de >= greatest(n_fr, n_es) AND n_de > 0 THEN 'de'
+                WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
+                WHEN n_es > 0 THEN 'es'
+                ELSE 'unknown' END AS lang_pred
+    FROM c
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id
+
+    return lang_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[ ]+', ' ', 'g'))) AS fingerprint,
+           substr(md5(lower(regexp_replace(text, '[ ]+', ' ', 'g'))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprints
+
+    return fingerprints(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_binary
+
+    return attach_binary(t(spark, sf_dir, "documents")).drop("content")
+
+
+@register(
+    "multimodal_decode_fake",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           octet_length(encode(text)) % 640 + 64 AS width,
+           octet_length(encode(text)) % 480 + 48 AS height,
+           3 AS n_channels,
+           ascii(substr(text, 1, 1)) / 2.55e2 AS mean_intensity
+    FROM documents
+    """,
+)
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_binary, decode_features
+
+    media = attach_binary(t(spark, sf_dir, "documents"))
+    return decode_features(media, fake=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           unnest(range(0, greatest(1, octet_length(encode(text)) // 100))) AS frame_idx,
+           unnest(range(0, greatest(1, octet_length(encode(text)) // 100))) * 100 AS byte_offset
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_binary, sample_frames
+
+    media = attach_binary(t(spark, sf_dir, "documents"))
+    return sample_frames(media.drop("content"))
+
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,77 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_duplicate_grouping(self, spark):
+        docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+        out = {r["canonical_id"]: r for r in exact_dedup(docs).collect()}
+        assert out[1]["n_copies"] == 2
+        assert out[3]["n_copies"] == 1
+
+    def test_testdata_has_no_exact_dups(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = exact_dedup(docs)
+        assert out.count() == docs.count()
+
+
+class TestNgramJaccard:
+    def test_identical_docs_jaccard_one(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        docs = _docs(spark, [(1, text), (2, text), (3, "totally different words here")])
+        rows = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+        assert len(rows) == 1
+        assert rows[0]["d1"] == 1 and rows[0]["d2"] == 2
+        assert rows[0]["jaccard"] == 1.0
+
+    def test_near_duplicates_detected(self, spark):
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        docs = _docs(spark, [(1, a), (2, b)])
+        rows = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert len(rows) == 1
+        assert 0.5 <= rows[0]["jaccard"] < 1.0
+
+
+class TestMinHashLSH:
+    def test_matches_brute_force_on_testdata(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        brute = {(r["d1"], r["d2"]) for r in
+                 ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+        lsh = {(r["d1"], r["d2"]) for r in
+               minhash_lsh_pairs(docs, threshold=0.5).collect()}
+        assert lsh == brute
+        assert len(brute) >= 20  # planted near-dups exist
+
+    def test_verification_drops_false_candidates(self, spark):
+        # same band-bucket collisions possible, but exact verify gates output
+        docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c x y z"), (3, "q r s t u v")])
+        rows = minhash_lsh_pairs(docs, threshold=0.9).collect()
+        assert rows == []
+
+
+class TestSimHash:
+    def test_identical_text_same_signature(self, spark):
+        docs = _docs(spark, [(1, "spark flink trino"), (2, "spark flink trino")])
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        assert sigs[1] == sigs[2]
+        pairs = simhash_pairs(docs, max_hamming=0).collect()
+        assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+    def test_signature_is_32bit(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        for r in simhash_signatures(docs).collect():
+            assert 0 <= r["simhash"] < 2**32

@@ -1,0 +1,61 @@
+"""Similarity search: exact brute-force top-k + IVF approximate path."""
+
+from pyspark.sql import functions as F
+
+from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import (
+    ann_ivf,
+    assign_clusters,
+    cosine_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestCosineTopK:
+    def test_duplicate_vector_is_top1(self, spark):
+        e = _emb(spark)
+        clone = e.filter(F.col("vec_id") == 0).select(
+            F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+        )
+        corpus = e.unionByName(clone)
+        out = cosine_topk(corpus, corpus.filter(F.col("vec_id") == 9999), k=3).collect()
+        top1 = [r for r in out if r["rank"] == 1][0]
+        assert top1["neighbor_id"] == 0
+        assert abs(top1["cosine"] - 1.0) < 1e-9
+
+    def test_k_rows_per_query_and_rank_order(self, spark):
+        e = _emb(spark)
+        out = cosine_topk(e, e.filter(F.col("vec_id") < 3), k=5)
+        rows = out.collect()
+        assert len(rows) == 15
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs = sorted(rs, key=lambda r: r["rank"])
+            cosines = [r["cosine"] for r in rs]
+            assert cosines == sorted(cosines, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rs)
+
+
+class TestIVF:
+    def test_every_vector_assigned_once(self, spark):
+        e = _emb(spark)
+        centroids = e.orderBy("vec_id").limit(8)
+        assigned = assign_clusters(e, centroids)
+        assert assigned.count() == e.count()
+        assert assigned.select("cluster_id").distinct().count() <= 8
+
+    def test_recall_vs_brute_force(self, spark):
+        e = _emb(spark)
+        q = e.filter(F.col("vec_id") < 5)
+        brute = cosine_topk(e, q, k=10).collect()
+        approx = ann_ivf(e, q, k=10, n_centroids=16, nprobe=8).collect()
+        bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+        aset = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(bset & aset) / len(bset)
+        assert recall >= 0.3  # nprobe=8 of 16 clusters on isotropic data
