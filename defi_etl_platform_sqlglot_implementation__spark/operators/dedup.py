@@ -30,10 +30,28 @@ DEFAULT_BANDS = 16  # rows per band = 32/16 = 2
 
 
 def token_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (split on ' ')."""
+    """Distinct word n-gram shingles of a text column (split on ' ').
+
+    Shape matters: a ``transform(sequence(...), i -> ...split(text)...)``
+    formulation re-evaluates the split *inside the lambda for every
+    shingle* (Catalyst inlines lambda bodies), making it O(words²) string
+    work per document. Here the token array and its shifted slices are
+    zip_with arguments — each evaluated ONCE per row — and the lambda only
+    concatenates, so the whole thing is O(words). ``zip_with`` NULL-pads
+    the shorter side and ``concat_ws`` drops NULLs, reproducing the
+    truncating-slice semantics of the DuckDB oracle (``l[i:i+n-1]``); the
+    final slice keeps the max(1, words-n+1) shingle starts.
+    """
+    assert n == 3, "token_shingles is specialized to 3-grams"
+    toks = f"split({text_col}, ' ')"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(1, size(split({text_col}, ' ')) - {n - 1})), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+        f"array_distinct(slice("
+        f"zip_with({toks}, "
+        f"         zip_with(slice({toks}, 2, size({toks})), "
+        f"                  slice({toks}, 3, size({toks})), "
+        f"                  (y, z) -> concat_ws(' ', y, z)), "
+        f"         (x, yz) -> concat_ws(' ', x, yz)), "
+        f"1, greatest(1, size({toks}) - {n - 1})))"
     )
 
 
