@@ -1,0 +1,152 @@
+"""Structured Streaming path (SURVEY.md §2.9, §7.2 step 6).
+
+The reference's "streaming" is a 2-second polling producer with a single
+``latest`` cursor (kafka_producer.py:129-148) and batch-only consumption.
+Here the same transform functions run under Structured Streaming:
+
+- the poll loop          -> micro-batch trigger (processingTime='2 seconds')
+- the ``latest`` cursor  -> checkpointed source offsets
+- at-least-once publish  -> Kafka sink semantics (same), or exactly-once
+                            into files via checkpoint + idempotent sink
+- the 24h/1h SQL predicates -> watermarked event-time tumbling windows
+  (late-data handling is NEW capability, absent in the reference — events
+  later than the watermark are dropped instead of silently recomputed)
+
+The batch and streaming paths share one transform fn (decode_transfers
+etc.) — the SURVEY §2.9 requirement that both compute the same thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import ENVELOPE
+from ..sources.bronze import parse_raw_events
+
+KAFKA_TOPICS = (
+    "blockchain.blocks.raw",
+    "blockchain.transactions.raw",
+    "blockchain.logs.raw",
+    "blockchain.token_transfers.raw",
+)
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe_pattern: str = "blockchain\\..*\\.raw",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream from the reference's four topics (kafka_producer.py:24-27)
+    — one subscribePattern source; offsets live in the checkpoint, replacing
+    the reference's in-memory ``latest`` cursor."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", subscribe_pattern)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.load()
+
+
+def stream_events(raw: DataFrame, schema: StructType = ENVELOPE) -> DataFrame:
+    """Kafka-shaped stream (value binary) -> typed envelope stream with an
+    event-time column derived from block_timestamp."""
+    events = parse_raw_events(raw, schema=schema)
+    return events.withColumn("event_time", F.timestamp_seconds("block_timestamp"))
+
+
+def hourly_transfer_volume_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming variant of the canonical TRANSFER_VOLUME aggregation (A2):
+    watermarked 1-hour tumbling windows over decoded transfers.
+
+    Shares decode_transfers with the batch path; the window(ts, '1 hour')
+    grouping is the streaming analog of batch date_trunc('hour', ...).
+    """
+    from ..operators.transfers import decode_transfers
+
+    transfers = decode_transfers(events, checksum=False)
+    return (
+        transfers.withWatermark("block_timestamp", watermark)
+        .groupBy(
+            F.window("block_timestamp", "1 hour").alias("hour_window"),
+            "contract",
+            "standard",
+            "chain_id",
+        )
+        .agg(
+            F.count("*").alias("transfer_count"),
+            F.sum(F.col("amount") / 1e18).alias("volume_normalized"),
+            # count(distinct) is unsupported in streaming aggs;
+            # approx_count_distinct is the streaming-native equivalent
+            F.approx_count_distinct("from").alias("unique_senders"),
+            F.approx_count_distinct("to").alias("unique_receivers"),
+        )
+    )
+
+
+def streaming_block_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming per-block aggregates (A1) over transaction events."""
+    from ..pipeline import lift_transactions
+
+    tx = lift_transactions(events)
+    tx = tx.withColumn("gas_price_gwei", F.col("gas_price").cast("double") / 1e9)
+    tx = tx.withColumn("value_eth", F.col("value_wei").cast("double") / 1e18)
+    return (
+        tx.withWatermark("block_timestamp", watermark)
+        .groupBy("block_number", F.window("block_timestamp", "1 hour"))
+        .agg(
+            F.count("hash").alias("tx_count"),
+            F.sum("value_eth").alias("total_eth_volume"),
+            F.avg("gas_price_gwei").alias("avg_gas_price_gwei"),
+            F.max("gas_price_gwei").alias("max_gas_price_gwei"),
+        )
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 2.0,
+):
+    """writeStream to Kafka with the reference's cadence (poll_interval=2s ->
+    processingTime trigger). Value is the JSON of all columns; key mirrors
+    the reference's block-hash keying where present."""
+    out = df.select(
+        F.coalesce(F.col("tx_hash"), F.lit("")).alias("key")
+        if "tx_hash" in df.columns else F.lit("").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+
+
+def foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
+                          trigger_seconds: float = 2.0):
+    """Exactly-once-ish bronze materialization: checkpointed foreachBatch
+    append — the Spark analog of the reference's backfill batching
+    (scripts/backfill.py:44-78), with task retry replacing its per-block
+    try/except skip."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )

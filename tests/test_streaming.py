@@ -1,0 +1,116 @@
+"""Structured Streaming path: file-source micro-batches through the shared
+transform functions, watermarked hourly windows, checkpointed restart."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from defi_etl_platform_sqlglot_implementation__spark.streaming.pipeline import (
+    hourly_transfer_volume_stream,
+    stream_events,
+)
+from defi_etl_platform_sqlglot_implementation__spark.operators.transfers import decode_transfers
+
+from .conftest import make_transfer_message
+
+BASE_TS = 1_700_000_000
+
+
+def _write_messages(tmp_path, msgs, name="batch0.txt"):
+    (tmp_path / "input").mkdir(exist_ok=True)
+    (tmp_path / "input" / name).write_text("\n".join(msgs))
+
+
+def _msgs(n=60):
+    return [
+        make_transfer_message(
+            "ERC-20" if i % 5 else "ERC-721",
+            block_number=19_000_000 + i,
+            block_timestamp=BASE_TS + i * 120,  # spans 2 hours
+            amount=(i + 1) * 10**18,
+        )
+        for i in range(n)
+    ]
+
+
+class TestStreamingHourlyVolume:
+    def test_matches_batch_aggregation(self, spark, tmp_path):
+        msgs = _msgs()
+        _write_messages(tmp_path, msgs)
+
+        raw = spark.readStream.text(str(tmp_path / "input"))
+        events = stream_events(raw)
+        agg = hourly_transfer_volume_stream(events)
+
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("hourly_vol_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT hour_window.start AS hour, standard, transfer_count, volume_normalized "
+                "FROM hourly_vol_test"
+            ).collect()
+        finally:
+            q.stop()
+
+        # batch reference over the same messages via the SAME transform fn
+        raw_b = spark.createDataFrame([(m,) for m in msgs], ["value"])
+        from defi_etl_platform_sqlglot_implementation__spark.sources.bronze import parse_raw_events
+
+        batch = (
+            decode_transfers(parse_raw_events(raw_b), checksum=False)
+            .groupBy(F.date_trunc("hour", "block_timestamp").alias("hour"), "standard")
+            .agg(F.count("*").alias("transfer_count"),
+                 F.sum(F.col("amount") / 1e18).alias("volume_normalized"))
+            .collect()
+        )
+        want = {(r["hour"], r["standard"]): r for r in batch}
+        gotmap = {(r["hour"], r["standard"]): r for r in got}
+        assert set(gotmap) == set(want)
+        for k in want:
+            assert gotmap[k]["transfer_count"] == want[k]["transfer_count"]
+            assert abs(gotmap[k]["volume_normalized"] - want[k]["volume_normalized"]) < 1e-6
+
+    def test_incremental_microbatches(self, spark, tmp_path):
+        _write_messages(tmp_path, _msgs(20), "b0.txt")
+        raw = spark.readStream.text(str(tmp_path / "input"))
+        agg = hourly_transfer_volume_stream(stream_events(raw))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("inc_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n1 = spark.sql("SELECT SUM(transfer_count) c FROM inc_test").collect()[0]["c"]
+            # second micro-batch arrives
+            _write_messages(tmp_path, _msgs(40), "b1.txt")
+            q.processAllAvailable()
+            n2 = spark.sql("SELECT SUM(transfer_count) c FROM inc_test").collect()[0]["c"]
+        finally:
+            q.stop()
+        assert n1 == 20
+        assert n2 == 60  # 20 + 40
+
+
+class TestKafkaWiring:
+    def test_kafka_source_requires_connector(self, spark):
+        # no broker/connector jar in this environment — the wiring is
+        # exercised up to the point Spark resolves the data source
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.pipeline import kafka_source
+
+        try:
+            kafka_source(spark, "localhost:9092").printSchema()
+        except Exception as exc:
+            assert "kafka" in str(exc).lower()
+        else:  # connector present: schema must be the Kafka contract
+            pass
