@@ -99,9 +99,18 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Brute-force near-dup pairs with exact Jaccard >= threshold."""
+                        text_col: str = "text", id_col: str = "doc_id",
+                        cache_shingles: bool = False) -> DataFrame:
+    """Brute-force near-dup pairs with exact Jaccard >= threshold.
+
+    The shingle table feeds three plan branches (two self-join sides +
+    sizes). ``cache_shingles`` persists it so the explode runs once — the
+    right call when the upstream scan is expensive (cluster IO); recompute
+    pipelines better when cores outnumber the data (local bench).
+    """
     sh = shingle_table(docs, text_col, id_col, n)
+    if cache_shingles:
+        sh = sh.persist()
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -126,6 +135,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates, then exact-Jaccard verification.
 
@@ -134,9 +144,15 @@ def minhash_lsh_pairs(
     at j=0.8), so at high thresholds the verified output equals the
     brute-force result with overwhelming probability while shuffling only
     (band, bucket) keys — the 100 TB shape.
+
+    The shingle table feeds both the signature aggregate and the
+    verification join; ``cache_shingles`` persists it across the branches
+    (worth it when the upstream scan dominates; off by default locally).
     """
     rows = num_hashes // bands
     sh = shingle_table(docs, text_col, id_col, n)
+    if cache_shingles:
+        sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes)
 
     band_cols = F.array(*[
