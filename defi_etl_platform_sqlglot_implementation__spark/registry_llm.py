@@ -310,3 +310,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["QUERIES", "ORACLES"]
+
+
+# ---------------------------------------------------------------------------
+# scale-path variants: same results via 100TB-shaped plans (SCALE.md)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_p90_partitioned",
+    """
+    SELECT o_orderkey,
+           printf('%.6e', quantile_cont(o_totalprice, 0.9) OVER (
+               PARTITION BY o_orderkey // 1000
+               ORDER BY o_orderkey ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+           )) AS p90
+    FROM orders
+    """,
+)
+def rolling_p90_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1's scale variant: windows reset per 1000-key block -> parallel
+    tasks instead of one global sort (SCALE.md §Windows)."""
+    from .operators.scale import partitioned_rolling_percentile
+    from .registry import fmt
+
+    o = t(spark, sf_dir, "orders")
+    out = partitioned_rolling_percentile(
+        o, (F.col("o_orderkey") / 1000).cast("long"), ["o_orderkey"],
+        "o_totalprice", 0.9, 100, out="p90_raw",
+    )
+    return out.select("o_orderkey", fmt("p90_raw").alias("p90"))
+
+
+@register(
+    "salted_group_sum",
+    """
+    SELECT l_returnflag, SUM(l_quantity) AS sum_qty, SUM(1) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: identical result to the plain
+    groupBy oracle (sums of integral doubles are order-exact), but the
+    first shuffle spreads each key over 16 salt buckets."""
+    from .operators.scale import salted_group_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_group_agg(
+        li, ["l_returnflag"],
+        {"sum_qty": F.sum("l_quantity"), "n": F.count("*")},
+        salt_col=F.col("l_orderkey"), salt_buckets=16,
+    )
+
+
+@register("transfer_volume_hourly_approx")  # HLL sketch: rows-only by design
+def transfer_volume_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's streaming/scale variant: approx_count_distinct (HLL) replaces
+    the exact distinct expansion — the form the watermarked streaming agg
+    uses, exposed in batch for the scale path."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("transfer_count"),
+            F.approx_count_distinct("user_id").alias("approx_unique_users"),
+        )
+    )
