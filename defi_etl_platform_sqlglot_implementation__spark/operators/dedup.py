@@ -18,6 +18,12 @@ shuffle-aware for 100 TB:
 
 Hashing is md5 (Spark built-in, JVM-side, same lowercase hex as DuckDB),
 keeping every stage in whole-stage codegen — no Python UDFs anywhere.
+
+Algorithms follow the published literature: minwise hashing (Broder,
+"On the resemblance and containment of documents", 1997) with banded LSH
+(Indyk & Motwani 1998; the b-band/r-row S-curve analysis as in Mining of
+Massive Datasets ch.3), and SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", 2002).
 """
 
 from __future__ import annotations
@@ -218,7 +224,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            ham.alias("hamming"),
+            ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

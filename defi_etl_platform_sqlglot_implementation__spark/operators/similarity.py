@@ -60,7 +60,7 @@ def cosine_topk(
     ranked = pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w))
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -137,7 +137,7 @@ def ann_ivf(
     ranked = cand.select("query_id", F.col(id_col).alias("neighbor_id"), cos)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w))
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -145,8 +145,8 @@ def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
            printf('%.6e', SUM(o_totalprice)) AS total_volume,
            printf('%.6e', AVG(o_totalprice)) AS avg_price,
            printf('%.6e', MAX(o_totalprice)) AS max_price,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_count,
-           SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS urgent_count
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_count,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count
     FROM orders
     GROUP BY 1
     """,
@@ -561,7 +561,7 @@ def il_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      + backrun * 2e0)) AS mev_score,
            printf('%.6e', sandwich) AS sandwich_risk,
            printf('%.6e', frontrun) AS frontrun_risk,
-           backrun AS backrun_opportunities
+           CAST(backrun AS BIGINT) AS backrun_opportunities
     FROM j
     """,
 )
@@ -628,7 +628,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            printf('%.6e', AVG(value)) AS avg_value,
            printf('%.6e', MAX(value)) AS max_value,
            printf('%.6e', SUM(value)) AS total_value,
-           SUM(CASE WHEN value > 1e2 THEN 1 ELSE 0 END) AS n_large
+           CAST(SUM(CASE WHEN value > 1e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
     FROM events
     """,
 )
@@ -683,7 +683,7 @@ def selector_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
     FROM events
     GROUP BY 1
     """,

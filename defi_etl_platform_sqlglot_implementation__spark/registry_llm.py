@@ -109,7 +109,7 @@ def _simhash_sql() -> str:
     ),
     hashed AS (SELECT doc_id, {hexval} AS h FROM toks),
     sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
-    SELECT doc_id, {sig} AS simhash FROM sums
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
     """
 
 
@@ -125,7 +125,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS ({_simhash_sql()})
     SELECT a.doc_id AS d1, b.doc_id AS d2,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -154,7 +154,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM p)
-    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +280,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(encode(text)) AS byte_len,
            octet_length(encode(text)) % 640 + 64 AS width,
            octet_length(encode(text)) % 480 + 48 AS height,
-           3 AS n_channels,
+           CAST(3 AS BIGINT) AS n_channels,
            ascii(substr(text, 1, 1)) / 2.55e2 AS mean_intensity
     FROM documents
     """,
@@ -344,7 +344,7 @@ def rolling_p90_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_group_sum",
     """
-    SELECT l_returnflag, SUM(l_quantity) AS sum_qty, SUM(1) AS n
+    SELECT l_returnflag, SUM(l_quantity) AS sum_qty, CAST(SUM(1) AS BIGINT) AS n
     FROM lineitem GROUP BY 1
     """,
 )
