@@ -67,6 +67,32 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # end-to-end ETL throughput over reference-shaped messages: raw JSON ->
+    # envelope -> decode (incl. vectorized EIP-55) -> features -> block agg
+    # -> canonical SQL, all forced through the noop sink
+    from defi_etl_platform_sqlglot_implementation__spark.pipeline import run_batch
+    from defi_etl_platform_sqlglot_implementation__spark.serving.data_service import (
+        make_synthetic_transfer_messages,
+        make_synthetic_tx_messages,
+    )
+    from defi_etl_platform_sqlglot_implementation__spark.sources.bronze import parse_raw_events
+
+    n_msgs = int(os.environ.get("SPARK_GRAFT_ETL_MSGS", "100000"))
+    msgs = (make_synthetic_transfer_messages(n=n_msgs * 7 // 10)
+            + make_synthetic_tx_messages(n=n_msgs * 3 // 10))
+    raw = spark.createDataFrame([(m,) for m in msgs], ["value"]).repartition(int(cpus))
+    t0 = time.time()
+    events = parse_raw_events(raw).persist()  # one JSON parse feeds all branches
+    results = run_batch(spark, events)
+    for key in ("transfers", "swaps", "transactions", "block_agg",
+                "transfer_volume", "swap_price_impact"):
+        results[key].write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    events.unpersist()
+    timings["etl_run_batch"] = round(dt, 3)
+    timings["etl_msgs_per_sec"] = round(len(msgs) / dt, 1)
+    total += dt
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",

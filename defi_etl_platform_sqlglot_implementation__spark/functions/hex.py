@@ -70,7 +70,16 @@ def hex_to_long(s: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def eip55_checksum(s: pd.Series) -> pd.Series:
-    """EIP-55 checksum address (reference etl_pipeline.py:81-82)."""
+    """EIP-55 checksum address (reference etl_pipeline.py:81-82).
+
+    Uses the NumPy-vectorized single-block keccak when the batch is the
+    normal shape (42-char 0x-addresses) — ~1000x the scalar throughput;
+    falls back to the scalar implementation for irregular inputs.
+    """
+    if len(s) and s.dropna().str.len().eq(42).all():
+        from .keccak_batch import eip55_checksum_batch
+
+        return eip55_checksum_batch(s)
     return s.map(lambda a: None if a is None else _checksum(a))
 
 
