@@ -82,7 +82,22 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for doc pairs from a shingle table. ``pairs=None`` ->
-    all co-shingled pairs (brute force); else verify only given (d1, d2)."""
+    all co-shingled pairs (brute force); else verify only the given
+    (d1, d2) candidates.
+
+    With candidates, the shingle table is semi-join-reduced to candidate
+    docs BEFORE the intersection self-join — the verification cost scales
+    with the candidate set, not the corpus (the whole point of LSH).
+    Jaccard denominators still use each candidate doc's full shingle count
+    (reduction drops docs, not shingles).
+    """
+    if pairs is not None:
+        cand_docs = (
+            pairs.select(F.col("d1").alias("doc_id"))
+            .union(pairs.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_docs), "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -214,11 +229,50 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming."""
+                  id_col: str = "doc_id", blocked: bool = True) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    ``blocked=True`` (the scale shape): split the 32-bit signature into
+    ``max_hamming + 1`` bands; by pigeonhole, any pair within Hamming
+    distance ``max_hamming`` agrees on at least one full band, so joining
+    on (band_idx, band_value) has *exact* recall — identical output to the
+    all-pairs cross join, with shuffle volume docs x bands instead of
+    docs². ``blocked=False`` keeps the literal cross join for comparison.
+    """
     sig = simhash_signatures(docs, text_col, id_col)
-    a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+
+    if blocked:
+        n_bands = max_hamming + 1
+        width = 32 // n_bands  # 8-bit bands for the default max_hamming=3
+        bands = F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
+            )
+            for i in range(n_bands)
+        ])
+        banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+            "doc_id", "simhash",
+            F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+        )
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bval") == F.col("b.bval"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                ham.cast("long").alias("hamming"),
+            )
+            .distinct()
+        )
+        return cand.filter(F.col("hamming") <= max_hamming)
+
+    a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(

@@ -75,3 +75,13 @@ class TestSimHash:
         docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
         for r in simhash_signatures(docs).collect():
             assert 0 <= r["simhash"] < 2**32
+
+
+class TestSimHashBlocking:
+    def test_blocked_equals_cross_join(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        blocked = {(r["d1"], r["d2"], r["hamming"])
+                   for r in simhash_pairs(docs, max_hamming=3, blocked=True).collect()}
+        full = {(r["d1"], r["d2"], r["hamming"])
+                for r in simhash_pairs(docs, max_hamming=3, blocked=False).collect()}
+        assert blocked == full  # pigeonhole: exact recall
