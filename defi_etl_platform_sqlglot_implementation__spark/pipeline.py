@@ -21,9 +21,18 @@ from .plans.queries import SWAP_PRICE_IMPACT_SQL, TRANSFER_VOLUME_SQL
 
 def lift_transactions(events: DataFrame) -> DataFrame:
     """transaction events -> flat payload + envelope columns
-    (etl_pipeline.py:421-425)."""
+    (etl_pipeline.py:421-425).
+
+    Only the transaction payload fields are lifted — with the wide
+    PAYLOAD_UNION schema the log-only fields (topics, data, ...) would
+    otherwise leak into the transactions table as NULL columns, diverging
+    from the reference's tx frame shape.
+    """
+    from .schemas import TRANSACTION_PAYLOAD
+
     tx = events.filter(F.col("event_type") == "transaction")
-    payload_fields = tx.schema["payload"].dataType.fieldNames()
+    available = set(tx.schema["payload"].dataType.fieldNames())
+    payload_fields = [f.name for f in TRANSACTION_PAYLOAD if f.name in available]
     return tx.select(
         *[F.col("payload")[f].alias(f) for f in payload_fields],
         "block_number",
