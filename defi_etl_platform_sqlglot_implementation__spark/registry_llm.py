@@ -420,3 +420,34 @@ def hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day_bucket"),
         "n", fmt("total_raw").alias("total_value"),
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ({_dot_chain('a', 'b')})
+           / (sqrt({_dot_chain('a', 'a')}) * sqrt({_dot_chain('b', 'b')})) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ({_dot_chain('a', 'b')})
+          / (sqrt({_dot_chain('a', 'a')}) * sqrt({_dot_chain('b', 'b')})) >= 4e-1
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine >= 0.4 over all pairs.
+
+    The bit-exact fold-order dot product (see similarity_topk) makes the
+    threshold filter deterministic across engines. Brute-force all-pairs is
+    the oracle shape; the 100 TB path reuses the IVF cluster assignment as
+    the blocking key (pairs within a cluster + neighboring probes).
+    """
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    a = with_norm(e.select(F.col("vec_id").alias("d1"),
+                           F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(e.select(F.col("vec_id").alias("d2"),
+                           F.col("embedding").alias("eb")), "eb", "nb")
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return pairs.select("d1", "d2", cos).filter(F.col("cosine") >= 4e-1)
