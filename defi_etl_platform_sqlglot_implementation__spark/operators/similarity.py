@@ -141,3 +141,64 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_cosine(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means for IVF centroids: deterministic init (first k
+    vectors by id), then alternate broadcast-assign / mean-recompute.
+
+    The iterative loop is driver-side orchestration over DataFrame
+    aggregates — each iteration is one broadcast join + one hash aggregate
+    over the corpus; centroid state (k x dim doubles) rides in the closure,
+    never the corpus. Returns (centroid_id, embedding) with unit-norm
+    double vectors.
+    """
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"] if dim_df else 0
+
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in embeddings.orderBy(id_col).limit(k).collect()
+    ]
+
+    def _normalize(v: list[float]) -> list[float]:
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v] if n else v
+
+    cents = [(i, _normalize(v)) for idx, (i, v) in enumerate(cents)]
+
+    spark = embeddings.sparkSession
+    for _ in range(max_iters):
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents], ["centroid_id", "ce"]
+        )
+        assigned = assign_clusters(
+            embeddings, cdf.select(F.col("centroid_id").alias(id_col),
+                                   F.col("ce").alias(vec_col)),
+            vec_col, id_col,
+        )
+        # new centroid = normalized mean: per-dimension sums in one aggregate
+        sums = assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new_cents = []
+        for r in sums.collect():
+            v = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            new_cents.append((int(r["cluster_id"]), _normalize(v)))
+        if not new_cents:
+            break
+        cents = sorted(new_cents)
+
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], ["centroid_id", "embedding"]
+    )

@@ -150,3 +150,12 @@ def foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: the static side is (re)broadcast per
+    micro-batch — the streaming analog of the selector-map / nation-region
+    lookups (J3). No state, no watermark required."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")

@@ -59,3 +59,37 @@ class TestIVF:
         aset = {(r["query_id"], r["neighbor_id"]) for r in approx}
         recall = len(bset & aset) / len(bset)
         assert recall >= 0.3  # nprobe=8 of 16 clusters on isotropic data
+
+
+class TestKMeans:
+    def test_centroids_improve_recall_or_match(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import (
+            kmeans_cosine,
+        )
+
+        e = _emb(spark)
+        cents = kmeans_cosine(e, k=8, max_iters=3)
+        rows = cents.collect()
+        assert 1 <= len(rows) <= 8
+        # unit-norm double vectors of the right dimensionality
+        for r in rows:
+            v = r["embedding"]
+            assert len(v) == 64
+            norm = sum(x * x for x in v) ** 0.5
+            assert abs(norm - 1.0) < 1e-9
+
+    def test_assignment_with_kmeans_centroids(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import (
+            assign_clusters,
+            kmeans_cosine,
+        )
+        from pyspark.sql import functions as F
+
+        e = _emb(spark)
+        cents = kmeans_cosine(e, k=8, max_iters=2).select(
+            F.col("centroid_id").alias("vec_id"), "embedding"
+        )
+        assigned = assign_clusters(e, cents)
+        assert assigned.count() == e.count()
+        n_clusters = assigned.select("cluster_id").distinct().count()
+        assert 1 < n_clusters <= 8

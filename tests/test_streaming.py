@@ -114,3 +114,36 @@ class TestKafkaWiring:
             assert "kafka" in str(exc).lower()
         else:  # connector present: schema must be the Kafka contract
             pass
+
+
+class TestStreamStaticJoin:
+    def test_enrichment_per_microbatch(self, spark, tmp_path):
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.pipeline import (
+            enrich_stream,
+        )
+
+        (tmp_path / "in").mkdir()
+        (tmp_path / "in" / "b0.jsonl").write_text(
+            '{"user_id": 1, "value": 5.0}\n{"user_id": 2, "value": 6.0}\n'
+            '{"user_id": 99, "value": 7.0}'
+        )
+        dim = spark.createDataFrame(
+            [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+        )
+        raw = spark.readStream.schema("user_id LONG, value DOUBLE").json(
+            str(tmp_path / "in")
+        )
+        out = enrich_stream(raw, dim, "user_id")
+        q = (
+            out.writeStream.format("memory").queryName("enrich_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {r["user_id"]: r["tier"]
+                    for r in spark.sql("SELECT * FROM enrich_test").collect()}
+        finally:
+            q.stop()
+        assert rows == {1: "gold", 2: "silver", 99: None}
