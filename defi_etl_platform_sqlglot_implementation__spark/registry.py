@@ -375,12 +375,14 @@ def block_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scale import rolling_quantile_exact
+
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey").rowsBetween(-99, 0)
-    return o.select(
-        "o_orderkey",
-        fmt(F.expr("percentile(o_totalprice, 0.9)").over(w)).alias("p90"),
+    out = rolling_quantile_exact(
+        o.select("o_orderkey", "o_totalprice"), ["o_orderkey"],
+        "o_totalprice", 0.9, 100, out="p90_raw",
     )
+    return out.select("o_orderkey", fmt("p90_raw").alias("p90"))
 
 
 # =========================================================================

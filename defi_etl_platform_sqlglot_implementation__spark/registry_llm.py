@@ -93,7 +93,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(weighted: bool = False) -> str:
     hexval = " + ".join(
         f"(strpos('0123456789abcdef', substr(md5(tok), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
         for k in range(8)
@@ -102,9 +102,11 @@ def _simhash_sql() -> str:
         f"SUM(((h // {2 ** j}) % 2) * 2 - 1) AS s{j}" for j in range(32)
     )
     sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN 1 ELSE 0 END) * {2 ** j}" for j in range(32))
+    toks = ("string_split(text, ' ')" if weighted
+            else "list_distinct(string_split(text, ' '))")
     return f"""
     WITH toks AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id, unnest({toks}) AS tok
         FROM documents
     ),
     hashed AS (SELECT doc_id, {hexval} AS h FROM toks),
@@ -118,6 +120,45 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_signatures
 
     return simhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_weighted", _simhash_sql(weighted=True))
+def dedup_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar's weighted SimHash with term-frequency weights."""
+    from .operators.dedup import simhash_signatures
+
+    return simhash_signatures(t(spark, sf_dir, "documents"), weighted=True)
+
+
+@register(
+    "dedup_char_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, length(text) - 4) + 1),
+                   i -> text[i:i+4]))) AS s
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ipair AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM ipair
+    JOIN sz sa ON sa.doc_id = d1
+    JOIN sz sb ON sb.doc_id = d2
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 7e-1
+    """,
+)
+def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup pairs (tokenization-robust)."""
+    from .operators.dedup import char_jaccard_pairs
+
+    return char_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.7, n=5)
 
 
 @register(

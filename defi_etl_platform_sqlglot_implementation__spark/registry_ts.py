@@ -1,0 +1,166 @@
+"""Driver-contract entries for the time-series join / sessionization /
+sampling operators (:mod:`operators.joins`) — scale extensions beyond the
+reference's equi-join surface (SURVEY.md §2.3 notes the reference has no
+as-of/range joins; a 100 TB event pipeline needs them).
+
+Float-parity notes: as-of carried values are single untouched parquet
+doubles (exact, class 1); session/window value sums cross rows (class 2,
+``%.6e``); everything else is ints and formatted timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import fmt, register, t
+
+_TS = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "asof_price_join",
+    f"""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, MAX(value) AS price
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '{_TS}') AS ts_str,
+           r.price AS asof_price
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach to every click the user's most recent at-or-before purchase
+    value — the canonical as-of alignment (trade→latest-quote shape)."""
+    from .operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("price"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["price"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("asof_price").alias("asof_price"),
+    )
+
+
+@register(
+    "session_stats",
+    f"""
+    WITH s AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+        FROM s
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '{_TS}') AS session_start,
+           strftime(MAX(ts), '{_TS}') AS session_end,
+           COUNT(*) AS n_events,
+           printf('%.6e', SUM(value)) AS session_value,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM s2 GROUP BY 1, 2
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup."""
+    from .operators.joins import session_stats
+
+    ev = t(spark, sf_dir, "events")
+    out = session_stats(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                        order_tiebreak="event_id", value_col="value")
+    return out.select(
+        "user_id", "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        fmt("session_value").alias("session_value"),
+        "duration_s",
+    )
+
+
+@register(
+    "sliding_window_range_join",
+    f"""
+    WITH iv AS (
+        SELECT gs AS ws, gs + INTERVAL '2 hours' AS we
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-07 23:00:00',
+                             INTERVAL '1 hour') t(gs)
+    ),
+    e AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+    SELECT strftime(iv.ws, '{_TS}') AS window_start,
+           COUNT(*) AS n_events,
+           printf('%.6e', SUM(e.value)) AS total_value
+    FROM iv JOIN e ON e.ts >= iv.ws AND e.ts < iv.we
+    GROUP BY iv.ws
+    """,
+)
+def sliding_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2h-every-1h windows over purchases — a true interval
+    range join, executed as broadcast bucket-blocking + exact filter."""
+    from .operators.joins import range_join_buckets
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("ts", "value")
+    iv = spark.sql(
+        "SELECT ws, ws + interval 2 hours AS we FROM ("
+        "SELECT explode(sequence(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-01-07 23:00:00', interval 1 hour)) AS ws)"
+    )
+    joined = range_join_buckets(
+        purchases, iv, fact_ts="ts", start_col="ws", end_col="we",
+        bucket=F.date_trunc("hour", F.col("ts")),
+        interval_buckets=F.expr("sequence(ws, we - interval 1 hour, interval 1 hour)"),
+    )
+    return joined.groupBy("ws").agg(
+        F.count("*").alias("n_events"),
+        fmt(F.sum("value")).alias("total_value"),
+    ).select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events", "total_value",
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH r AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    )
+    SELECT event_type, event_id, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ordered 20-per-type sample (training-data
+    subsampling with cross-engine reproducibility)."""
+    from .operators.joins import stratified_sample
+
+    ev = t(spark, sf_dir, "events")
+    out = stratified_sample(ev.select("event_type", "event_id"),
+                            stratum="event_type", n_per_stratum=20,
+                            id_col="event_id")
+    return out.select("event_type", "event_id", "sample_rank")

@@ -1,6 +1,7 @@
 """Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
 
 from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+    char_jaccard_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -75,6 +76,41 @@ class TestSimHash:
         docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
         for r in simhash_signatures(docs).collect():
             assert 0 <= r["simhash"] < 2**32
+
+
+class TestCharJaccard:
+    def test_identical_docs(self, spark):
+        text = "abcdefghijklmnopqrstuvwxyz 0123456789"
+        docs = _docs(spark, [(1, text), (2, text), (3, "zzzzzzzz")])
+        rows = char_jaccard_pairs(docs, threshold=0.9).collect()
+        assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+    def test_tokenization_robust(self, spark):
+        # word-level Jaccard sees these as fully different tokens; char
+        # 5-grams still overlap heavily (only whitespace shifted)
+        a = "deterministic hashing of documents"
+        b = "deterministichashing of documents"
+        docs = _docs(spark, [(1, a), (2, b)])
+        rows = char_jaccard_pairs(docs, threshold=0.5).collect()
+        assert len(rows) == 1
+        word = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert word == []
+
+
+class TestWeightedSimHash:
+    def test_repetition_collapses_to_single_token_signature(self, spark):
+        # weighted sums of "spam spam spam" are 3x the ±1 vector of "spam":
+        # same signs, so the signature equals the single-token one exactly
+        docs = _docs(spark, [(1, "spam spam spam"), (2, "spam")])
+        wgt = {r["doc_id"]: r["simhash"]
+               for r in simhash_signatures(docs, weighted=True).collect()}
+        assert wgt[1] == wgt[2]
+
+    def test_weighted_equals_unweighted_on_distinct_tokens(self, spark):
+        docs = _docs(spark, [(1, "one two three four five")])
+        [u] = simhash_signatures(docs).collect()
+        [w] = simhash_signatures(docs, weighted=True).collect()
+        assert u["simhash"] == w["simhash"]
 
 
 class TestSimHashBlocking:
