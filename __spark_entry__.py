@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from defi_etl_platform_sqlglot_implementation__spark import registry
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_tpch  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401 — fills registry dicts
 
 

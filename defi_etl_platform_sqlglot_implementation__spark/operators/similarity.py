@@ -202,3 +202,102 @@ def kmeans_cosine(
     return spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], ["centroid_id", "embedding"]
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign-random-projection) LSH — banded, exact-verified
+# ---------------------------------------------------------------------------
+
+def rademacher_planes(n_tables: int, planes_per_table: int, dim: int,
+                      tag: str = "rhp") -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplanes, one set per LSH table.
+
+    Component sign (table t, plane k, dim d) = parity of the first hex
+    digit of md5(f"{tag}:{t}:{k}:{d}") — engine-independent and frozen, so
+    an external SQL oracle can embed the identical constants. Rademacher
+    entries are a standard substitute for Gaussian hyperplanes in angular
+    LSH (sign random projection): E[collision] = 1 - angle/pi either way.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1.0 if int(hashlib.md5(
+                    f"{tag}:{t}:{k}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            for k in range(planes_per_table)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _plane_dot(vec_col: str, plane: list[float]) -> Column:
+    arr = "array(" + ", ".join(f"{x:.1f}D" for x in plane) + ")"
+    return F.expr(DOT.format(a=vec_col, b=arr))
+
+
+def lsh_bucket_col(vec_col: str, table_planes: list[list[float]]) -> Column:
+    """Bucket id for one LSH table: the k-bit sign pattern of the vector's
+    hyperplane dot products, packed little-endian."""
+    bucket = F.lit(0)
+    for k, plane in enumerate(table_planes):
+        bucket = bucket + F.when(
+            _plane_dot(vec_col, plane) >= 0, F.lit(1 << k)
+        ).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_bucket_pairs(
+    embeddings: DataFrame,
+    planes: list[list[list[float]]],
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN near-neighbor pairs via banded sign-random-projection LSH with
+    exact cosine verification — the hashing scale path next to the
+    clustering one (:func:`ann_ivf`).
+
+    Per table, a vector's bucket is its ``k``-bit sign pattern; candidates
+    are same-(table, bucket) pairs — shuffle keys are (table, bucket),
+    never all-pairs — then every candidate is verified with the exact
+    fold-order cosine. Recall for a pair at angle theta is
+    1-(1-(1-theta/pi)^k)^L: with L=4 tables of k=4 planes, ~0.50 at
+    cosine 0.4 and ~0.87 at cosine 0.8 — more tables raise recall, more
+    planes per table raise precision: the MinHash band trade-off. At
+    100 TB the (table, bucket) key is the corpus partition key and the
+    verify join ships only candidate ids.
+    """
+    banded = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.array(*[
+            F.struct(F.lit(ti).alias("tbl"),
+                     lsh_bucket_col(vec_col, tp).alias("bucket"))
+            for ti, tp in enumerate(planes)
+        ])).alias("tb"),
+    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.tbl") == F.col("b.tbl"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("d1"), F.col("b.vid").alias("d2"))
+        .distinct()
+    )
+
+    va = with_norm(embeddings.select(F.col(id_col).alias("d1"),
+                                     F.col(vec_col).alias("ea")), "ea", "na")
+    vb = with_norm(embeddings.select(F.col(id_col).alias("d2"),
+                                     F.col(vec_col).alias("eb")), "eb", "nb")
+    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return (
+        cand.join(va, "d1").join(vb, "d2")
+        .select("d1", "d2", cos)
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -205,6 +205,62 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def _lsh_oracle_sql() -> str:
+    """Generated DuckDB twin of lsh_bucket_pairs: identical ±1 plane
+    constants (rademacher_planes), identical left-assoc dot chains, so
+    bucket assignment AND verify cosine are bit-exact across engines."""
+    from .operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(4, 4, DIM)
+
+    def plane_chain(alias: str, plane: list[float]) -> str:
+        return " + ".join(
+            f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) * {plane[i]:.1f}"
+            for i in range(DIM)
+        )
+
+    def bucket_expr(alias: str, tp: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({plane_chain(alias, plane)}) >= 0 THEN {1 << k} ELSE 0 END)"
+            for k, plane in enumerate(tp)
+        )
+
+    banded = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id AS vid, {ti} AS tbl, ({bucket_expr('e', tp)}) AS bucket FROM embeddings e"
+        for ti, tp in enumerate(planes)
+    )
+    return f"""
+    WITH banded AS (
+{banded}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vid AS d1, b.vid AS d2
+        FROM banded a JOIN banded b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vid < b.vid
+    )
+    SELECT d1, d2,
+           ({_dot_chain('ea', 'eb')})
+           / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')})) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = d1
+    JOIN embeddings eb ON eb.vec_id = d2
+    WHERE ({_dot_chain('ea', 'eb')})
+          / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')})) >= 4e-1
+    """
+
+
+@register("similarity_lsh_pairs", _lsh_oracle_sql())
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-random-projection LSH near-neighbor pairs with exact
+    cosine verification — the hashing ANN scale path, exactly oracle-
+    checkable (unlike IVF) because the deterministic Rademacher planes are
+    embedded as identical constants in both engines."""
+    from .operators.similarity import lsh_bucket_pairs, rademacher_planes
+
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_bucket_pairs(e, rademacher_planes(4, 4, DIM), threshold=0.4)
+
+
 @register("similarity_ann_ivf")  # approximate by construction: rows-only check
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_ivf
