@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "block_agg_daily",
     "region_enrichment",
     "order_lineitem_pairing",
+    "shipping_priority",
+    "local_supplier_volume",
+    "asof_price_join",
     "rolling_p90",
     "rolling_var_cvar",
     "mev_scores",
@@ -94,10 +97,19 @@ def main() -> None:
     t0 = time.time()
     events = parse_raw_events(raw).persist()  # one JSON parse feeds all branches
     results = run_batch(spark, events)
+    # persist the silver tables: the canonical SQL queries and the noop
+    # writes share these subtrees (decode/eip55/feature UDF stages run
+    # once, not once per consumer — the cache manager matches the SQL
+    # views' plans against the cached frames)
+    silver = [results[k] for k in ("transfers", "swaps", "transactions")]
+    for df in silver:
+        df.persist()
     for key in ("transfers", "swaps", "transactions", "block_agg",
                 "transfer_volume", "swap_price_impact"):
         results[key].write.mode("overwrite").format("noop").save()
     dt = time.time() - t0
+    for df in silver:
+        df.unpersist()
     events.unpersist()
     timings["etl_run_batch"] = round(dt, 3)
     timings["etl_msgs_per_sec"] = round(len(msgs) / dt, 1)
