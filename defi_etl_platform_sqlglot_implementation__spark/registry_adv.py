@@ -1,0 +1,186 @@
+"""Driver-contract entries for the advanced patterns: stream-stream
+interval join (batch twin), lag/lead sequence analytics, the
+secondary-sort mapInPandas scan, and deterministic sampling.
+
+Float-parity notes: carried values (``purchase_value``) are untouched
+parquet doubles (class 1, exact); running max is an order-insensitive
+per-key extremum of parquet doubles (exact); all deltas/ranks are ints
+and timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+_TS = "%Y-%m-%d %H:%M:%S"
+_TSJ = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "view_purchase_attribution",
+    f"""
+    SELECT p.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           strftime(v.ts, '{_TS}') AS view_ts,
+           strftime(p.ts, '{_TS}') AS purchase_ts,
+           p.value AS purchase_value,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(v.ts)) AS BIGINT) AS delta_s
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (:mod:`.streaming.stream_join`): every purchase within 30 min after a
+    view by the same user.  Same expression runs watermarked on streams;
+    test_stream_join asserts row-for-row streaming/batch parity."""
+    from .streaming.stream_join import view_purchase_join
+
+    ev = t(spark, sf_dir, "events")
+    out = view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_delta_seconds=1800,
+    )
+    return out.select(
+        "user_id", "view_id", "purchase_id",
+        F.date_format("view_ts", _TSJ).alias("view_ts"),
+        F.date_format("purchase_ts", _TSJ).alias("purchase_ts"),
+        "purchase_value", "delta_s",
+    )
+
+
+@register(
+    "user_event_gaps",
+    f"""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s,
+           strftime(lead(ts) OVER w, '{_TS}') AS next_ts,
+           event_type,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/row_number sequence analytics: per-user inter-event gap
+    and next-event lookahead (funnel/transition analysis shape).  Window
+    partitioned by user — parallel by key, no global sort."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .alias("gap_s"),
+        F.date_format(F.lead("ts").over(w), _TSJ).alias("next_ts"),
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "secondary_sort_deltas",
+    f"""
+    SELECT user_id, event_id,
+           strftime(ts, '{_TS}') AS ts_str,
+           CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS delta_s,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def secondary_sort_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The secondary-sort mapInPandas scan
+    (:func:`.operators.secondary_sort.ordered_user_features`) — imperative
+    per-key ordered iteration whose output is proven equal to the SQL
+    window twin (the oracle here IS that twin)."""
+    from .operators.secondary_sort import ordered_user_features
+
+    ev = t(spark, sf_dir, "events")
+    out = ordered_user_features(ev)
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", _TSJ).alias("ts_str"),
+        "delta_s", "seq", "running_max",
+    )
+
+
+@register(
+    "bernoulli_hash_sample",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def bernoulli_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TABLESAMPLE twin: ~12.5% Bernoulli sample keyed on
+    md5(event_id) — reproducible across engines/runs/partitionings, unlike
+    TABLESAMPLE/rand().  The predicate pushes to the scan like any filter;
+    at 100 TB this is the sampling primitive that keeps lineage stable
+    (same ids selected on every backfill)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "reservoir_sample_global",
+    """
+    WITH r AS (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= 50
+    """,
+)
+def reservoir_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-without-replacement via hash-order top-k — the
+    deterministic equivalent of reservoir sampling.  Executed as a
+    per-partition top-k (TakeOrderedAndProject) then a k-row merge: no
+    global sort, no single-task shuffle; only k rows ever cross the wire
+    per partition."""
+    ev = t(spark, sf_dir, "events")
+    k = 50
+    ranked = (
+        ev.select(
+            "event_id", "user_id", "event_type",
+            F.md5(F.col("event_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "event_id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_h", "event_id")
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .select("event_id", "user_id", "event_type", "sample_rank")
+    )
+
+
+__all__ = ["QUERIES", "ORACLES"]
