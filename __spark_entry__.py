@@ -19,6 +19,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm  # noqa
 from defi_etl_platform_sqlglot_implementation__spark import registry_tpch  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_adv  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_sql2  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
