@@ -20,6 +20,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_tpch  # noq
 from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_adv  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_sql2  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm2  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:

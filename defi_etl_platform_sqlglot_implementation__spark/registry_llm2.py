@@ -1,0 +1,224 @@
+"""Training-data curation wave 2: benchmark-contamination detection,
+token-shard packing, and a per-source curation funnel.
+
+These extend the dedup/similarity/text-stats family (registry_llm) with
+the remaining ops a pretraining-data pipeline runs before materializing
+shards: "is any training doc contaminated with eval-benchmark text?",
+"how do documents pack into fixed-token shards?", and "what does each
+source contribute after quality filtering?".
+
+Scale notes (100 TB plans):
+- Contamination: the benchmark n-gram set is tiny relative to the corpus
+  (benchmarks are thousands of docs), so it is explicitly ``broadcast()``
+  — the 100 TB corpus side streams map-side with no shuffle for the probe
+  join; a Bloom filter over benchmark shingles is the documented
+  further-scale variant. Corpus shingles are exploded *after* the
+  distinct-per-doc dedup so join fan-out is bounded by document length.
+- Shard packing uses a per-source running token sum (partitioned window,
+  one shuffle on source); contiguous-fill assignment — shard boundaries
+  may split a document, exactly how pretraining sequence packing
+  concatenates-then-chunks. No global sort.
+- The curation funnel is one hash aggregate over per-row flags.
+
+Tokenization parity: split on a single space, the convention shared by
+the whole dedup/text-stats family (DuckDB ``string_split(text, ' ')`` ==
+Spark ``split(text, ' ')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+
+def _with_4gram_shingles(docs: DataFrame) -> DataFrame:
+    """Add ``toks`` + distinct word 4-gram ``shingles`` columns.
+
+    The token array is materialized as its own column first so the
+    ``transform`` lambda slices an already-evaluated attribute —
+    O(words·n) per row, avoiding the O(words²) re-split trap documented
+    in operators/dedup.token_shingles."""
+    return docs.withColumn("toks", F.split("text", " ")).withColumn(
+        "shingles",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, greatest(1, size(toks) - 3)),"
+            " i -> concat_ws(' ', slice(toks, i, 4))))"
+        ),
+    )
+
+
+# =========================================================================
+# Benchmark contamination — n-gram overlap against a held-out set
+# =========================================================================
+
+@register(
+    "contamination_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, len(l) - 3) + 1),
+                   i -> array_to_string(l[i:i+3], ' ')))) AS s
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_matched
+        FROM corpus c JOIN bench b USING (s)
+        GROUP BY 1
+    )
+    SELECT h.doc_id,
+           CAST(h.n_matched AS BIGINT) AS n_matched,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_matched AS DOUBLE) / t.n_shingles AS contamination
+    FROM hits h JOIN totals t USING (doc_id)
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-benchmark contamination: word 4-gram overlap of every corpus
+    document against a benchmark set (here the deterministic doc_id % 97
+    slice; in production, the eval suites). Returns only contaminated
+    docs with matched/total shingle counts and the overlap ratio.
+
+    The benchmark shingle set is broadcast — the corpus side never
+    shuffles for the probe, which is what makes the check affordable on
+    the full pretraining corpus rather than a sample."""
+    docs = _with_4gram_shingles(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_matched",
+        "n_shingles",
+        (F.col("n_matched").cast("double") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+# =========================================================================
+# Token-shard packing — contiguous fill into fixed-token shards
+# =========================================================================
+
+_SHARD_TOKENS = 2048
+
+@register(
+    "token_shard_assignment",
+    f"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM counted
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum_tokens - n_tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+           CAST(cum_tokens - n_tokens AS BIGINT) AS shard_offset_base
+    FROM cum
+    """,
+)
+def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing shard assignment: within each source (ordered by
+    doc_id), documents are concatenated and chunked into 2048-token
+    shards; a document belongs to the shard where its first token lands
+    (contiguous fill — boundary documents straddle, exactly like
+    concatenate-then-chunk pretraining packing). One partitioned running
+    sum; integer arithmetic end-to-end."""
+    counted = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("before", F.col("cum_tokens") - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"before div {_SHARD_TOKENS}").cast("long").alias("shard_id"),
+            F.col("before").cast("long").alias("shard_offset_base"),
+        )
+    )
+
+
+# =========================================================================
+# Curation funnel — per-source yield after quality filtering
+# =========================================================================
+
+@register(
+    "curation_funnel",
+    """
+    WITH flagged AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN len(string_split(text, ' ')) >= 30
+                     AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.3
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep * n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate
+    FROM flagged
+    GROUP BY source
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: document and token yield of a quality
+    filter (≥30 tokens and >0.3 distinct-token ratio — the same family of
+    heuristics as text_profile's quality score). One pass, one hash
+    aggregate; the flags are integer so counts/sums are exact across
+    engines, and keep_rate is a single int/int division."""
+    docs = t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    flagged = docs.select(
+        "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(
+            (F.size("toks") >= 30)
+            & (
+                F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+                > 0.3
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("n_tokens")).cast("long").alias("kept_tokens"),
+        (F.sum("keep").cast("double") / F.count("*")).alias("keep_rate"),
+    )

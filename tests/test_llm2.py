@@ -1,0 +1,65 @@
+"""Curation wave 2 (registry_llm2): contamination, shard packing, funnel —
+semantic invariants beyond the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm2  # noqa: F401 — fills QUERIES
+from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestContamination:
+    def test_benchmark_excluded_and_ratios_bounded(self, spark):
+        pdf = QUERIES["contamination_overlap"](spark, SF).toPandas()
+        assert len(pdf) > 0
+        assert (pdf.doc_id % 97 != 0).all()
+        assert (pdf.n_matched <= pdf.n_shingles).all()
+        assert pdf.contamination.between(0, 1, inclusive="right").all()
+
+    def test_benchmark_set_is_broadcast(self, spark):
+        plan = (
+            QUERIES["contamination_overlap"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestShardPacking:
+    def test_matches_pandas_contiguous_fill(self, spark):
+        out = (
+            QUERIES["token_shard_assignment"](spark, SF)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "source", "text"]]
+        docs["n_tokens"] = docs.text.str.split(" ").str.len()
+        docs = docs.sort_values("doc_id")
+        docs["before"] = docs.groupby("source").n_tokens.cumsum() - docs.n_tokens
+        docs["shard_id"] = docs.before // 2048
+        merged = out.merge(
+            docs[["doc_id", "shard_id", "before"]], on="doc_id", suffixes=("", "_exp")
+        )
+        assert (merged.shard_id == merged.shard_id_exp).all()
+        assert (merged.shard_offset_base == merged.before).all()
+
+    def test_shards_contiguous_per_source(self, spark):
+        out = QUERIES["token_shard_assignment"](spark, SF).toPandas()
+        for _, g in out.groupby("source"):
+            g = g.sort_values("doc_id")
+            # shard ids are non-decreasing and gap-free along the doc order
+            diffs = g.shard_id.diff().dropna()
+            assert (diffs >= 0).all()
+            assert set(g.shard_id) == set(range(int(g.shard_id.max()) + 1))
+
+
+class TestCurationFunnel:
+    def test_yield_bounds(self, spark):
+        pdf = QUERIES["curation_funnel"](spark, SF).toPandas()
+        assert (pdf.n_kept <= pdf.n_docs).all()
+        assert ((pdf.keep_rate >= 0) & (pdf.keep_rate <= 1)).all()
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        assert pdf.n_docs.sum() == len(docs)
