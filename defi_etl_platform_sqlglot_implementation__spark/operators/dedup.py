@@ -76,7 +76,7 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
 
     A single-file (or few-file) parquet source arrives as one input split —
     one row group is not splittable — and every downstream map stage
-    (shingling, 32x md5 minhashing) would inherit that single task. An
+    (shingling, row-local minhashing) would inherit that single task. An
     explicit hash repartition costs one tiny shuffle of the raw text and
     buys full-cluster parallelism for the expensive stages; with many
     input files this is a near-no-op balancing step. Explicit numPartitions
@@ -150,17 +150,40 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    """One hash aggregate: per-doc minhash signature columns h0..h{k-1}.
+def minhash_signatures(
+    arr: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, arr_col: str = "sharr"
+) -> DataFrame:
+    """Row-local minhash signatures h0..h{k-1} from per-doc shingle arrays.
 
-    hash_i(s) = md5(s || '#i') — deterministic, engine-portable; the min of
-    a lexicographic hex digest is a valid minwise hash family member.
+    Each shingle is hashed exactly twice (``xxhash64(x)`` and
+    ``xxhash64(x, 1)``); the full k-member family derives by cheap mixing
+    h_i = a XOR rotate(b, i) — the double-hashing trick, with rotate-XOR
+    instead of ``a + i*b`` so ANSI mode can never see an arithmetic
+    overflow. The mins are taken with ``array_min`` *inside the row*, so
+    signatures cost zero shuffles and zero explode — at 100 TB the
+    signature stage is pure map-side CPU, and ~30× less of it than a
+    per-(shingle, i) cryptographic hash would burn.
+
+    The hash-pair array is projected as its own column; Catalyst's
+    CollapseProject leaves multi-referenced non-trivial aliases in place,
+    so it is evaluated once per row, not once per signature column.
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    hp = arr.select(
+        "doc_id",
+        F.expr(
+            f"transform({arr_col}, x -> named_struct('a', xxhash64(x), 'b', xxhash64(x, 1)))"
+        ).alias("hp"),
+    )
+    return hp.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hp, p -> p.a ^ "
+                f"(shiftleft(p.b, {i}) | shiftrightunsigned(p.b, {64 - i}))))"
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -193,18 +216,17 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         token_shingles(text_col, n).alias("sharr"),
     ).persist()
-    sh = arr.select("doc_id", F.explode("sharr").alias("s"))
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(arr, num_hashes)
 
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)])).alias("bucket"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bucket"),
         )
         for b in range(bands)
     ])
     # persisted: the banded table is both sides of the bucket self-join —
-    # uncached, the 32-way minhash aggregate would run once per side.
+    # uncached, the minhash signature map stage would run once per side.
     banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     ).persist()
