@@ -380,3 +380,51 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (node, cluster_id).
+
+    ``cluster_id`` is the minimum node id reachable in the component — the
+    step that turns pairwise dedup output into actionable clusters (keep
+    the canonical doc, drop the rest). Plain min-label propagation: each
+    round pushes every node's current label across the symmetrized edges
+    and takes the min. Rounds needed = component diameter; near-dup
+    components are cliquish (diameter 1-3), so this converges in 2-4
+    rounds even at corpus scale — the pathological long-path graph that
+    favors pointer-jumping variants does not arise from similarity edges.
+
+    Each round is one shuffle (join on the edge endpoint) + one min
+    aggregate, both keyed on node id. ``localCheckpoint`` truncates the
+    lineage per round so the plan does not grow exponentially; convergence
+    is detected by the (monotonically decreasing, non-negative) label sum
+    going stationary — one scalar agg per round, no row-diff join.
+    """
+    sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    cur = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_total = None
+    for _ in range(max_iter):
+        pushed = sym.join(cur, sym.b == cur.node).select(
+            F.col("a").alias("node"), F.col("lbl")
+        )
+        cur = (
+            cur.select("node", "lbl")
+            .unionAll(pushed)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        total = cur.agg(F.sum("lbl")).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return cur.select(F.col("node"), F.col("lbl").alias("cluster_id"))

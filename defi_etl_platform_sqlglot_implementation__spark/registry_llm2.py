@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, t
+from .registry_llm import _SHINGLES_CTE
 
 
 def _with_4gram_shingles(docs: DataFrame) -> DataFrame:
@@ -221,4 +222,58 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keep").cast("long").alias("n_kept"),
         F.sum(F.col("keep") * F.col("n_tokens")).cast("long").alias("kept_tokens"),
         (F.sum("keep").cast("double") / F.count("*")).alias("keep_rate"),
+    )
+
+
+# =========================================================================
+# Dedup clusters — connected components over the near-dup pair graph
+# =========================================================================
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    pairs AS (
+        SELECT d1, d2
+        FROM ipair
+        JOIN sz sa ON sa.doc_id = d1
+        JOIN sz sb ON sb.doc_id = d2
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
+    ),
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    )
+    SELECT src AS doc_id,
+           CAST(MIN(dst) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM reach
+    GROUP BY src
+"""
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into clusters: connected components over the
+    LSH-verified pair graph, cluster id = min doc_id in the component, the
+    canonical doc flagged. This is the step that makes dedup *actionable*
+    (keep one per cluster) rather than a pair list. Spark runs min-label
+    propagation (operators/dedup.connected_components — per-round shuffle
+    keyed on node id, converges in ~diameter rounds, lineage cut per
+    round); the oracle is the transitive closure as a recursive CTE, so
+    the iterative distributed algorithm is proven against the declarative
+    fixpoint."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5
+    ).select("d1", "d2")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).cast("long").alias("is_canonical"),
     )

@@ -63,3 +63,31 @@ class TestCurationFunnel:
         assert ((pdf.keep_rate >= 0) & (pdf.keep_rate <= 1)).all()
         docs = pd.read_parquet(f"{SF}/documents.parquet")
         assert pdf.n_docs.sum() == len(docs)
+
+
+class TestConnectedComponents:
+    def test_path_and_clique_components(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            connected_components,
+        )
+
+        # component A: path 1-2-3-4 (diameter 3 — needs multiple rounds);
+        # component B: clique {10,11,12}; component C: pair {20,21}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            ["d1", "d2"],
+        )
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_cluster_query_partitions_pairs(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        pdf = QUERIES["dedup_clusters"](spark, SF).toPandas()
+        # exactly one canonical doc per cluster, and it is the min id
+        by_cluster = pdf.groupby("cluster_id")
+        assert (by_cluster.is_canonical.sum() == 1).all()
+        assert (by_cluster.doc_id.min() == by_cluster.apply(lambda g: g.cluster_id.iloc[0])).all()
