@@ -514,3 +514,122 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("tok"))
         .limit(100)
     )
+
+
+# =========================================================================
+# Cohort retention — first-activity cohort × period-offset matrix
+# =========================================================================
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - cohort_m AS BIGINT)
+               AS months_since,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: customers bucketed by their
+    first-order month, activity counted per months-since-cohort offset.
+    Month indices are integer arithmetic (year*12+month) on both engines —
+    no fractional months_between semantics to reconcile. Two aggregations
+    sharing the o_custkey key: the firsts aggregate output is
+    customer-cardinality (small after aggregation) and AQE broadcasts it
+    back against the fact scan."""
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "order_m", F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("order_m").alias("cohort_m"))
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            (F.col("order_m") - F.col("cohort_m")).cast("long").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("active_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+# =========================================================================
+# Sorted string aggregation (LISTAGG shape)
+# =========================================================================
+
+@register(
+    "segment_name_listagg",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_acctbal > 9900.0
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_name_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: per-segment comma-joined customer names in
+    deterministic (sorted) order — ``collect_list`` is order-nondeterministic
+    under parallel merge, so the sort happens *after* collection via
+    ``array_sort``, which is the only way to get a stable result from a
+    distributed string aggregation. The acctbal filter keeps group payloads
+    bounded; unbounded LISTAGG at 100 TB is an anti-pattern (a group's
+    string must fit in one row) and the scale path is "keep top-N per group
+    via rank-filter, then aggregate"."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900.0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+# =========================================================================
+# Histogram binning — width_bucket value distribution
+# =========================================================================
+
+@register(
+    "order_price_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           printf('%.6e', SUM(o_totalprice)) AS bucket_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution histogram via SQL-standard ``width_bucket`` (12
+    equal bins over [0, 600k), underflow bin 0 / overflow bin 13); DuckDB
+    has no width_bucket, so the oracle spells the same binning as explicit
+    floor arithmetic. One hash aggregate on the bucket id; at 100 TB the
+    map-side partial collapses each partition to ≤14 rows, so the shuffle
+    is constant-size regardless of input."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            fmt(F.sum("o_totalprice")).alias("bucket_value"),
+        )
+    )
