@@ -56,6 +56,18 @@ def parse_swaps(events: DataFrame) -> DataFrame:
     )
 
     data = p["data"]
+    # both-denominators-zero drop (reference ZeroDivisionError path, :159)
+    # tested on the RAW hex slots: a uint256 slot decodes to 0.0 iff every
+    # hex digit is '0'. Doing this as a JVM string predicate BEFORE the
+    # projection means the Arrow UDF below runs exactly once per surviving
+    # row — a UDF-column filter would be pushed ahead of the projection as
+    # its own ArrowEvalPython stage, decoding slots 0/1 twice.
+    base = base.filter(
+        ~(
+            F.substring(data, 3, 64).rlike("^0{64}$")
+            & F.substring(data, 67, 64).rlike("^0{64}$")
+        )
+    )
     parsed = base.select(
         F.lit("uniswap_v2").alias("protocol"),
         p["contract"].alias("pool"),
@@ -70,9 +82,7 @@ def parse_swaps(events: DataFrame) -> DataFrame:
     )
 
     return (
-        # both denominators zero -> reference raises & drops the row (:159)
-        parsed.filter(~((F.col("amount0_in") == 0.0) & (F.col("amount1_in") == 0.0)))
-        .withColumn(
+        parsed.withColumn(
             "price",
             swap_price(
                 F.col("amount0_in"), F.col("amount1_in"),
