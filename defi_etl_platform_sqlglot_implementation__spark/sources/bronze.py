@@ -55,3 +55,42 @@ def to_event_json(envelope_cols: Column | None = None) -> Column:
     """Envelope struct -> JSON bytes-compatible string (S5)."""
     cols = envelope_cols if envelope_cols is not None else F.struct(*[f.name for f in ENVELOPE])
     return F.to_json(cols)
+
+
+def parse_raw_events_quarantine(
+    raw: DataFrame, value_col: str = "value", schema: StructType = ENVELOPE
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`parse_raw_events`, but splits rejects into a dead-letter
+    frame instead of silently nulling them.
+
+    Returns ``(events, rejects)``: ``events`` carries only rows whose JSON
+    parsed cleanly; ``rejects`` carries the raw payload plus a rejection
+    timestamp, ready for a quarantine sink. This is the production bronze
+    contract the reference approximates with per-block try/except skipping
+    (reference scripts/backfill.py:58-66) — here the quarantine is a
+    first-class output, so bad input is observable and replayable instead
+    of logged-and-lost.
+
+    Both outputs derive from ONE ``from_json`` evaluation (the corrupt
+    column rides along in the parsed struct); the split is two filters on
+    the same projection — at scale, one pass over the bytes, no re-parse.
+    """
+    with_corrupt = schema.add("_corrupt_record", "string")
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("_raw"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
+    )
+    ok = (
+        parsed.filter(F.col("e._corrupt_record").isNull())
+        .select("e.*")
+        .drop("_corrupt_record")
+    )
+    rejects = parsed.filter(F.col("e._corrupt_record").isNotNull()).select(
+        F.col("_raw").alias("raw_value"),
+        F.current_timestamp().alias("rejected_at"),
+    )
+    return ok, rejects
