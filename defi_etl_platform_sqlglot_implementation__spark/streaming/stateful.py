@@ -20,10 +20,12 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -89,4 +91,43 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+TOKEN_COUNT_SCHEMA = StructType(
+    [StructField("tok", StringType()), StructField("cnt", LongType())]
+)
+_TOKEN_STATE_SCHEMA = StructType([StructField("cnt", LongType())])
+
+
+def _update_token_count(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    prior = state.get[0] if state.exists else 0
+    total = prior + n
+    state.update((total,))
+    yield pd.DataFrame({"tok": [key[0]], "cnt": [total]})
+
+
+def streaming_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Incremental corpus vocabulary: per-token running counts over a
+    document stream (applyInPandasWithState) — the streaming twin of the
+    batch ``token_vocab_topk`` build.
+
+    Tokenization matches the batch family (split on ' '); each micro-batch
+    shuffles its exploded tokens once onto the state key, the state is one
+    long per token, and the operator emits the updated totals (update
+    mode) — downstream, a batch top-k over the latest totals gives the
+    live vocabulary without ever rescanning the corpus. At 100 TB-of-
+    stream scale the state store is RocksDB-backed and per-token state is
+    8 bytes, so vocabulary cardinality, not corpus size, bounds memory.
+    """
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+    return toks.groupBy("tok").applyInPandasWithState(
+        _update_token_count,
+        outputStructType=TOKEN_COUNT_SCHEMA,
+        stateStructType=_TOKEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -84,3 +84,39 @@ class TestRunningUserStats:
         assert u1["max_value"] == 20.0
         u2 = [r for r in rows if r["user_id"] == 2][-1]
         assert u2["n_events"] == 1
+
+
+class TestStreamingTokenCounts:
+    def test_final_counts_match_batch_twin(self, spark, tmp_path):
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.stateful import (
+            streaming_token_counts,
+        )
+
+        (tmp_path / "in").mkdir()
+        b0 = [{"text": "a b a"}, {"text": "c a"}]
+        b1 = [{"text": "b b c"}, {"text": "a"}]
+        (tmp_path / "in" / "b0.jsonl").write_text(_event_lines(b0))
+
+        raw = spark.readStream.schema("text STRING").json(str(tmp_path / "in"))
+        counts = streaming_token_counts(raw)
+        q = (
+            counts.writeStream.format("memory").queryName("vocab_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            (tmp_path / "in" / "b1.jsonl").write_text(_event_lines(b1))
+            q.processAllAvailable()
+            # latest emitted total per token == batch groupBy over ALL input
+            rows = spark.sql(
+                """SELECT tok, cnt FROM (
+                       SELECT tok, cnt,
+                              ROW_NUMBER() OVER (PARTITION BY tok ORDER BY cnt DESC) rn
+                       FROM vocab_test) WHERE rn = 1"""
+            ).collect()
+        finally:
+            q.stop()
+        got = {r["tok"]: r["cnt"] for r in rows}
+        assert got == {"a": 4, "b": 3, "c": 2}
