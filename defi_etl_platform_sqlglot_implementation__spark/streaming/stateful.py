@@ -131,3 +131,61 @@ def streaming_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_value_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) via ``transformWithState``
+    — the Spark 4 stateful-processor API that supersedes
+    ``applyInPandasWithState`` (typed state handles, timers, TTL support).
+    Functionally a twin of :func:`running_user_stats`, kept alongside it
+    so both state APIs stay covered; requires the RocksDB state-store
+    provider (set in the test/session conf), which is also the 100 TB
+    deployment choice — state lives off-heap and spills to disk.
+
+    Runtime requirement: the transformWithState state-server protocol
+    needs a working ``google.protobuf``; in environments without it (this
+    test container), use :func:`running_user_stats` — the test suite
+    skips the TWS path automatically.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            if self._state.exists():
+                prior_n, prior_total = self._state.get()
+                n, total = n + prior_n, total + prior_total
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -2,6 +2,14 @@
 
 import json
 
+import pytest
+
+try:  # transformWithState's state-server protocol needs working protobuf
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    HAS_PROTOBUF = True
+except ImportError:
+    HAS_PROTOBUF = False
+
 from pyspark.sql import functions as F
 
 from defi_etl_platform_sqlglot_implementation__spark.streaming.stateful import (
@@ -120,3 +128,56 @@ class TestStreamingTokenCounts:
             q.stop()
         got = {r["tok"]: r["cnt"] for r in rows}
         assert got == {"a": 4, "b": 3, "c": 2}
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(
+        not HAS_PROTOBUF,
+        reason="transformWithState requires google.protobuf (absent in this container)",
+    )
+    def test_totals_accumulate_across_batches(self, spark, tmp_path):
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.stateful import (
+            user_value_totals_tws,
+        )
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            (tmp_path / "in").mkdir()
+            b0 = [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+                  {"user_id": 2, "value": 7.0}]
+            (tmp_path / "in" / "b0.jsonl").write_text(_event_lines(b0))
+            raw = spark.readStream.schema("user_id LONG, value DOUBLE").json(
+                str(tmp_path / "in")
+            )
+            q = (
+                user_value_totals_tws(raw)
+                .writeStream.format("memory").queryName("tws_test")
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                (tmp_path / "in" / "b1.jsonl").write_text(
+                    _event_lines([{"user_id": 1, "value": 20.0}])
+                )
+                q.processAllAvailable()
+                rows = spark.sql(
+                    """SELECT user_id, n_events, total_value FROM (
+                           SELECT *, ROW_NUMBER() OVER (
+                               PARTITION BY user_id ORDER BY n_events DESC) rn
+                           FROM tws_test) WHERE rn = 1"""
+                ).collect()
+            finally:
+                q.stop()
+        finally:
+            if prev:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+        assert got == {1: (3, 35.0), 2: (1, 7.0)}
