@@ -105,23 +105,32 @@ def main() -> None:
     raw = (spark.createDataFrame([(m,) for m in msgs], ["value"])
            .repartition(int(cpus)).persist())
     raw.count()
-    t0 = time.time()
-    events = parse_raw_events(raw).persist()  # one JSON parse feeds all branches
-    results = run_batch(spark, events)
-    # persist the silver tables: the canonical SQL queries and the noop
-    # writes share these subtrees (decode/eip55/feature UDF stages run
-    # once, not once per consumer — the cache manager matches the SQL
-    # views' plans against the cached frames)
-    silver = [results[k] for k in ("transfers", "swaps", "transactions")]
-    for df in silver:
-        df.persist()
-    for key in ("transfers", "swaps", "transactions", "block_agg",
-                "transfer_volume", "swap_price_impact"):
-        results[key].write.mode("overwrite").format("noop").save()
-    dt = time.time() - t0
-    for df in silver:
-        df.unpersist()
-    events.unpersist()
+    def etl_once() -> float:
+        t0 = time.time()
+        events = parse_raw_events(raw).persist()  # one parse feeds all branches
+        results = run_batch(spark, events)
+        # persist the silver tables: the canonical SQL queries and the noop
+        # writes share these subtrees (decode/eip55/feature UDF stages run
+        # once, not once per consumer — the cache manager matches the SQL
+        # views' plans against the cached frames)
+        silver = [results[k] for k in ("transfers", "swaps", "transactions")]
+        for df in silver:
+            df.persist()
+        for key in ("transfers", "swaps", "transactions", "block_agg",
+                    "transfer_volume", "swap_price_impact"):
+            results[key].write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        for df in silver:
+            df.unpersist()
+        events.unpersist()
+        return dt
+
+    # min-of-two like the analytics, but bounded: skip the retry when the
+    # first run already shows heavy host contention (keeps worst-case bench
+    # wall-clock sane while still shedding one noisy sample normally).
+    dt = etl_once()
+    if dt < 100.0:
+        dt = min(dt, etl_once())
     raw.unpersist()
     timings["etl_run_batch"] = round(dt, 3)
     timings["etl_msgs_per_sec"] = round(len(msgs) / dt, 1)
