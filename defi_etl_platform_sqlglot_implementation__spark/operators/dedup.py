@@ -136,15 +136,28 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        cache_shingles: bool = False) -> DataFrame:
+                        cache_shingles: bool = False,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Brute-force near-dup pairs with exact Jaccard >= threshold.
 
     The shingle table feeds three plan branches (two self-join sides +
     sizes). ``cache_shingles`` persists it so the explode runs once — the
     right call when the upstream scan is expensive (cluster IO); recompute
     pipelines better when cores outnumber the data (local bench).
+
+    ``max_shingle_df`` is the 100 TB guard (SCALE.md): a shingle occurring
+    in d documents contributes O(d²) rows to the intersection self-join,
+    so one stopword phrase can dominate the whole job. Capping document
+    frequency drops those shingles BEFORE the self-join (and from the
+    Jaccard denominators — the capped metric is Jaccard over the
+    discriminative shingle set). Exact (uncapped) semantics remain the
+    default and are what the DuckDB oracle checks.
     """
     sh = shingle_table(docs, text_col, id_col, n)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        keep = df_counts.filter(F.col("_df") <= max_shingle_df).select("s")
+        sh = sh.join(keep, "s")
     if cache_shingles:
         sh = sh.persist()
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)

@@ -633,3 +633,64 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt(F.sum("o_totalprice")).alias("bucket_value"),
         )
     )
+
+
+# =========================================================================
+# Regexp extraction + null-safe arithmetic
+# =========================================================================
+
+@register(
+    "source_numeric_profile",
+    """
+    SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_num,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def source_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp capture-group extraction as a grouping key (the 'parse the
+    id out of a tag' pattern). Simple character-class patterns behave
+    identically in Java and RE2 regex engines; the extraction is a pure
+    projection, the aggregate a single hash pass."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(
+            F.regexp_extract("source", r"([0-9]+)", 1).cast("long").alias("src_num")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "user_click_purchase_ratio",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+               / NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0)
+               AS click_per_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_click_purchase_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional counts + null-safe division: Spark's
+    ``try_divide`` ≡ ``x / NULLIF(y, 0)`` (NULL on zero denominator, never
+    an error under ANSI mode). Per-row division of two exact ints is
+    bit-identical across engines, so the ratio is emitted raw."""
+    ev = t(spark, sf_dir, "events")
+    n_click = F.count(F.when(F.col("event_type") == "click", 1))
+    n_purchase = F.count(F.when(F.col("event_type") == "purchase", 1))
+    return ev.groupBy("user_id").agg(
+        n_click.cast("long").alias("n_click"),
+        n_purchase.cast("long").alias("n_purchase"),
+        F.try_divide(
+            n_click.cast("double"), F.nullif(n_purchase.cast("double"), F.lit(0.0))
+        ).alias("click_per_purchase"),
+    )

@@ -121,3 +121,42 @@ class TestSimHashBlocking:
         full = {(r["d1"], r["d2"], r["hamming"])
                 for r in simhash_pairs(docs, max_hamming=3, blocked=False).collect()}
         assert blocked == full  # pigeonhole: exact recall
+
+
+class TestShingleDfCap:
+    def test_high_cap_is_identity(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u"), (4, "q r s t u")],
+            ["doc_id", "text"],
+        )
+        base = {(r.d1, r.d2): r.jaccard
+                for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        capped = {(r.d1, r.d2): r.jaccard
+                  for r in ngram_jaccard_pairs(docs, threshold=0.3,
+                                               max_shingle_df=10).collect()}
+        assert base == capped and len(base) >= 2
+
+    def test_low_cap_drops_stopword_shingles(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        # "the of and" appears in every doc (a stopword shingle, df=3);
+        # with the cap at 2 it stops linking otherwise-unrelated docs
+        docs = spark.createDataFrame(
+            [(1, "the of and p q r"), (2, "the of and x y z"),
+             (3, "the of and x y z")],
+            ["doc_id", "text"],
+        )
+        uncapped = {(r.d1, r.d2)
+                    for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        capped = {(r.d1, r.d2)
+                  for r in ngram_jaccard_pairs(docs, threshold=0.1,
+                                               max_shingle_df=2).collect()}
+        assert (1, 2) in uncapped and (1, 3) in uncapped
+        assert (2, 3) in capped
+        assert (1, 2) not in capped and (1, 3) not in capped
