@@ -277,3 +277,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id"),
         (F.col("node") == F.col("cluster_id")).cast("long").alias("is_canonical"),
     )
+
+
+def contamination_bloom_prefilter(
+    docs: DataFrame, num_bits: int = 1_000_000
+) -> DataFrame:
+    """Bloom-style pre-pass for contamination: candidate (doc_id,
+    candidate_hits) pairs whose 4-grams *might* overlap the benchmark set.
+
+    The scale path SCALE.md documents for when the benchmark shingle set
+    outgrows a comfortable broadcast of the strings themselves: broadcast
+    only the SET BITS — ``xxhash64(s) % num_bits`` positions of benchmark
+    shingles (8 bytes/position vs ~50+/string), probe the corpus with the
+    same hash-mod and a broadcast semi-join. This is a single-hash Bloom
+    filter realized with built-ins (Spark's internal ``bloom_filter_agg``
+    is optimizer-private in 4.1): modular collisions can only ADD
+    candidates, never drop one, so running the exact
+    :func:`contamination_overlap` join on the candidate subset equals the
+    one-phase exact result — false positives cost work, not correctness.
+    """
+    sh = _with_4gram_shingles(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    pos = F.pmod(F.xxhash64("s"), F.lit(num_bits)).alias("bit_pos")
+    bench_bits = (
+        sh.filter(F.col("doc_id") % 97 == 0).select(pos).distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0).select("doc_id", pos)
+    return (
+        corpus.join(F.broadcast(bench_bits), "bit_pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("candidate_hits"))
+    )

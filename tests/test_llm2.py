@@ -91,3 +91,20 @@ class TestConnectedComponents:
         by_cluster = pdf.groupby("cluster_id")
         assert (by_cluster.is_canonical.sum() == 1).all()
         assert (by_cluster.doc_id.min() == by_cluster.apply(lambda g: g.cluster_id.iloc[0])).all()
+
+
+class TestContaminationBloom:
+    def test_candidates_superset_of_exact_hits(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry_llm2 import (
+            contamination_bloom_prefilter,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        cand = contamination_bloom_prefilter(docs).toPandas()
+        exact = QUERIES["contamination_overlap"](spark, SF).toPandas()
+        # Bloom filters admit false positives, never false negatives:
+        # every exactly-contaminated doc must appear among the candidates,
+        # with at least as many probe hits as true matches
+        merged = exact.merge(cand, on="doc_id", how="left")
+        assert merged.candidate_hits.notna().all()
+        assert (merged.candidate_hits >= merged.n_matched).all()
