@@ -159,3 +159,32 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), on, "left")
+
+
+def bronze_with_quarantine(raw: DataFrame, out_dir: str, reject_dir: str,
+                           checkpoint_dir: str, trigger_seconds: float = 2.0,
+                           schema: StructType = ENVELOPE):
+    """Streaming bronze ingest with a dead-letter lane: every micro-batch
+    splits into parsed events (appended under ``out_dir``) and corrupt
+    raw payloads (appended under ``reject_dir``), both from ONE from_json
+    pass per batch (sources/bronze.parse_raw_events_quarantine).
+
+    foreachBatch is the right sink shape here because one epoch must fan
+    out to two destinations atomically-enough: both writes happen inside
+    the same checkpointed batch, so a crash between them re-runs the
+    whole batch (at-least-once on both lanes, idempotent for consumers
+    keyed on raw payload). The reference's equivalent is log-and-skip;
+    here bad bytes stay queryable next to the bronze they failed to join.
+    """
+    from ..sources.bronze import parse_raw_events_quarantine
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ok, rejects = parse_raw_events_quarantine(batch_df, schema=schema)
+        ok.write.mode("append").parquet(out_dir)
+        rejects.write.mode("append").parquet(reject_dir)
+
+    return (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )

@@ -147,3 +147,36 @@ class TestStreamStaticJoin:
         finally:
             q.stop()
         assert rows == {1: "gold", 2: "silver", 99: None}
+
+
+class TestBronzeQuarantine:
+    def test_both_lanes_materialize(self, spark, tmp_path):
+        import json
+
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.pipeline import (
+            bronze_with_quarantine,
+        )
+
+        (tmp_path / "in").mkdir()
+        good = {"chain_id": 1, "network": "e", "block_number": 5,
+                "block_timestamp": 1700000000, "event_type": "transaction",
+                "payload": {"hash": "0xab"}, "ingested_at": 1.0}
+        lines = [json.dumps(good), "not json", json.dumps(good)]
+        (tmp_path / "in" / "b0.txt").write_text("\n".join(lines))
+
+        raw = spark.readStream.format("text").load(str(tmp_path / "in")) \
+            .withColumnRenamed("value", "value")
+        q = bronze_with_quarantine(
+            raw, str(tmp_path / "bronze"), str(tmp_path / "rejects"),
+            str(tmp_path / "ck"),
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        bronze = spark.read.parquet(str(tmp_path / "bronze"))
+        rejects = spark.read.parquet(str(tmp_path / "rejects"))
+        assert bronze.count() == 2
+        assert bronze.filter("event_type = 'transaction'").count() == 2
+        assert rejects.count() == 1
+        assert rejects.collect()[0]["raw_value"] == "not json"
