@@ -71,18 +71,36 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _spread(docs: DataFrame, id_col: str) -> DataFrame:
-    """Repartition the corpus by id before CPU-heavy per-row work.
+def _spread(docs: DataFrame, id_col: str,
+            target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Repartition the corpus by id before CPU-heavy per-row work — but only
+    when the input is under-parallel.
 
     A single-file (or few-file) parquet source arrives as one input split —
     one row group is not splittable — and every downstream map stage
     (shingling, row-local minhashing) would inherit that single task. An
     explicit hash repartition costs one tiny shuffle of the raw text and
-    buys full-cluster parallelism for the expensive stages; with many
-    input files this is a near-no-op balancing step. Explicit numPartitions
-    so AQE does not coalesce the tiny exchange back to one partition.
+    buys full-cluster parallelism for the expensive stages.
+
+    Size-aware, not core-count-aware: the target partition count is
+    ``max(defaultParallelism, ceil(input_bytes / target_partition_bytes))``
+    so a 100 TB corpus gets ~800k partitions, not 32. And when the source
+    already has at least that many splits (the many-file case), the extra
+    shuffle is skipped entirely — downstream stages only need parallelism,
+    not id co-location (they shuffle on their own keys later). Explicit
+    numPartitions so AQE does not coalesce the tiny exchange back to one.
     """
-    n = docs.sparkSession.sparkContext.defaultParallelism
+    sess = docs.sparkSession
+    n = sess.sparkContext.defaultParallelism
+    try:  # optimizer stats: total scan bytes for file sources (internal API,
+        # best-effort — fall back to core count if the walk ever breaks)
+        size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < size < (1 << 53):  # distrust the unknown-stats sentinel
+            n = max(n, min(-(-size // target_partition_bytes), 1_000_000))
+    except Exception:
+        pass
+    if docs.rdd.getNumPartitions() >= n:
+        return docs
     return docs.repartition(n, F.col(id_col))
 
 

@@ -95,6 +95,7 @@ def rolling_var_cvar(
     window: int = 30,
     confidence: float = 0.95,
     position_size: float = 1_000_000.0,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Trailing-window VaR *and* CVaR where the window excludes the current
     row (api/data_service.py:141-150): rows with a full `window` preceding
@@ -103,34 +104,52 @@ def rolling_var_cvar(
     ``idx_col`` must be a unique orderable key; it need not be contiguous —
     a dense ``row_number`` is derived internally so the rows-frame window
     and the bounded self-join see the same neighborhoods.
+
+    ``partition_col=None`` reproduces the reference's single global series:
+    one sort task plus a broadcast-nested-loop range join — the documented
+    W3 scale bottleneck (SURVEY.md §7.4.1), kept for reference parity.
+    Passing a series key computes independent per-series windows (resetting
+    at boundaries) — the window sorts within partitions in parallel, and the
+    series-equality key turns the range self-join into a shuffled hash join
+    with the range as a residual filter. That is the 100 TB shape.
     """
-    base = returns.withColumn("_rn", F.row_number().over(Window.orderBy(idx_col)))
-    w = Window.orderBy("_rn").rowsBetween(-window, -1)
+    pw = Window.partitionBy(partition_col) if partition_col else Window
+    base = returns.withColumn("_rn", F.row_number().over(pw.orderBy(idx_col)))
+    w = pw.orderBy("_rn").rowsBetween(-window, -1)
     q = F.expr(f"percentile({value_col}, {1 - confidence})").over(w)
     cnt = F.count(value_col).over(w)
+    anchor_cols = [F.col(idx_col).alias("_i"), F.col("_rn").alias("i"), "q"]
+    rs_cols = [F.col("_rn").alias("j"), F.col(value_col).alias("r_j")]
+    if partition_col:
+        anchor_cols.append(F.col(partition_col).alias("_p"))
+        rs_cols.append(F.col(partition_col).alias("_pj"))
     with_q = (
         base.withColumn("q", q)
         .withColumn("_cnt", cnt)
         .where(F.col("_cnt") == window)
-        .select(F.col(idx_col).alias("_i"), F.col("_rn").alias("i"), "q")
+        .select(*anchor_cols)
     )
 
-    rs = base.select(F.col("_rn").alias("j"), F.col(value_col).alias("r_j"))
+    rs = base.select(*rs_cols)
     # bounded range join: j in [i-window, i-1] — `window` rows per anchor
+    cond = (F.col("j") >= F.col("i") - window) & (F.col("j") <= F.col("i") - 1)
+    if partition_col:
+        cond = (F.col("_p") == F.col("_pj")) & cond
+    group = (["_p"] if partition_col else []) + ["_i", "q"]
     tail = (
-        with_q.join(
-            rs,
-            (F.col("j") >= F.col("i") - window) & (F.col("j") <= F.col("i") - 1),
-        )
+        with_q.join(rs, cond)
         .where(F.col("r_j") <= F.col("q"))
-        .groupBy("_i", "q")
+        .groupBy(*group)
         .agg(F.avg("r_j").alias("tail_mean"))
     )
-    return tail.select(
+    out_cols = [
         F.col("_i").alias(idx_col),
         (-F.col("q") * position_size).alias("var"),
         (-F.col("tail_mean") * position_size).alias("cvar"),
-    )
+    ]
+    if partition_col:
+        out_cols.insert(0, F.col("_p").alias(partition_col))
+    return tail.select(*out_cols)
 
 
 def stress_test(

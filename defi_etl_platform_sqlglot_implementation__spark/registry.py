@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import LongType, StringType, TimestampNTZType
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -44,14 +44,23 @@ def register(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long nanos and floor-convert to micros —
-        # the same truncation DuckDB applies reading the file directly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Legacy events file with ts stored as raw nanos-long (only
+            # readable when a caller set spark.sql.legacy.parquet.nanosAsLong):
+            # floor to micros — the truncation DuckDB applies on nanos files.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Current testdata stores ts as parquet TIMESTAMP(MICROS) without
+            # isAdjustedToUTC, which Spark reads as TIMESTAMP_NTZ. Downstream
+            # operators (unix_micros range frames, now()-interval predicates,
+            # watermarks) were written against TIMESTAMP; with the session
+            # timezone pinned UTC above, casting reproduces the exact same
+            # instants DuckDB computes on the naive file values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 @pandas_udf(StringType())
@@ -449,6 +458,54 @@ def rolling_var_cvar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         confidence=0.95, position_size=1.0,
     )
     return out.select("event_id", fmt("var").alias("var"), fmt("cvar").alias("cvar"))
+
+
+@register(
+    "rolling_var_cvar_partitioned",
+    """
+    WITH r AS (
+        SELECT event_id, user_id % 8 AS series, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY event_id) AS rn
+        FROM events WHERE user_id % 20 = 7
+    ),
+    anchors AS (
+        SELECT event_id, series, rn,
+               quantile_cont(value, 0.05) OVER w AS q,
+               COUNT(value) OVER w AS cnt
+        FROM r
+        WINDOW w AS (PARTITION BY series ORDER BY rn
+                     ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT a.series, a.event_id,
+           printf('%.6e', -a.q) AS var,
+           printf('%.6e', -AVG(r.value)) AS cvar
+    FROM anchors a
+    JOIN r ON r.series = a.series AND r.rn BETWEEN a.rn - 30 AND a.rn - 1
+    WHERE a.cnt = 30 AND r.value <= a.q
+    GROUP BY a.series, a.event_id, a.q
+    """,
+)
+def rolling_var_cvar_partitioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 at the 100 TB shape: per-series windows sort in parallel and the
+    range self-join gains a series equality key (shuffled hash join, range
+    residual) — no single-task global sort, no broadcast-nested-loop join.
+    Windows reset at series boundaries (the documented semantic trade,
+    SCALE.md §Windows); the oracle encodes the same partitioned semantics."""
+    from .operators.risk import rolling_var_cvar
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 7)
+        .withColumn("series", F.col("user_id") % 8)
+    )
+    out = rolling_var_cvar(
+        ev.select("series", "event_id", F.col("value").alias("r")),
+        idx_col="event_id", value_col="r", window=30,
+        confidence=0.95, position_size=1.0, partition_col="series",
+    )
+    return out.select(
+        "series", "event_id", fmt("var").alias("var"), fmt("cvar").alias("cvar")
+    )
 
 
 # =========================================================================

@@ -160,3 +160,30 @@ class TestShingleDfCap:
         assert (1, 2) in uncapped and (1, 3) in uncapped
         assert (2, 3) in capped
         assert (1, 2) not in capped and (1, 3) not in capped
+
+
+class TestSpreadSizeAware:
+    """_spread: input-size-aware parallelism, no-op when already parallel."""
+
+    def test_many_partition_input_skips_shuffle(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            _spread,
+        )
+
+        n = spark.sparkContext.defaultParallelism
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+        ).repartition(n + 4)
+        out = _spread(docs, "doc_id")
+        assert out is docs  # already parallel enough: no extra exchange
+
+    def test_single_partition_input_spreads(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            _spread,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+        ).coalesce(1)
+        out = _spread(docs, "doc_id")
+        assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
