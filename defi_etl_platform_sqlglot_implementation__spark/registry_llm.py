@@ -390,6 +390,53 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_real",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+           doc_id % 1920 + 16 AS width,
+           doc_id % 1080 + 16 AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode, oracle-gated end-to-end: per document build an
+    actual PNG (signature + IHDR) or JPEG (SOI + APP0/JFIF + COM + SOF0)
+    byte stream whose dimensions derive from doc_id, then recover width and
+    height by parsing those bytes (fixed-offset IHDR read / marker-segment
+    walk via an aggregate fold — operators/multimodal.py). The oracle
+    computes the expected dimensions arithmetically, so a parser regression
+    breaks the hash. Pure column ops on both build and parse sides."""
+    from .operators.multimodal import decode_image_dimensions
+
+    docs = t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1920 + 16).cast("long")
+    h = (F.col("doc_id") % 1080 + 16).cast("long")
+    png_hex = F.concat(
+        # signature, IHDR length (13), "IHDR"
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"),
+        F.lit("080600000000000000"),  # bit depth, color type, crc filler
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"                                  # SOI
+              "FFE000104A46494600010100004800480000"  # APP0/JFIF, len 16
+              "FFFE0008616263646566"                  # COM, len 8
+              "FFC0001108"),                          # SOF0, len 17, 8-bit
+        F.lpad(F.hex(h), 4, "0"), F.lpad(F.hex(w), 4, "0"),
+        F.lit("03012200021101031101"                  # 3 components
+              "FFD9"),                                # EOI
+    )
+    media = docs.select(
+        "doc_id",
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(jpeg_hex)
+        ).alias("content"),
+    )
+    return decode_image_dimensions(media)
+
+
+@register(
     "multimodal_frame_sample",
     """
     SELECT doc_id,

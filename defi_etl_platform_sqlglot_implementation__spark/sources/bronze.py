@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..schemas import ENVELOPE
 
@@ -75,7 +75,13 @@ def parse_raw_events_quarantine(
     column rides along in the parsed struct); the split is two filters on
     the same projection — at scale, one pass over the bytes, no re-parse.
     """
-    with_corrupt = schema.add("_corrupt_record", "string")
+    # StructType.add MUTATES (and returns) the passed-in schema object —
+    # repeated calls would stack duplicate _corrupt_record fields onto the
+    # shared module-level ENVELOPE (one per micro-batch / per caller) and
+    # poison every later parse. Build a fresh StructType instead.
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
     parsed = raw.select(
         F.col(value_col).cast("string").alias("_raw"),
         F.from_json(

@@ -60,3 +60,56 @@ class TestFrameSampling:
         assert len(by_id[1]) == 1  # <100 bytes -> 1 frame
         assert len(by_id[2]) == 2  # 250 bytes -> 2 frames
         assert sorted(r["byte_offset"] for r in by_id[2]) == [0, 100]
+
+
+class TestRealHeaderDecode:
+    """decode_image_dimensions: real PNG/JPEG byte parsing, pure column ops."""
+
+    @staticmethod
+    def _png(w, h):
+        import struct
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+
+    @staticmethod
+    def _jpeg(w, h, n_filler_segments=1):
+        import struct
+        out = b"\xff\xd8"                       # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        for _ in range(n_filler_segments):      # COM segments before SOF
+            out += b"\xff\xfe" + struct.pack(">H", 8) + b"abcdef"
+        out += (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", h, w)
+                + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+        return out + b"\xff\xd9"
+
+    def _decode(self, spark, payloads):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            decode_image_dimensions,
+        )
+
+        media = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, content binary",
+        )
+        return {r["doc_id"]: (r["kind"], r["width"], r["height"])
+                for r in decode_image_dimensions(media).collect()}
+
+    def test_png_and_jpeg_roundtrip(self, spark):
+        got = self._decode(spark, [self._png(640, 480), self._jpeg(1920, 1080)])
+        assert got[0] == ("png", 640, 480)
+        assert got[1] == ("jpeg", 1920, 1080)
+
+    def test_jpeg_many_segments_and_progressive(self, spark):
+        deep = self._jpeg(33, 44, n_filler_segments=10)
+        prog = self._jpeg(55, 66).replace(b"\xff\xc0", b"\xff\xc2")  # SOF2
+        got = self._decode(spark, [deep, prog])
+        assert got[0] == ("jpeg", 33, 44)
+        assert got[1] == ("jpeg", 55, 66)
+
+    def test_non_image_and_truncated(self, spark):
+        truncated_jpeg = self._jpeg(10, 10)[:6]  # dies mid-APP0
+        got = self._decode(spark, [b"plain text bytes", truncated_jpeg, b""])
+        assert got[0] == ("unknown", None, None)
+        assert got[1] == ("jpeg", None, None)  # sniffed, but no SOF found
+        assert got[2] == ("unknown", None, None)
