@@ -420,6 +420,33 @@ def rolling_var_minperiods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_var_minperiods_partitioned",
+    """
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w >= 15
+                THEN printf('%.6e', -1e6 * quantile_cont(value, 0.05) OVER w)
+           END AS rolling_var
+    FROM events
+    WINDOW w AS (PARTITION BY user_id % 16 ORDER BY event_id
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_var_minperiods_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2's scale variant (same pattern as W1's rolling_p90_partitioned):
+    per-series windows sort inside hash partitions in parallel instead of
+    one global single-task sort; windows reset at series boundaries."""
+    from .operators.risk import rolling_var
+
+    ev = t(spark, sf_dir, "events").withColumn("_series", F.col("user_id") % 16)
+    out = rolling_var(
+        ev.select("_series", "event_id", F.col("value").alias("r")),
+        order_cols=["event_id"], value_col="r", window=30,
+        confidence=0.95, position_size=1e6, partition_col="_series",
+    )
+    return out.select("event_id", fmt("rolling_var").alias("rolling_var"))
+
+
 # =========================================================================
 # W3 — rolling VaR/CVaR, window excludes current row (data_service.py:141-150)
 # =========================================================================

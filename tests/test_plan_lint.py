@@ -34,3 +34,67 @@ def test_plan_is_scale_clean(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product join"
+
+
+# -------------------------------------------------------------------------
+# Pushdown / broadcast spot-checks: the plans we'd want at 100 TB, asserted
+# so a regression (a filter that stops reaching the scan, a dim join that
+# stops broadcasting, a projection that drags every column) fails here.
+# -------------------------------------------------------------------------
+
+def _executed(spark, name):
+    return entry.queries()[name](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
+def test_block_range_filter_reaches_parquet_scan(spark):
+    # P14 BETWEEN predicate must appear as PushedFilters on the orders scan,
+    # not as a post-scan Filter only.
+    plan = _executed(spark, "block_range_scan")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_orderkey" in plan and \
+        "LessThanOrEqual(o_orderkey" in plan
+
+
+def test_event_projection_prunes_columns(spark):
+    # The projection reads a subset of events columns; the scan's ReadSchema
+    # must not include the unused user_id.
+    plan = _executed(spark, "event_projection")
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan_lines and all("user_id" not in ln for ln in scan_lines)
+
+
+def test_region_enrichment_broadcasts_dims(spark):
+    # J3: nation/region are tiny dims — the join must be broadcast, never a
+    # shuffled sort-merge join.
+    plan = _executed(spark, "region_enrichment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_windows_have_no_global_sort(spark):
+    # Scale variants must window inside hash partitions: every Sort in the
+    # plan is partition-local (global=false) and no single-partition
+    # exchange feeds it.
+    for name in ("rolling_var_cvar_partitioned",
+                 "rolling_var_minperiods_partitioned"):
+        plan = _executed(spark, name)
+        assert "Sort [" in plan, name
+        for ln in plan.splitlines():
+            if "Sort [" in ln and "sort [" not in ln:
+                assert " true, " not in ln, f"{name}: global sort: {ln}"
+        assert "SinglePartition" not in plan, f"{name}: 1-task exchange"
+
+
+def test_minhash_signatures_are_row_local(spark):
+    # The signature stage (shingle -> 32-hash family -> per-band min) is
+    # in-row expressions. The naive shape — posexplode the hash family and
+    # groupBy (doc, hash_idx) min — would show up as a posexplode plus
+    # extra aggregates/exchanges. Current plan: 2 explodes (candidate
+    # verify's shingle tables only), 2 aggregates (band buckets + verify),
+    # 8 exchanges. Allow slack for AQE drift but fail on a shape change.
+    plan = _executed(spark, "dedup_minhash_lsh")
+    assert "posexplode" not in plan, "minhash family was exploded"
+    assert plan.count("Generate explode") <= 2, "extra explode stage"
+    assert plan.count("HashAggregate") <= 4, "extra aggregate stage"
+    assert plan.count("Exchange") <= 10, "signature stage grew a shuffle"
