@@ -51,8 +51,6 @@ _PRIORITY = [
     "distinct_counts", "summary_stats", "selector_map_lookup",
     "json_props_extract", "time_formats", "last_k_events", "routed_union",
     "transfer_volume_hourly_approx", "hourly_daily_rollup", "user_event_sets",
-    # -- rows-only in r01 --
-    "similarity_ann_ivf",
 ]
 
 
@@ -67,8 +65,9 @@ def _ordered(d: dict) -> dict:
 _R01_GREEN = {
     "swap_price_impact", "block_agg_daily", "topk_parts_by_quantity",
     "region_enrichment", "order_lineitem_pairing", "block_range_scan",
-    "rolling_p90", "stress_test_table", "il_curve",
-    "pricing_summary", "dedup_exact", "dedup_ngram_jaccard",
+    "rolling_p90", "rolling_p90_partitioned", "stress_test_table", "il_curve",
+    "mev_scores", "dedup_minhash_lsh", "pricing_summary", "dedup_exact",
+    "dedup_ngram_jaccard", "similarity_ann_ivf",  # rows-only recorded r01
     "dedup_simhash_signatures", "dedup_simhash_weighted", "dedup_char_jaccard",
     "dedup_simhash_pairs", "similarity_topk", "similarity_lsh_pairs",
     "text_profile", "lang_id", "doc_fingerprint", "multimodal_meta",

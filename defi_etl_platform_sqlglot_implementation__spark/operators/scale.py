@@ -46,6 +46,37 @@ def salted_group_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    salt_source: Column,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join, result-identical to ``big.join(small,
+    key_cols, how)`` for inner/left joins.
+
+    A hot join key sends all its rows to one reducer; salting splits them:
+    the big side gains a deterministic salt (hash of ``salt_source``, e.g.
+    a unique row id — NOT the join key), the small side is replicated
+    across all ``salt_buckets`` salt values, and the join runs on
+    (key, salt) — so one hot key spreads over ``salt_buckets`` tasks at
+    the cost of a ``salt_buckets``× blow-up of the SMALL side only. Use
+    when the small side is too big to broadcast outright but its
+    replication is still cheaper than the skewed straggler; AQE's
+    skew-join split is the first resort, this is the explicit fallback.
+    """
+    keys = list(key_cols)
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))  # match pmod's long
+    return big_s.join(small_s, keys + ["_salt"], how).drop("_salt")
+
+
 def rolling_quantile_exact(
     df: DataFrame,
     order_cols: Sequence[str],

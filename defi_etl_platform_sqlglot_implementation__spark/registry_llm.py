@@ -506,6 +506,33 @@ def salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_brand_qty",
+    """
+    SELECT p.p_brand, SUM(l.l_quantity) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def salted_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join: identical result to the plain join oracle, but
+    the big side carries a deterministic 16-way salt and the small side is
+    replicated per salt value, so a hot l_partkey spreads over 16 tasks
+    instead of stalling one (operators/scale.salted_join)."""
+    from .operators.scale import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    pa = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, pa, ["l_partkey"], salt_source=F.col("l_orderkey"))
+    return joined.groupBy("p_brand").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 @register("transfer_volume_hourly_approx")  # HLL sketch: rows-only by design
 def transfer_volume_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2's streaming/scale variant: approx_count_distinct (HLL) replaces

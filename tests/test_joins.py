@@ -168,3 +168,45 @@ class TestStratifiedSample:
         big_pos = {e: i for i, e in enumerate(big)}
         assert all(big_pos[a] < big_pos[b]
                    for a, b in zip(surviving, surviving[1:]))
+
+
+class TestSaltedJoin:
+    """salted_join: result parity with the plain equi-join."""
+
+    def _frames(self, spark):
+        big = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(300)],  # key 0/1/2, skewed-ish
+            ["row_id", "k", "v"],
+        )
+        small = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c"), (9, "never")], ["k", "label"]
+        )
+        return big, small
+
+    def test_inner_parity(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.scale import (
+            salted_join,
+        )
+        from pyspark.sql import functions as F
+
+        big, small = self._frames(spark)
+        plain = {tuple(r) for r in big.join(small, "k").select("row_id", "label").collect()}
+        salted = {tuple(r) for r in
+                  salted_join(big, small, ["k"], salt_source=F.col("row_id"))
+                  .select("row_id", "label").collect()}
+        assert salted == plain and len(plain) == 300
+
+    def test_left_parity_unmatched_null(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.scale import (
+            salted_join,
+        )
+        from pyspark.sql import functions as F
+
+        big, small = self._frames(spark)
+        big4 = big.withColumn("k", F.col("k") + 1)  # k=3 rows have no match
+        plain = {tuple(r) for r in big4.join(small, "k", "left")
+                 .select("row_id", "label").collect()}
+        salted = {tuple(r) for r in
+                  salted_join(big4, small, ["k"], salt_source=F.col("row_id"),
+                              how="left").select("row_id", "label").collect()}
+        assert salted == plain

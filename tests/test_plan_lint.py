@@ -89,12 +89,13 @@ def test_partitioned_windows_have_no_global_sort(spark):
 def test_minhash_signatures_are_row_local(spark):
     # The signature stage (shingle -> 32-hash family -> per-band min) is
     # in-row expressions. The naive shape — posexplode the hash family and
-    # groupBy (doc, hash_idx) min — would show up as a posexplode plus
-    # extra aggregates/exchanges. Current plan: 2 explodes (candidate
-    # verify's shingle tables only), 2 aggregates (band buckets + verify),
-    # 8 exchanges. Allow slack for AQE drift but fail on a shape change.
+    # groupBy (doc, hash_idx) min — would show up as a posexplode feeding
+    # a min aggregate. Node COUNTS are not asserted: cached subtrees from
+    # other tests legitimately change how the plan prints.
     plan = _executed(spark, "dedup_minhash_lsh")
     assert "posexplode" not in plan, "minhash family was exploded"
-    assert plan.count("Generate explode") <= 2, "extra explode stage"
-    assert plan.count("HashAggregate") <= 4, "extra aggregate stage"
-    assert plan.count("Exchange") <= 10, "signature stage grew a shuffle"
+    # the h0..h31 family members must be computed by projections and
+    # consumed in-row — never re-assembled by a per-hash min() aggregate
+    for ln in plan.splitlines():
+        if "HashAggregate" in ln:
+            assert "min(h" not in ln, f"per-hash min aggregate: {ln}"
