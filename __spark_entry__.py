@@ -21,6 +21,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa:
 from defi_etl_platform_sqlglot_implementation__spark import registry_adv  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_sql2  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm2  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_decode  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -51,6 +52,10 @@ _PRIORITY = [
     "distinct_counts", "summary_stats", "selector_map_lookup",
     "json_props_extract", "time_formats", "last_k_events", "routed_union",
     "transfer_volume_hourly_approx", "hourly_daily_rollup", "user_event_sets",
+    # -- round-2 additions, most valuable first (decode path had no driver
+    #    evidence at all before these) --
+    "transfer_decode_roundtrip", "swap_decode_roundtrip",
+    "rolling_var_cvar_partitioned", "multimodal_decode_real",
 ]
 
 
