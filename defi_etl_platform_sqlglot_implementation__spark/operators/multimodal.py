@@ -177,7 +177,12 @@ def jpeg_dimensions(content: Column, max_segments: int = 24) -> tuple[Column, Co
         is_sof = is_seg & marker.isin(_JPEG_SOF_MARKERS)
         # stop on corruption, entropy-coded data start (SOS=DA) or EOI (D9)
         stop = acc["done"] | ~is_seg | marker.isin(0xDA, 0xD9) | is_sof
-        take = ~acc["done"] & is_sof
+        # capture only if the full 9-byte SOF prefix (marker, length,
+        # precision, height, width) is in bounds — a truncated SOF must
+        # yield NULL/NULL, not a height with no width
+        take = ~acc["done"] & is_sof & F.coalesce(
+            F.octet_length(content).cast("long") >= pos + 8, F.lit(False)
+        )
         seg_len = F.coalesce(be16(pos + 2), zero)
         return F.struct(
             F.when(stop, pos).otherwise(pos + 2 + seg_len).alias("pos"),

@@ -85,3 +85,71 @@ class TestHexDecodeProperties:
         ordered = sorted(rows, key=lambda x: abs(math.log(x)))
         ils = [rows[r] for r in ordered]
         assert all(ils[i] >= ils[i + 1] - 1e-9 for i in range(len(ils) - 1))
+
+
+class TestJpegWalkerProperties:
+    """Property test: the column-expression JPEG segment walk agrees with a
+    straightforward Python reference parser on randomized segment layouts."""
+
+    @staticmethod
+    def _py_jpeg_dims(b: bytes):
+        # reference implementation: walk marker segments like any image lib
+        SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        if len(b) < 2 or b[0:2] != b"\xff\xd8":
+            return None, None
+        pos = 2
+        for _ in range(64):
+            if pos + 4 > len(b) or b[pos] != 0xFF:
+                return None, None
+            marker = b[pos + 1]
+            if marker in (0xDA, 0xD9):
+                return None, None
+            seg_len = int.from_bytes(b[pos + 2:pos + 4], "big")
+            if marker in SOF:
+                if pos + 9 > len(b):
+                    return None, None
+                h = int.from_bytes(b[pos + 5:pos + 7], "big")
+                w = int.from_bytes(b[pos + 7:pos + 9], "big")
+                return (w or None), (h or None)
+            pos += 2 + seg_len
+        return None, None
+
+    @given(
+        st.lists(  # filler segments: (marker, payload length)
+            st.tuples(st.sampled_from([0xE0, 0xE1, 0xFE, 0xDB, 0xC4]),
+                      st.integers(min_value=0, max_value=40)),
+            min_size=0, max_size=8,
+        ),
+        st.integers(min_value=1, max_value=65535),   # width
+        st.integers(min_value=1, max_value=65535),   # height
+        st.sampled_from([0xC0, 0xC2, None]),          # SOF kind; None = no SOF
+        st.booleans(),                                # truncate mid-stream
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_reference_parser(self, spark, fillers, w, h, sof, truncate):
+        import struct
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            decode_image_dimensions,
+        )
+
+        b = b"\xff\xd8"
+        for marker, n in fillers:
+            b += bytes([0xFF, marker]) + struct.pack(">H", n + 2) + b"\x00" * n
+        if sof is not None:
+            b += (bytes([0xFF, sof]) + struct.pack(">H", 17) + b"\x08"
+                  + struct.pack(">HH", h, w)
+                  + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+        b += b"\xff\xd9"
+        if truncate:
+            b = b[: max(2, len(b) * 2 // 3)]
+
+        exp_w, exp_h = self._py_jpeg_dims(b)
+        media = spark.createDataFrame(
+            [(0, bytearray(b))], "doc_id long, content binary"
+        )
+        row = decode_image_dimensions(media).collect()[0]
+        assert row["kind"] == "jpeg"
+        assert (row["width"], row["height"]) == (exp_w, exp_h), \
+            f"bytes={b.hex()}"
