@@ -55,9 +55,7 @@ def _with_4gram_shingles(docs: DataFrame) -> DataFrame:
 # Benchmark contamination — n-gram overlap against a held-out set
 # =========================================================================
 
-@register(
-    "contamination_overlap",
-    """
+_CONTAMINATION_SQL = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS l
         FROM documents
@@ -82,8 +80,10 @@ def _with_4gram_shingles(docs: DataFrame) -> DataFrame:
            CAST(t.n_shingles AS BIGINT) AS n_shingles,
            CAST(h.n_matched AS DOUBLE) / t.n_shingles AS contamination
     FROM hits h JOIN totals t USING (doc_id)
-    """,
-)
+    """
+
+
+@register("contamination_overlap", _CONTAMINATION_SQL)
 def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-benchmark contamination: word 4-gram overlap of every corpus
     document against a benchmark set (here the deterministic doc_id % 97
@@ -308,4 +308,41 @@ def contamination_bloom_prefilter(
         corpus.join(F.broadcast(bench_bits), "bit_pos", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("candidate_hits"))
+    )
+
+
+@register("contamination_bloom_gated", _CONTAMINATION_SQL)
+def contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase contamination at the 100 TB shape, proven EXACT: the
+    Bloom bit-position prefilter narrows the corpus to candidate docs,
+    then the exact shingle-string verify runs on candidates only. Because
+    modular hash collisions can only ADD candidates (no false negatives),
+    the result is identical to the one-phase exact scan — so this gate
+    shares :data:`_CONTAMINATION_SQL` with ``contamination_overlap``, and
+    a hash-mismatch here would mean the prefilter dropped a true positive.
+    The string shingles of non-candidate docs are never joined, which is
+    the entire point at scale: the expensive wide-string shuffle touches
+    only the (tiny) candidate slice."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    candidates = contamination_bloom_prefilter(docs).select("doc_id")
+    sh = _with_4gram_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0).join(
+        candidates, "doc_id", "left_semi"
+    )
+    totals = corpus.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_matched",
+        "n_shingles",
+        (F.col("n_matched").cast("double") / F.col("n_shingles")).alias("contamination"),
     )
