@@ -31,20 +31,29 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``key`` (inclusive, like
-    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``); NULLs when no prior row.
+    """For each left row, attach the nearest right row within the same
+    ``key``: ``direction="backward"`` takes the latest right row with
+    ``right_ts <= left_ts`` (inclusive, like DuckDB's ``ASOF JOIN ... ON
+    l.ts >= r.ts``); ``direction="forward"`` takes the earliest right row
+    with ``right_ts >= left_ts`` (DuckDB ``... ON l.ts <= r.ts``). NULLs
+    when no qualifying row.
 
     Implementation: tag both sides, union their timelines, and carry the
-    right side's values forward with ``last_value(ignoreNulls)`` over a
-    window partitioned by the key and ordered by ``(ts, side)`` with the
-    right side sorting BEFORE coincident left rows (inclusive semantics).
-    One shuffle on ``key``; each task sees one key group's merged timeline.
+    right side's values across with ``last_value(ignoreNulls)`` over a
+    trailing frame (backward) or ``first_value(ignoreNulls)`` over a
+    leading frame (forward), partitioned by the key and ordered by
+    ``(ts, side)`` with the right side sorting toward the left row at
+    coincident timestamps (inclusive semantics both ways). One shuffle on
+    ``key``; each task sees one key group's merged timeline — no range
+    join, no per-row probe.
 
     ``right`` must be unique per ``(key, right_ts)`` — pre-aggregate if
-    not, or the carried value is the window-order-latest of the ties.
+    not, or the carried value is the window-order-nearest of the ties.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
     l = left.select(
         F.col(key).alias("_k"),
@@ -63,19 +72,30 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
     merged = l.unionByName(r)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "_side",
-        "_lrow",
-        *[
+    if direction == "backward":
+        # right (_side=0) sorts before coincident left rows -> inclusive
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = [
             F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
             for c in value_cols
-        ],
-    ).filter(F.col("_side") == 1)
+        ]
+    else:
+        # forward: right sorts after coincident left rows (ascending on
+        # -_side: left=1 first) and values are pulled from the leading frame
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = [
+            F.first(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
+            for c in value_cols
+        ]
+    carried = merged.select("_side", "_lrow", *carry).filter(F.col("_side") == 1)
     return carried.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"_carried_{c}").alias(f"asof_{c}") for c in value_cols],

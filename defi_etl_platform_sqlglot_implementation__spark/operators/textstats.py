@@ -64,6 +64,43 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (nats) of each document's token distribution plus a
+    normalized diversity ratio — the repetition signal LLM curation uses to
+    drop template/boilerplate docs (low entropy ⇒ few distinct tokens
+    dominate).
+
+    Entirely in-row: distinct tokens via ``array_distinct`` (first-
+    occurrence order — the oracle must sum in a fixed order too, so both
+    sides sort the distinct list before folding), per-token counts via a
+    ``transform``+``filter`` nested loop (O(distinct·n) per row — fine for
+    document-sized arrays), and the -Σ p·ln p fold via ``aggregate``. No
+    explode, no shuffle: entropy over 100 TB is scan-speed.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # sorted distinct tokens => deterministic, engine-agnostic fold order
+    counts = F.expr(
+        f"transform(array_sort(array_distinct(split({text_col}, ' '))),"
+        f" t -> size(filter(split({text_col}, ' '), x -> x = t)))"
+    )
+    entropy = F.expr(
+        f"-aggregate(transform(array_sort(array_distinct(split({text_col}, ' '))),"
+        f"  t -> size(filter(split({text_col}, ' '), x -> x = t))),"
+        f" cast(0.0 as double),"
+        f" (acc, c) -> acc + (cast(c as double) / size(split({text_col}, ' ')))"
+        f"   * ln(cast(c as double) / size(split({text_col}, ' '))))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.size(counts).cast("long").alias("n_distinct"),
+        entropy.alias("entropy"),
+        (F.size(counts).cast("double") / n).alias("diversity"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-frequency language guess with deterministic argmax order."""
     text = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))

@@ -306,6 +306,51 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_entropy",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS l,
+               list_sort(list_distinct(string_split(text, ' '))) AS dl
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(len(dl) AS BIGINT) AS n_distinct,
+           printf('%.6e', -list_aggregate(
+               list_transform(dl, t ->
+                   (CAST(len(list_filter(l, x -> x = t)) AS DOUBLE) / len(l))
+                   * ln(CAST(len(list_filter(l, x -> x = t)) AS DOUBLE) / len(l))),
+               'sum')) AS entropy,
+           CAST(len(dl) AS DOUBLE) / len(l) AS diversity
+    FROM d
+    """,
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon token entropy + diversity (the repetition/boiler-
+    plate signal in LLM curation). In-row column expressions only — see
+    operators/textstats.token_entropy. Both engines fold -Σ p·ln p over
+    the SAME sorted distinct-token order; ln() may differ by 1 ulp between
+    libms, hence %.6e emission.
+
+    Formatting is JVM `format_string`, NOT the pandas `fmt` UDF, twice
+    deliberately: (a) the policy's HALF_UP-vs-half-even divergence needs
+    an exact decimal tie, which ln-sum irrationals don't produce (unlike
+    2-decimal money data); (b) Catalyst collapses the huge fold expression
+    into the UDF's input projection, and if whole-stage codegen falls back
+    the interpreted projection cannot evaluate a PythonUDF (internal
+    error, session-state-dependent). All-JVM keeps this gate codegen-safe
+    at any expression size."""
+    from .operators.textstats import token_entropy
+
+    out = token_entropy(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.format_string("%.6e", F.col("entropy")).alias("entropy"),
+        "diversity",
+    )
+
+
+@register(
     "lang_id",
     """
     WITH c AS (

@@ -52,6 +52,40 @@ def asof_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_price_join_forward",
+    f"""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, MAX(value) AS price
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '{_TS}') AS ts_str,
+           r.price AS asof_price
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_price_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: attach each click's NEXT at-or-after purchase value
+    (fill-forward's mirror — next-quote alignment). Same union-merge
+    single-shuffle shape as backward, with a leading first_value frame."""
+    from .operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("price"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["price"], direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("asof_price").alias("asof_price"),
+    )
+
+
+@register(
     "session_stats",
     f"""
     WITH s AS (

@@ -210,3 +210,38 @@ class TestSaltedJoin:
                   salted_join(big4, small, ["k"], salt_source=F.col("row_id"),
                               how="left").select("row_id", "label").collect()}
         assert salted == plain
+
+
+class TestAsofForward:
+    def test_forward_nearest_and_ties(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.joins import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 10, 100), (1, 25, 101), (1, 40, 102), (2, 5, 200)],
+            ["k", "ts", "lid"],
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 1.0), (1, 30, 2.0), (2, 1, 9.0)], ["k", "ts", "price"]
+        )
+        out = {r["lid"]: r["asof_price"]
+               for r in asof_join(left, right, key="k", left_ts="ts",
+                                  right_ts="ts", value_cols=["price"],
+                                  direction="forward").collect()}
+        assert out[100] == 1.0   # coincident ts=10 is inclusive
+        assert out[101] == 2.0   # next at-or-after 25 is ts=30
+        assert out[102] is None  # nothing at or after 40
+        assert out[200] is None  # key 2 has only an earlier row
+
+    def test_bad_direction_raises(self, spark):
+        import pytest as _pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.joins import (
+            asof_join,
+        )
+
+        df = spark.range(1).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError):
+            asof_join(df, df, key="k", left_ts="k", right_ts="k",
+                      value_cols=[], direction="sideways")

@@ -59,3 +59,40 @@ class TestFingerprints:
         assert fp[1] != fp[3]
         assert all(len(r["fingerprint"]) == 32 for r in rows)
         assert all(r["fingerprint"].startswith(r["fp_prefix"]) for r in rows)
+
+
+class TestTokenEntropy:
+    def test_entropy_values(self, spark):
+        import math
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.textstats import (
+            token_entropy,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a"),          # one token: entropy 0
+                (2, "a b c d"),          # uniform over 4: ln(4)
+                (3, "a a b b b c"),      # mixed: -(2/6 ln 2/6 + 3/6 ln 3/6 + 1/6 ln 1/6)
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+        assert got[1]["entropy"] == 0.0 and got[1]["n_distinct"] == 1
+        assert abs(got[2]["entropy"] - math.log(4)) < 1e-12
+        expected3 = -(2/6 * math.log(2/6) + 3/6 * math.log(3/6) + 1/6 * math.log(1/6))
+        assert abs(got[3]["entropy"] - expected3) < 1e-12
+        assert got[3]["diversity"] == 0.5  # 3 distinct / 6 tokens
+
+    def test_low_entropy_flags_boilerplate(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.textstats import (
+            token_entropy,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "buy now " * 50), (2, "a genuinely varied sentence with many "
+                                       "distinct informative words inside it")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["entropy"] for r in token_entropy(docs).collect()}
+        assert got[1] < got[2]
