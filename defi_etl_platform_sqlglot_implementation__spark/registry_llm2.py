@@ -346,3 +346,121 @@ def contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         (F.col("n_matched").cast("double") / F.col("n_shingles")).alias("contamination"),
     )
+
+
+# =========================================================================
+# End-to-end curation pipeline — the whole preprocessing funnel as ONE plan
+# =========================================================================
+
+@register(
+    "curation_pipeline_e2e",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               string_split(text, ' ') AS l
+        FROM documents
+    ),
+    quality AS (  -- stage 1: quality filter
+        SELECT doc_id, source, text, len(l) AS n_tokens
+        FROM base
+        WHERE len(l) >= 30
+          AND CAST(len(list_distinct(l)) AS DOUBLE) / len(l) > 0.3
+    ),
+    deduped AS (  -- stage 2: exact dedup, canonical = min doc_id per digest
+        SELECT * FROM quality q
+        WHERE doc_id = (SELECT MIN(doc_id) FROM quality q2
+                        WHERE md5(q2.text) = md5(q.text))
+    ),
+    sh AS (  -- stage 3: 4-gram contamination vs the doc_id %% 97 benchmark
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, len(l) - 3) + 1),
+                   i -> array_to_string(l[i:i+3], ' ')))) AS s
+        FROM base
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+        SELECT c.doc_id
+        FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+        JOIN bench b USING (s)
+        GROUP BY c.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) /
+               (SELECT COUNT(*) FROM sh s2 WHERE s2.doc_id = c.doc_id) > 0.2
+    ),
+    survivors AS (
+        SELECT * FROM deduped
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM survivors
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data preprocessing funnel composed as ONE
+    declarative Catalyst plan — quality filter, exact dedup (canonical =
+    min doc_id per content digest), benchmark-contamination drop (>20%
+    4-gram overlap), and per-source token-shard packing of the survivors.
+    Each stage exists as its own oracled gate (curation_funnel,
+    dedup_exact, contamination_overlap, token_shard_assignment); this gate
+    proves they COMPOSE: filters stay pushed, the dedup window and the
+    packing window share the corpus scan, the contamination probe is a
+    broadcast semi-join, and the full pipeline remains one lazy plan a
+    user can point at 100 TB."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.split("text", " ")
+
+    # stage 1: quality filter
+    quality = docs.withColumn("n_tokens", F.size(toks).cast("long")).filter(
+        (F.size(toks) >= 30)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.3)
+    )
+
+    # stage 2: exact dedup — keep the min-doc_id copy of each digest
+    w = Window.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8")))
+    deduped = (
+        quality.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+
+    # stage 3: contamination drop (>20% of the doc's distinct 4-grams hit
+    # the benchmark slice) + drop the benchmark docs themselves
+    sh = _with_4gram_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = corpus.join(bench, "s").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    contaminated = (
+        hits.join(totals, "doc_id")
+        .filter(F.col("n_hit").cast("double") / F.col("n_sh") > 0.2)
+        .select("doc_id")
+    )
+    survivors = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # stage 4: per-source token-shard packing of the survivors
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        survivors.withColumn("_cum", F.sum("n_tokens").over(ws))
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.expr(f"(_cum - n_tokens) div {_SHARD_TOKENS}")
+            .cast("long").alias("shard_id"),
+        )
+    )
