@@ -1,0 +1,67 @@
+"""Iterative graph algorithms as DataFrame loops (scale extension).
+
+The reference has no graph surface; a large-scale data platform needs at
+least the two classics: connected components (operators/dedup.py, used
+for near-dup cluster resolution) and PageRank-style score propagation
+(entity importance over interaction graphs — e.g. ranking contracts by
+token-flow connectivity at 100 TB).
+
+PageRank here is the fixed-iteration damped form: one shuffle per
+iteration (edges ⋈ scores on src, aggregate on dst), nodes without
+out-edges contribute no mass (the simple leaky variant — both engines in
+the oracle pair implement the identical recurrence, so parity is exact).
+Per-iteration ``localCheckpoint`` (optional) truncates lineage for long
+runs, same pattern as connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, ``iterations`` rounds
+    from a uniform score of 1.0. Returns (node, score).
+
+    score_{k+1}(n) = (1-d) + d * Σ_{(m,n) ∈ E} score_k(m) / outdeg(m)
+
+    Distinct edges only (parallel edges collapse); nodes = src ∪ dst.
+    Each iteration is one equi-join + one hash aggregate — no driver-side
+    state beyond the loop counter. ``checkpoint_every > 0`` truncates
+    lineage with ``localCheckpoint`` for high iteration counts.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    scores = nodes.withColumn("score", F.lit(1.0))
+    weighted = e.join(outdeg, "_s")  # (_s, _d, _deg): static per run
+    for i in range(iterations):
+        contribs = (
+            weighted.join(scores.withColumnRenamed("node", "_s"), "_s")
+            .groupBy("_d")
+            .agg(F.sum(F.col("score") / F.col("_deg")).alias("_mass"))
+        )
+        scores = (
+            nodes.join(contribs.withColumnRenamed("_d", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.coalesce(F.col("_mass"), F.lit(0.0))
+                 ).alias("score"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+    return scores
