@@ -464,3 +464,51 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("shard_id"),
         )
     )
+
+
+# =========================================================================
+# Source-mix rebalancing — deterministic down-sampling to a target mix
+# =========================================================================
+
+@register(
+    "source_mix_rebalance",
+    """
+    WITH sized AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    tgt AS (SELECT MIN(n) AS n_min FROM sized),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS mix_rank
+    FROM ranked, tgt
+    WHERE rk <= tgt.n_min
+    """,
+)
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: down-sample every source to the size of
+    the smallest one (uniform target mix) by keeping each source's lowest
+    md5-ordered documents. Hash-ordering makes the mix deterministic
+    across runs, engines, and partitionings — re-materializing the mix
+    after a backfill selects the SAME documents, which is what keeps
+    dataset lineage auditable. Per-source window rank (one shuffle on
+    source) + a broadcast 1-row scalar for the target size; ordering by
+    the md5 STRING keeps selection integer/string-exact — no float
+    sampling keys anywhere."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    n_min = (
+        docs.groupBy("source").count()
+        .agg(F.min("count").alias("n_min"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("mix_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(n_min))
+        .filter(F.col("mix_rank") <= F.col("n_min"))
+        .select("doc_id", "source", "mix_rank")
+    )
