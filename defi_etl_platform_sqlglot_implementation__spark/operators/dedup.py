@@ -85,9 +85,16 @@ def _spread(docs: DataFrame, id_col: str,
     Size-aware, not core-count-aware: the target partition count is
     ``max(defaultParallelism, ceil(input_bytes / target_partition_bytes))``
     so a 100 TB corpus gets ~800k partitions, not 32. And when the source
-    already has at least that many splits (the many-file case), the extra
-    shuffle is skipped entirely — downstream stages only need parallelism,
-    not id co-location (they shuffle on their own keys later). Explicit
+    is a many-FILE scan with at least that many files, the extra shuffle
+    is skipped entirely — downstream stages only need parallelism, not id
+    co-location (they shuffle on their own keys later).
+
+    The skip test is ``len(inputFiles()) >= n`` deliberately: probing the
+    runtime partition count via ``.rdd`` would materialize upstream
+    shuffle stages eagerly under AQE, and the STATIC post-shuffle count
+    lies anyway (AQE coalesces small exchanges at runtime — the exact
+    under-parallelism this helper exists to prevent). So any non-scan /
+    few-file input keeps the explicit repartition, with explicit
     numPartitions so AQE does not coalesce the tiny exchange back to one.
     """
     sess = docs.sparkSession
@@ -99,8 +106,11 @@ def _spread(docs: DataFrame, id_col: str,
             n = max(n, min(-(-size // target_partition_bytes), 1_000_000))
     except Exception:
         pass
-    if docs.rdd.getNumPartitions() >= n:
-        return docs
+    try:
+        if len(docs.inputFiles()) >= n:
+            return docs
+    except Exception:
+        pass
     return docs.repartition(n, F.col(id_col))
 
 

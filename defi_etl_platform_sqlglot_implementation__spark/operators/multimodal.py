@@ -128,12 +128,22 @@ def png_dimensions(content: Column) -> tuple[Column, Column]:
 
     PNG fixes the IHDR chunk directly after the 8-byte signature, so width
     and height are big-endian u32 at byte offsets 16 and 20 (1-based
-    substring positions 17 / 21). No Python UDF: substring + hex + conv
-    stay inside whole-stage codegen.
+    substring positions 17 / 21). Validated like the JPEG walker: the
+    stream must actually contain the full 8-byte dimensions field AND the
+    chunk at offset 12 must really be "IHDR" with positive dimensions —
+    a truncated or non-IHDR payload yields NULL/NULL, never a number
+    decoded from whatever bytes happened to be there. No Python UDF:
+    substring + hex + conv stay inside whole-stage codegen.
     """
+    ok = (
+        (F.octet_length(content) >= 24)
+        & (F.hex(F.substring(content, 13, 4)) == "49484452")  # "IHDR"
+    )
+    w = _be_uint(F.substring(content, 17, 4))
+    h = _be_uint(F.substring(content, 21, 4))
     return (
-        _be_uint(F.substring(content, 17, 4)),
-        _be_uint(F.substring(content, 21, 4)),
+        F.when(ok & (w > 0), w),
+        F.when(ok & (h > 0), h),
     )
 
 

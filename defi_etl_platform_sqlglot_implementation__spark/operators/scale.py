@@ -66,7 +66,16 @@ def salted_join(
     when the small side is too big to broadcast outright but its
     replication is still cheaper than the skewed straggler; AQE's
     skew-join split is the first resort, this is the explicit fallback.
+
+    Only inner/left joins are result-identical: a right or full join
+    would emit every unmatched small-side row once PER SALT VALUE
+    (``salt_buckets`` duplicates), so those types are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): an outer "
+            f"small side would duplicate unmatched rows per salt value"
+        )
     keys = list(key_cols)
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))

@@ -44,13 +44,26 @@ def register(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if name != "events":
+            raise
+        # A TIMESTAMP(NANOS) events file (the round-1 era format) is
+        # rejected by Spark's reader unless nanos are surfaced as raw
+        # longs. The conf is deliberately LEFT SET in this branch: it is
+        # consumed again at scan execution (a set-and-restore would break
+        # the lazy plan), and it only changes how nanos columns — which
+        # are otherwise unreadable — are decoded. With micros testdata
+        # this path never runs, so no session mutation occurs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
-            # Legacy events file with ts stored as raw nanos-long (only
-            # readable when a caller set spark.sql.legacy.parquet.nanosAsLong):
-            # floor to micros — the truncation DuckDB applies on nanos files.
+            # nanos-as-long (via the retry above): floor to micros — the
+            # same truncation DuckDB applies reading a nanos file.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
             # Current testdata stores ts as parquet TIMESTAMP(MICROS) without
@@ -873,11 +886,16 @@ def routed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           printf('%.6e', SUM(l_extendedprice)) AS sum_base_price,
-           printf('%.6e', SUM(l_extendedprice * (1 - l_discount))) AS sum_disc_price,
-           printf('%.6e', AVG(l_quantity)) AS avg_qty,
-           printf('%.6e', AVG(l_extendedprice)) AS avg_price,
-           printf('%.6e', AVG(l_discount)) AS avg_disc,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)))
+                               AS DOUBLE)) AS sum_base_price,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(5,2))))
+                               AS DOUBLE)) AS sum_disc_price,
+           printf('%.6e', SUM(l_quantity) / COUNT(*)) AS avg_qty,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)))
+                               AS DOUBLE) / COUNT(*)) AS avg_price,
+           printf('%.6e', CAST(SUM(CAST(l_discount AS DECIMAL(5,2)))
+                               AS DOUBLE) / COUNT(*)) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
@@ -885,17 +903,26 @@ def routed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Money columns are 2-decimal values stored as
+    doubles; both engines aggregate them as DECIMAL (exact, order-free)
+    and only then cast to double, so the sums are bit-identical at ANY
+    scale factor — no reassociation tail risk (a %.6e 7th-digit flip was
+    observed on the double path at sf0.1). Averages divide the exact sum
+    by the count in double space (same operands → same result)."""
     li = t(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast("decimal(15,2)")
+    disc_d = F.col("l_discount").cast("decimal(5,2)")
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            fmt(F.sum("l_extendedprice")).alias("sum_base_price"),
-            fmt(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("sum_disc_price"),
-            fmt(F.avg("l_quantity")).alias("avg_qty"),
-            fmt(F.avg("l_extendedprice")).alias("avg_price"),
-            fmt(F.avg("l_discount")).alias("avg_disc"),
+            fmt(F.sum(price_d)).alias("sum_base_price"),
+            fmt(F.sum(price_d * (F.lit(1).cast("decimal(5,2)") - disc_d))).alias("sum_disc_price"),
+            fmt(F.sum("l_quantity") / cnt).alias("avg_qty"),
+            fmt(F.sum(price_d).cast("double") / cnt).alias("avg_price"),
+            fmt(F.sum(disc_d).cast("double") / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -51,6 +51,39 @@ def _with_4gram_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _contamination_exact(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Shared exact corpus-vs-benchmark 4-gram overlap: (doc_id, n_matched,
+    n_shingles, contamination) for contaminated docs only. The benchmark
+    slice (doc_id %% 97) is broadcast; passing ``candidates`` (a doc_id
+    frame) semi-join-reduces the corpus BEFORE the wide string join — the
+    Bloom-gated scale path. One definition, used by contamination_overlap,
+    contamination_bloom_gated, and the curation pipeline, so the three
+    gates cannot silently diverge."""
+    sh = _with_4gram_shingles(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    if candidates is not None:
+        corpus = corpus.join(candidates, "doc_id", "left_semi")
+    totals = corpus.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_matched",
+        "n_shingles",
+        (F.col("n_matched").cast("double") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
 # =========================================================================
 # Benchmark contamination — n-gram overlap against a held-out set
 # =========================================================================
@@ -93,26 +126,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark shingle set is broadcast — the corpus side never
     shuffles for the probe, which is what makes the check affordable on
     the full pretraining corpus rather than a sample."""
-    docs = _with_4gram_shingles(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
-    bench = F.broadcast(
-        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    )
-    corpus = sh.filter(F.col("doc_id") % 97 != 0)
-    totals = corpus.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_shingles")
-    )
-    hits = (
-        corpus.join(bench, "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_matched"))
-    )
-    return hits.join(totals, "doc_id").select(
-        "doc_id",
-        "n_matched",
-        "n_shingles",
-        (F.col("n_matched").cast("double") / F.col("n_shingles")).alias("contamination"),
-    )
+    return _contamination_exact(t(spark, sf_dir, "documents"))
 
 
 # =========================================================================
@@ -325,27 +339,7 @@ def contamination_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the (tiny) candidate slice."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     candidates = contamination_bloom_prefilter(docs).select("doc_id")
-    sh = _with_4gram_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
-    bench = F.broadcast(
-        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    )
-    corpus = sh.filter(F.col("doc_id") % 97 != 0).join(
-        candidates, "doc_id", "left_semi"
-    )
-    totals = corpus.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_shingles")
-    )
-    hits = (
-        corpus.join(bench, "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_matched"))
-    )
-    return hits.join(totals, "doc_id").select(
-        "doc_id",
-        "n_matched",
-        "n_shingles",
-        (F.col("n_matched").cast("double") / F.col("n_shingles")).alias("contamination"),
-    )
+    return _contamination_exact(docs, candidates=candidates)
 
 
 # =========================================================================
@@ -429,20 +423,9 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 3: contamination drop (>20% of the doc's distinct 4-grams hit
     # the benchmark slice) + drop the benchmark docs themselves
-    sh = _with_4gram_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    bench = F.broadcast(
-        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    )
-    corpus = sh.filter(F.col("doc_id") % 97 != 0)
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    hits = corpus.join(bench, "s").groupBy("doc_id").agg(
-        F.count("*").alias("n_hit")
-    )
     contaminated = (
-        hits.join(totals, "doc_id")
-        .filter(F.col("n_hit").cast("double") / F.col("n_sh") > 0.2)
+        _contamination_exact(docs)
+        .filter(F.col("contamination") > 0.2)
         .select("doc_id")
     )
     survivors = (

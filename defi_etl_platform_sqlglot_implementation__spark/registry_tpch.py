@@ -34,7 +34,9 @@ from .registry import fmt, register, t
     "shipping_priority",
     """
     SELECT l_orderkey,
-           printf('%.6e', SUM(l_extendedprice * (1 - l_discount))) AS revenue,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(5,2))))
+                               AS DOUBLE)) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str,
            o_orderpriority
     FROM customer
@@ -62,7 +64,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(fmt(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(fmt(F.sum(F.col("l_extendedprice").cast("decimal(15,2)")
+                  * (F.lit(1).cast("decimal(5,2)")
+                     - F.col("l_discount").cast("decimal(5,2)")))).alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
@@ -75,7 +79,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n_name,
-           printf('%.6e', SUM(l_extendedprice * (1 - l_discount))) AS revenue,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(5,2))))
+                               AS DOUBLE)) AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -116,7 +122,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            fmt(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            fmt(F.sum(F.col("l_extendedprice").cast("decimal(15,2)")
+                  * (F.lit(1).cast("decimal(5,2)")
+                     - F.col("l_discount").cast("decimal(5,2)")))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -163,9 +163,27 @@ class TestShingleDfCap:
 
 
 class TestSpreadSizeAware:
-    """_spread: input-size-aware parallelism, no-op when already parallel."""
+    """_spread: input-size-aware parallelism, no-op for many-file scans."""
 
-    def test_many_partition_input_skips_shuffle(self, spark):
+    def test_many_file_scan_skips_shuffle(self, spark, tmp_path):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            _spread,
+        )
+
+        n = spark.sparkContext.defaultParallelism
+        path = str(tmp_path / "many")
+        (spark.createDataFrame([(i, f"doc {i}") for i in range(400)],
+                               ["doc_id", "text"])
+         .repartition(n + 4).write.parquet(path))
+        docs = spark.read.parquet(path)
+        assert len(docs.inputFiles()) >= n
+        out = _spread(docs, "doc_id")
+        assert out is docs  # many-file scan: no extra exchange
+
+    def test_shuffled_input_still_spreads(self, spark):
+        # a non-scan input (no inputFiles) keeps the explicit repartition
+        # even when its STATIC partition count looks large — AQE could
+        # coalesce it at runtime, so the explicit numPartitions stays
         from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
             _spread,
         )
@@ -175,7 +193,7 @@ class TestSpreadSizeAware:
             [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
         ).repartition(n + 4)
         out = _spread(docs, "doc_id")
-        assert out is docs  # already parallel enough: no extra exchange
+        assert out is not docs
 
     def test_single_partition_input_spreads(self, spark):
         from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
