@@ -269,6 +269,25 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+@register("similarity_ann_ivf_fullprobe", ORACLES["similarity_topk"])
+def similarity_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery proven EXACT: with nprobe = n_centroids every
+    query probes every cluster, the candidate set is the whole corpus
+    (each vector sits in exactly one cluster), and the result must equal
+    brute-force top-k — so this gate shares similarity_topk's oracle.
+    A hash mismatch here would mean the IVF pipeline (centroid
+    assignment, probe routing, per-cluster search, merge/rank) loses or
+    mis-scores a neighbor. The production nprobe < n_centroids setting
+    trades exactly the recall this gate pins down, and stays covered by
+    the rows-only `similarity_ann_ivf`."""
+    from .operators.similarity import ann_ivf
+
+    e = t(spark, sf_dir, "embeddings")
+    return ann_ivf(
+        e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
