@@ -29,14 +29,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority: queries with no green driver-CORRECTNESS row yet
-# (never checked in r01, or errored there) come first, so a driver that caps
-# its per-round check count still gives every registered query at least one
-# exact-oracle row across rounds. Already-green queries go to the tail.
+# Verification priority, re-derived from CORRECTNESS_r01+r02: queries with
+# no green driver row yet come first so a driver that caps its per-round
+# check count at ~50 still gives every registered query at least one exact
+# oracle row across rounds.  Head buckets:
+#   1. the 9 round-2 gates registered past the 50-slot cap (never checked);
+#   2. queries whose implementation changed AFTER their last green row
+#      (the r02 double→DECIMAL money-sum rewrite) — a green row that
+#      predates the change is no evidence, so they re-run;
+#   3. anything not listed below (i.e. new this round) via _ordered();
+#   4. tail: the 80 queries whose green row matches the current code.
 _PRIORITY = [
-    # -- never driver-checked in r01 --
-    "priority_top_orders", "asof_price_join", "session_stats",
-    "sliding_window_range_join", "stratified_sample",
+    # -- bucket 1: oracled in r02 locally, never driver-checked --
+    "rolling_var_minperiods_partitioned", "similarity_ann_ivf_fullprobe",
+    "token_entropy", "salted_join_brand_qty", "asof_price_join_forward",
+    "pagerank_nation_graph", "contamination_bloom_gated",
+    "curation_pipeline_e2e", "source_mix_rebalance",
+    # -- bucket 2: changed in r02 after their r01 green row (DECIMAL sums) --
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+]
+
+
+# Green driver row exists (r01 ∪ r02) and the implementation is unchanged
+# since that row.  NOTE: pricing_summary / shipping_priority /
+# local_supplier_volume are deliberately ABSENT here (bucket 2 above).
+_DRIVER_GREEN = {
+    "transfer_volume_hourly", "swap_price_impact", "block_agg_daily",
+    "topk_parts_by_quantity", "hour_spine_join", "region_enrichment",
+    "order_lineitem_pairing", "event_projection", "block_range_scan",
+    "rolling_p90", "rolling_var_minperiods", "rolling_var_cvar",
+    "rolling_var_cvar_partitioned", "var_cvar_scalar", "stress_test_table",
+    "il_curve", "mev_scores", "distinct_counts", "summary_stats",
+    "selector_map_lookup", "json_props_extract", "time_formats",
+    "last_k_events", "routed_union", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash_signatures", "dedup_simhash_weighted",
+    "dedup_char_jaccard", "dedup_simhash_pairs", "similarity_topk",
+    "similarity_lsh_pairs", "text_profile", "lang_id", "doc_fingerprint",
+    "multimodal_meta", "multimodal_decode_fake", "multimodal_decode_real",
+    "multimodal_frame_sample", "rolling_p90_partitioned", "salted_group_sum",
+    "hourly_daily_rollup", "dedup_embedding_cosine",
+    "customers_without_urgent_orders", "brands_with_shipped_parts",
+    "user_event_sets", "priority_top_orders", "asof_price_join",
+    "session_stats", "sliding_window_range_join", "stratified_sample",
     "view_purchase_attribution", "user_event_gaps", "secondary_sort_deltas",
     "bernoulli_hash_sample", "reservoir_sample_global", "avg_yearly_small_qty",
     "big_quantity_orders", "lone_late_suppliers", "rich_idle_customers",
@@ -46,40 +80,19 @@ _PRIORITY = [
     "order_price_histogram", "source_numeric_profile",
     "user_click_purchase_ratio", "contamination_overlap",
     "token_shard_assignment", "curation_funnel", "dedup_clusters",
-    # -- errored in r01 (events-ts loader bug, fixed this round) --
-    "transfer_volume_hourly", "hour_spine_join", "event_projection",
-    "rolling_var_minperiods", "rolling_var_cvar", "var_cvar_scalar",
-    "distinct_counts", "summary_stats", "selector_map_lookup",
-    "json_props_extract", "time_formats", "last_k_events", "routed_union",
-    "transfer_volume_hourly_approx", "hourly_daily_rollup", "user_event_sets",
-    # -- round-2 additions, most valuable first (decode path had no driver
-    #    evidence at all before these) --
     "transfer_decode_roundtrip", "swap_decode_roundtrip",
-    "rolling_var_cvar_partitioned", "multimodal_decode_real",
-]
+    # rows-only by design (no oracle possible): keep at the tail — their
+    # *_check / *_recall companions in the head carry the value evidence.
+    "similarity_ann_ivf", "transfer_volume_hourly_approx",
+}
 
 
 def _ordered(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
     new = {k: v for k, v in d.items()
-           if k not in head and k not in _R01_GREEN}  # new this round → next
+           if k not in head and k not in _DRIVER_GREEN}  # new this round → next
     tail = {k: v for k, v in d.items() if k not in head and k not in new}
     return {**head, **new, **tail}
-
-
-_R01_GREEN = {
-    "swap_price_impact", "block_agg_daily", "topk_parts_by_quantity",
-    "region_enrichment", "order_lineitem_pairing", "block_range_scan",
-    "rolling_p90", "rolling_p90_partitioned", "stress_test_table", "il_curve",
-    "mev_scores", "dedup_minhash_lsh", "pricing_summary", "dedup_exact",
-    "dedup_ngram_jaccard", "similarity_ann_ivf",  # rows-only recorded r01
-    "dedup_simhash_signatures", "dedup_simhash_weighted", "dedup_char_jaccard",
-    "dedup_simhash_pairs", "similarity_topk", "similarity_lsh_pairs",
-    "text_profile", "lang_id", "doc_fingerprint", "multimodal_meta",
-    "multimodal_decode_fake", "multimodal_frame_sample", "salted_group_sum",
-    "dedup_embedding_cosine", "shipping_priority", "local_supplier_volume",
-    "customers_without_urgent_orders", "brands_with_shipped_parts",
-}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
