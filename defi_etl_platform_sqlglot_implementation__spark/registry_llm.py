@@ -269,6 +269,106 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def _ann_recall_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of the FULL IVF pipeline at the production nprobe, plus
+    the brute-force reference, joined into per-query recall@k.
+
+    Every stage mirrors the Spark operator bit-for-bit: centroids are the
+    first ``n_centroids`` corpus vectors by id (ids are dense from 0, so a
+    WHERE suffices), assignment / probe ranking break cosine ties on
+    centroid_id ASC exactly like assign_clusters / ann_ivf, and all
+    cosines are the shared left-assoc 64-term double chains — so the hits
+    count is a deterministic integer, not a tolerance check.
+    """
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {n_centroids}),
+    asg AS (
+        SELECT vec_id, centroid_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ({_dot_chain('e', 'c')})
+                   / (sqrt({_dot_chain('e', 'e')}) * sqrt({_dot_chain('c', 'c')})) AS csim
+            FROM embeddings e, cent c
+        )
+    ),
+    assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM asg WHERE rn = 1),
+    pr AS (
+        SELECT query_id, centroid_id, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ({_dot_chain('q', 'c')})
+                   / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('c', 'c')})) AS csim
+            FROM q, cent c
+        )
+    ),
+    probes AS (SELECT query_id, centroid_id AS cluster_id FROM pr WHERE rn <= {nprobe}),
+    ivf_scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ({_dot_chain('q', 'e')})
+               / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('e', 'e')})) AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cluster_id = p.cluster_id AND a.vec_id != p.query_id
+        JOIN q ON q.query_id = p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    ivf_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM ivf_scored
+        ) WHERE rank <= {k}
+    ),
+    exact_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ({_dot_chain('q', 'e')})
+               / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('e', 'e')})) AS cosine
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= {k}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+           CAST({k} AS BIGINT) AS k
+    FROM exact_topk x
+    LEFT JOIN ivf_topk i
+      ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register("similarity_ann_recall", _ann_recall_oracle_sql())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF at the PRODUCTION nprobe=4, measured against the
+    brute-force reference inside one plan and pinned by an exact oracle —
+    the numeric quality gate the rows-only `similarity_ann_ivf` lacks.
+    hits/k per query is a deterministic integer on the fixed corpus: both
+    engines rank with bit-identical fold-order cosines, so any recall
+    drift (routing bug, candidate loss, tie-break change) hash-fails."""
+    from .operators.similarity import ann_ivf, cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ivf = ann_ivf(e, q, k=10, n_centroids=16, nprobe=4)
+    exact = cosine_topk(e, q, k=10)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+              ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("hits"))
+    )
+    return hits.select("query_id", "hits", F.lit(10).cast("long").alias("k"))
+
+
 @register("similarity_ann_ivf_fullprobe", ORACLES["similarity_topk"])
 def similarity_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF machinery proven EXACT: with nprobe = n_centroids every
@@ -613,6 +713,52 @@ def transfer_volume_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("transfer_count"),
             F.approx_count_distinct("user_id").alias("approx_unique_users"),
         )
+    )
+
+
+@register(
+    "transfer_volume_hourly_approx_check",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           event_type,
+           COUNT(*) AS transfer_count,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_unique_users,
+           TRUE AS within_tol
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY 1, 2
+    """,
+)
+def transfer_volume_hourly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric quality gate for the HLL sketch in
+    `transfer_volume_hourly_approx` (which is rows-only by design — a
+    sketch value can never hash-match an exact engine). Here the SAME plan
+    computes exact and approx distincts side by side and emits a
+    deterministic boolean: |approx - exact| <= max(5, 0.25 * exact) per
+    group. The oracle computes the exact counts and asserts the boolean
+    TRUE everywhere, so any HLL regression past the bound hash-fails. The
+    bound is wide enough for the small per-hour cardinalities in the
+    driver tables (measured worst case: abs err 4 at exact 24 at sf0.1 —
+    default-rsd HLL overshoots its nominal 5%% on tiny cardinalities) yet tight enough that a
+    broken sketch — wrong column, collapsed groups, double counting —
+    trips it."""
+    ev = t(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("transfer_count"),
+            F.countDistinct("user_id").cast("long").alias("exact_unique_users"),
+            F.approx_count_distinct("user_id").alias("approx_u"),
+        )
+    )
+    tol = F.greatest(F.lit(5.0), F.lit(0.25) * F.col("exact_unique_users"))
+    return g.select(
+        "hour_bucket", "event_type", "transfer_count", "exact_unique_users",
+        (F.abs(F.col("approx_u") - F.col("exact_unique_users")) <= tol).alias("within_tol"),
     )
 
 
