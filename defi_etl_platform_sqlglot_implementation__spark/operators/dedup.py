@@ -71,10 +71,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _scan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated plan size in bytes (for a parquet scan: the file
+    footprint). Reaches through the internal ``_jdf.queryExecution()``
+    stats walk — private API, so it returns None instead of raising when a
+    Spark upgrade moves it; ``test_dedup.TestSpreadSizeAware`` asserts a
+    positive size on a real parquet scan so such an upgrade fails the
+    suite LOUDLY instead of silently de-optimizing `_spread`."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # the unknown-stats sentinel is Long.MaxValue-ish: distrust huge values
+    return size if 0 < size < (1 << 53) else None
+
+
 def _spread(docs: DataFrame, id_col: str,
             target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Repartition the corpus by id before CPU-heavy per-row work — but only
     when the input is under-parallel.
+
+    Apply this directly to SCAN-ROOTED inputs (a frame fresh off
+    ``spark.read``): the skip test counts scan files anywhere in the plan,
+    so a many-file source followed by a shuffle/aggregate — whose output
+    AQE may coalesce to few partitions — would wrongly skip the
+    repartition even though the stage feeding the expensive work is
+    under-parallel. Every call site in this package passes the raw
+    documents scan.
 
     A single-file (or few-file) parquet source arrives as one input split —
     one row group is not splittable — and every downstream map stage
@@ -99,13 +122,9 @@ def _spread(docs: DataFrame, id_col: str,
     """
     sess = docs.sparkSession
     n = sess.sparkContext.defaultParallelism
-    try:  # optimizer stats: total scan bytes for file sources (internal API,
-        # best-effort — fall back to core count if the walk ever breaks)
-        size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        if 0 < size < (1 << 53):  # distrust the unknown-stats sentinel
-            n = max(n, min(-(-size // target_partition_bytes), 1_000_000))
-    except Exception:
-        pass
+    size = _scan_size_bytes(docs)
+    if size is not None:
+        n = max(n, min(-(-size // target_partition_bytes), 1_000_000))
     try:
         if len(docs.inputFiles()) >= n:
             return docs

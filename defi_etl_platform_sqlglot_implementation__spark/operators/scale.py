@@ -76,6 +76,13 @@ def salted_join(
             f"salted_join supports inner/left only (got {how!r}): an outer "
             f"small side would duplicate unmatched rows per salt value"
         )
+    clash = [side for side, df in (("big", big), ("small", small))
+             if "_salt" in df.columns]
+    if clash:
+        raise ValueError(
+            f"salted_join: input(s) {clash} already carry a '_salt' column; "
+            f"it would be silently overwritten and dropped — rename it first"
+        )
     keys = list(key_cols)
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))

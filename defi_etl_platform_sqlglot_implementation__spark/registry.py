@@ -42,8 +42,20 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def ensure_session(spark: SparkSession) -> SparkSession:
+    """The ONE sanctioned session-conf touch point for driver-contract
+    queries: pin the session timezone to UTC so timestamp arithmetic and
+    formatting match the DuckDB oracles byte-for-byte. Every query builder
+    goes through here (directly or via ``t``); no other code in the
+    package calls ``spark.conf.set`` except the data-dependent legacy
+    nanos fallback inside ``t`` below, which cannot live here because it
+    only applies after a failed read."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session(spark)
     path = f"{sf_dir}/{name}.parquet"
     try:
         df = spark.read.parquet(path)
@@ -592,7 +604,7 @@ def var_cvar_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stress_test_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session(spark)
     shocks = spark.createDataFrame(
         [(-0.10,), (-0.20,), (-0.30,), (-0.50,), (-0.80,)], "shock: double"
     )
@@ -620,7 +632,7 @@ def stress_test_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def il_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session(spark)
     grid = spark.range(2, 101)
     r = F.col("id") * 5e-2
     lp_rel = F.lit(2) * F.sqrt(r) / (F.lit(1) + r)

@@ -100,6 +100,10 @@ def transfer_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (eid % 100000 + 1700000000).cast("long").alias("block_timestamp"),
         F.lit(1).cast("long").alias("chain_id"),
     )
+    # checksum=False: DuckDB cannot keccak, so EIP-55 casing is pinned by
+    # test_functions.TestKeccak::test_eip55_vectors (spec vectors) and
+    # ::test_decode_checksummed_equals_plain_modulo_casing (the checksummed
+    # decode equals this gate's output modulo exactly that casing).
     out = decode_transfers(env, checksum=False)
     return out.select(
         "standard", "contract", "from", "to", "token_id", "amount",

@@ -195,6 +195,23 @@ class TestSpreadSizeAware:
         out = _spread(docs, "doc_id")
         assert out is not docs
 
+    def test_stats_probe_returns_positive_size_on_parquet_scan(self, spark, tmp_path):
+        # _scan_size_bytes walks private Spark API; this guard makes a
+        # Spark upgrade that breaks the walk fail LOUDLY here instead of
+        # silently collapsing _spread to core-count parallelism
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            _scan_size_bytes,
+        )
+
+        path = str(tmp_path / "probe")
+        (spark.createDataFrame([(i, f"doc {i} " * 20) for i in range(500)],
+                               ["doc_id", "text"]).write.parquet(path))
+        size = _scan_size_bytes(spark.read.parquet(path))
+        assert size is not None and size > 0, (
+            "optimizer stats probe broke — _spread would silently "
+            "de-optimize; update _scan_size_bytes for this Spark version"
+        )
+
     def test_single_partition_input_spreads(self, spark):
         from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
             _spread,

@@ -49,6 +49,31 @@ class TestKeccak:
             == "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB"
         )
 
+    def test_decode_checksummed_equals_plain_modulo_casing(self, spark):
+        # The transfer_decode_roundtrip driver gate runs checksum=False
+        # (DuckDB has no keccak — SURVEY §2.10); this pins the excluded
+        # half: the checksummed decode differs from the gated lowercase
+        # decode ONLY in casing, and that casing is exactly
+        # to_checksum_address of the lowercase value.
+        from .conftest import events_df, make_transfer_message
+        from defi_etl_platform_sqlglot_implementation__spark.operators.transfers import (
+            decode_transfers,
+        )
+
+        ev = events_df(spark, [
+            make_transfer_message(contract=f"0x{'a0b8' * 10}", log_index=i)
+            for i in range(3)
+        ])
+        plain = decode_transfers(ev, checksum=False).orderBy("block_number")
+        summed = decode_transfers(ev, checksum=True).orderBy("block_number")
+        for rp, rs in zip(plain.collect(), summed.collect()):
+            for col in ("from", "to"):
+                assert rs[col].lower() == rp[col]
+                assert rs[col] == to_checksum_address(rp[col])
+            # everything except the two checksummed columns is identical
+            assert {k: v for k, v in rp.asDict().items() if k not in ("from", "to")} \
+                == {k: v for k, v in rs.asDict().items() if k not in ("from", "to")}
+
 
 class TestHexDecode:
     def test_hex_to_double_exact(self, spark):

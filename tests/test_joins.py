@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pytest
 from pyspark.sql import functions as F
 
 from defi_etl_platform_sqlglot_implementation__spark.operators.joins import (
@@ -210,6 +211,22 @@ class TestSaltedJoin:
                   salted_join(big4, small, ["k"], salt_source=F.col("row_id"),
                               how="left").select("row_id", "label").collect()}
         assert salted == plain
+
+    def test_preexisting_salt_column_rejected(self, spark):
+        # a caller-owned _salt column would be silently overwritten then
+        # dropped — must error, on either side
+        from defi_etl_platform_sqlglot_implementation__spark.operators.scale import (
+            salted_join,
+        )
+        from pyspark.sql import functions as F
+
+        big, small = self._frames(spark)
+        with pytest.raises(ValueError, match="_salt"):
+            salted_join(big.withColumn("_salt", F.lit(1)), small, ["k"],
+                        salt_source=F.col("row_id"))
+        with pytest.raises(ValueError, match="_salt"):
+            salted_join(big, small.withColumn("_salt", F.lit(1)), ["k"],
+                        salt_source=F.col("row_id"))
 
 
 class TestAsofForward:
