@@ -269,6 +269,74 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def _pq_oracle_sql(m: int = 8, n_codes: int = 16, k: int = 10) -> str:
+    """DuckDB twin of ann_pq: same codebook (first n_codes corpus vectors),
+    same per-subspace argmin with ties to the lowest code id, same
+    left-assoc squared-distance folds — the quantized result is exact, so
+    an APPROXIMATE operator gets a hash-exact gate (the approximation is in
+    the algorithm, not in any engine nondeterminism)."""
+    from .operators.similarity import _pq_sq_chain
+
+    dsub = DIM // m
+
+    def chain(a: str, b: str, j: int) -> str:
+        return _pq_sq_chain(lambda i: f"{a}.embedding[{i}]",
+                            lambda i: f"{b}.embedding[{i}]", j, dsub)
+
+    dcols = ",\n               ".join(
+        f"({chain('e', 'c', j)}) AS d{j}" for j in range(m))
+    lng = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, code_id, {j} AS j, d{j} AS d FROM pairs"
+        for j in range(m))
+    enc_cols = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN code_id END) AS c{j}" for j in range(m))
+    cb_joins = "\n        ".join(
+        f"JOIN cb cb{j} ON cb{j}.code_id = enc.c{j}" for j in range(m))
+    adc = " + ".join(f"({chain('q', f'cb{j}', j)})" for j in range(m))
+    return f"""
+    WITH cb AS (SELECT vec_id AS code_id, embedding FROM embeddings WHERE vec_id < {n_codes}),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+        SELECT e.vec_id, c.code_id,
+               {dcols}
+        FROM embeddings e, cb c
+    ),
+    lng AS (
+{lng}
+    ),
+    win AS (
+        SELECT vec_id, j, code_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, j ORDER BY d, code_id) AS rn
+        FROM lng
+    ),
+    enc AS (SELECT vec_id, {enc_cols} FROM win WHERE rn = 1 GROUP BY vec_id),
+    scored AS (
+        SELECT q.query_id, enc.vec_id AS neighbor_id, {adc} AS adc
+        FROM q JOIN enc ON enc.vec_id != q.query_id
+        {cb_joins}
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_ann_pq", _pq_oracle_sql())
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC top-k) — the compression-based scale
+    path next to clustering (ann_ivf) and hashing (lsh): the corpus is
+    stored as m=8 byte-ish codes, queries score against reconstructed
+    codewords only. Deterministic by construction, so unlike IVF recall
+    this approximate operator hash-matches an exact DuckDB twin of the
+    whole quantize->encode->ADC pipeline."""
+    from .operators.similarity import ann_pq
+
+    e = t(spark, sf_dir, "embeddings")
+    return ann_pq(e, e.filter(F.col("vec_id") < 5), k=10, m=8, n_codes=16)
+
+
 def _ann_recall_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
     """DuckDB twin of the FULL IVF pipeline at the production nprobe, plus
     the brute-force reference, joined into per-query recall@k.

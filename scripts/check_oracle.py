@@ -106,7 +106,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        # Spark-written tables are DIRECTORIES of part files; DuckDB needs
+        # the glob form for those (single-file driver testdata is unchanged)
+        path = f"{args.sf}/{t}.parquet"
+        if Path(path).is_dir():
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
