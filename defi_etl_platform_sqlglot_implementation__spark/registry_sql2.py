@@ -485,6 +485,50 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_quantiles_approx_check",
+    """
+    SELECT event_type,
+           printf('%.6e', quantile_cont(value, 0.5))  AS p50,
+           printf('%.6e', quantile_cont(value, 0.9))  AS p90,
+           printf('%.6e', quantile_cont(value, 0.99)) AS p99,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_quantiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric quality gate for the approx_percentile scale path that
+    value_quantiles_by_type documents as its 100 TB fallback. The check is
+    the sketch's ACTUAL contract — rank error, not value error: the same
+    plan rejoins each group's approx value against the raw rows, computes
+    its empirical CDF position exactly (a 0/1 sum, always integer-exact in
+    double), and emits |F(approx) - p| <= 0.02 per percentile. accuracy
+    1000 bounds rank error at 0.001, measured worst case 0.005 at
+    sf0.001's coarse group granularity — 4x margin, distribution- and
+    scale-independent where a value-space bound would need a 25%% slack on
+    the heavy p99 tail. Oracle pins the exact quantiles plus TRUE
+    booleans, so a broken sketch (wrong column, wrong accuracy,
+    merge bug) hash-fails."""
+    ev = t(spark, sf_dir, "events")
+    appr = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").alias("a")
+    )
+    j = ev.join(F.broadcast(appr), "event_type")
+    g = j.groupBy("event_type").agg(
+        fmt(F.percentile("value", 0.5)).alias("p50"),
+        fmt(F.percentile("value", 0.9)).alias("p90"),
+        fmt(F.percentile("value", 0.99)).alias("p99"),
+        *[F.avg((F.col("value") <= F.col("a")[i]).cast("double")).alias(f"_f{i}")
+          for i in range(3)],
+    )
+    return g.select(
+        "event_type", "p50", "p90", "p99",
+        *[(F.abs(F.col(f"_f{i}") - F.lit(p)) <= 0.02).alias(f"{nm}_rank_ok")
+          for i, (p, nm) in enumerate(((0.5, "p50"), (0.9, "p90"), (0.99, "p99")))],
+    )
+
+
 # =========================================================================
 # Vocabulary top-k (heavy hitters) — training-data pipeline op
 # =========================================================================

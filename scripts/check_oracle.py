@@ -100,6 +100,9 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # local mode = driver JVM does everything; the 1g default dies at
+        # the 10x stress scale (scripts/make_stress.py) mid-sweep
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
