@@ -563,3 +563,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"),
                 F.col("df").cast("long").alias("df"), "score", "rank")
     )
+
+
+@register(
+    "doc_unigram_surprise",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS tot FROM toks)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * CAST(round(
+               ln(CAST(tot.tot AS DOUBLE) / freq.freq) * 1e6) AS BIGINT))
+               AS BIGINT) AS surprise_micro
+    FROM tf JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+)
+def doc_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprise per document — the classic
+    quality/outlier filter (a doc of corpus-rare tokens scores high, a
+    doc of boilerplate scores low). Per token occurrence the surprise is
+    -ln p(tok) with p = corpus_freq/total, quantized to micro-nats
+    exactly like tfidf_top_terms (integer-exact cross-engine where raw
+    double ln is not), and summed per doc — an integer sum, so the total
+    is hash-exact and order-free at any parallelism. Same three-shuffle
+    shape as tf-idf; at 100 TB the freq table is the only corpus-wide
+    aggregate and it combines map-side."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    tot = toks.agg(F.count("*").alias("tot"))
+    s_micro = F.round(
+        F.log(F.col("tot").cast("double") / F.col("freq")) * 1e6
+    ).cast("long")
+    return (
+        tf.join(freq, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * s_micro).cast("long").alias("surprise_micro"),
+        )
+    )

@@ -181,3 +181,24 @@ class TestTransformWithState:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
         assert got == {1: (3, 35.0), 2: (1, 7.0)}
+
+
+class TestTransformWithStatePlanPin:
+    def test_plan_builds_without_protobuf(self, spark, tmp_path):
+        # The execution path needs google.protobuf (state-server protocol)
+        # and is covered by the skipif test above where available; plan
+        # CONSTRUCTION does not, so this always-run pin catches API drift
+        # (renamed handle methods, schema changes) in environments where
+        # the execution test perpetually skips.
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.stateful import (
+            user_value_totals_tws,
+        )
+
+        raw = spark.readStream.schema("user_id LONG, value DOUBLE").json(
+            str(tmp_path)
+        )
+        df = user_value_totals_tws(raw)
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            "user_id", "n_events", "total_value"
+        ]
