@@ -610,3 +610,115 @@ def doc_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * s_micro).cast("long").alias("surprise_micro"),
         )
     )
+
+
+# =========================================================================
+# Document chunking — fixed-size overlapping token windows (RAG/training)
+# =========================================================================
+
+@register(
+    "doc_chunks",
+    """
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    , idx AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(floor((n_tokens - 1) / 48.0) AS BIGINT) + 1))
+                   AS i
+        FROM toked
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+           CAST(len(toks[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS n_chunk_tokens
+    FROM idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking — the op every RAG / training-data
+    pipeline runs before embedding or packing: windows of 64 tokens at
+    stride 48 (16-token overlap), last window short, starts at 0, stride,
+    2*stride, ... while inside the document. Pure row-local codegen
+    (split -> sequence -> explode -> slice/array_join): chunking at
+    100 TB is scan-speed with zero shuffle, and the chunk rows inherit
+    the scan's partitioning for whatever embeds or packs them next."""
+    docs = t(spark, sf_dir, "documents")
+    size, stride = 64, 48
+    toked = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    chunks = toked.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(F.lit(0),
+                       F.floor((F.col("n_tokens") - 1) / stride).cast("long"))
+        ).alias("chunk_id"),
+    )
+    sliced = F.slice("toks", F.col("chunk_id") * stride + 1, size)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# =========================================================================
+# Embedding int8 scalar quantization — vector-store compression op
+# =========================================================================
+
+def _int8_oracle_sql(dim: int = 64) -> str:
+    mm = ", ".join(
+        f"MIN(CAST(embedding[{i}] AS DOUBLE)) AS mn{i}, "
+        f"MAX(CAST(embedding[{i}] AS DOUBLE)) AS mx{i}"
+        for i in range(1, dim + 1))
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {i} AS dim,"
+        f" CASE WHEN mx{i} = mn{i} THEN 0 ELSE"
+        f" CAST(round((CAST(embedding[{i}] AS DOUBLE) - mn{i})"
+        f" / (mx{i} - mn{i}) * 254) AS INTEGER) - 127 END AS code"
+        f" FROM embeddings, mm"
+        for i in range(1, dim + 1))
+    return f"""
+    WITH mm AS (SELECT {mm} FROM embeddings)
+{arms}
+    """
+
+
+@register("embedding_int8_quantize", _int8_oracle_sql())
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max int8 quantization of the embedding corpus —
+    the standard vector-store compression (4x over float32, 8x over
+    float64) next to PQ's 32x. The 64 (min,max) calibration scalars come
+    from one wide map-side-combined aggregate (a 1-row frame, broadcast
+    like PQ's codebook); encoding is then a row-local codegen expression,
+    so at 100 TB calibration is one cheap pass and quantization is
+    scan-speed. Codes are integers — hash-exact on both engines (the
+    affine map is the same double arithmetic, and round() agrees away
+    from the .5 boundary, which min-max-normalized data hits with
+    probability ~0 — a hash mismatch here would surface it loudly).
+    Output is the exploded (vec_id, dim, code) form so the gate hashes
+    scalar columns, not arrays."""
+    dim = 64
+    e = t(spark, sf_dir, "embeddings")
+    x = [F.element_at("embedding", i).cast("double") for i in range(1, dim + 1)]
+    mm = e.agg(*[f for i, xi in enumerate(x, 1)
+                 for f in (F.min(xi).alias(f"mn{i}"), F.max(xi).alias(f"mx{i}"))])
+    joined = e.crossJoin(F.broadcast(mm))
+    arms = []
+    for i, xi in enumerate(x, 1):
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        code = (F.round((xi - mn) / (mx - mn) * 254).cast("int") - 127)
+        arms.append(F.struct(
+            F.lit(i).alias("dim"),
+            F.when(mx == mn, F.lit(0)).otherwise(code).alias("code"),
+        ))
+    return (
+        joined.select("vec_id", F.explode(F.array(*arms)).alias("dc"))
+        .select("vec_id", F.col("dc.dim").cast("long").alias("dim"),
+                F.col("dc.code").alias("code"))
+    )
