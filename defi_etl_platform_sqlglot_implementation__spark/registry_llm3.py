@@ -1,0 +1,327 @@
+"""Training-data curation wave 3: repetition/quality profiling, PII
+scrubbing, BM25 keyword retrieval, and inverted-index construction.
+
+These close out the document-side toolbox a pretraining pipeline needs
+between raw text and shard materialization: "is this document degenerate
+boilerplate?" (Gopher-style repetition signals, Rae et al. 2021 §A1.1),
+"does it leak PII?" (regex scrub + counts), and "can I retrieve over the
+corpus?" (BM25 scoring + posting lists — the Lucene/Elasticsearch model,
+Robertson & Zaragoza 2009).
+
+Scale notes (100 TB plans):
+- Repetition profile: pure row-local array lambdas (O(tokens·distinct)
+  per row), whole-stage codegen, ZERO shuffle — scan speed at any scale.
+- PII scrub: row-local regexp ops, zero shuffle.
+- BM25: the only corpus-wide state is (N, sum_dl) — two scalar longs —
+  and per-term document frequencies for the query's terms (|terms| rows).
+  Both are broadcast; the corpus side scores map-side in one pass. This
+  is the standard "global stats are tiny, broadcast them" shape.
+- Inverted index: one shuffle on token (the unavoidable one); postings
+  are capped at the head (top-20 doc_ids) so reducer output per token is
+  bounded even for stopwords.
+
+Float parity: all fractions are single per-row divisions of exact
+integers (policy class 1 — bit-identical across engines); BM25 scores
+are micro-quantized to BIGINT before the cross-term sum so the total is
+integer-exact regardless of addition order (same device as
+tfidf_top_terms / doc_unigram_surprise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+# =========================================================================
+# Gopher-style repetition / degeneracy profile (row-local)
+# =========================================================================
+
+@register(
+    "doc_repetition_profile",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    base AS (
+        SELECT doc_id, l,
+               list_transform(range(1, len(l)), i -> concat(l[i], ' ', l[i+1])) AS bg
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dup_token_frac,
+           CAST(list_max(list_transform(list_distinct(l),
+                t -> len(list_filter(l, x -> x = t)))) AS DOUBLE) / len(l)
+               AS top_unigram_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE CAST(list_max(list_transform(list_distinct(bg),
+                     t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / len(bg)
+           END AS top_bigram_frac
+    FROM base
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/degeneracy signals per document, after Gopher's quality
+    rules (duplicate-token fraction, most-frequent-unigram fraction,
+    most-frequent-bigram fraction). Documents dominated by one n-gram are
+    boilerplate/spam and get dropped before training.
+
+    Everything is a row-local array lambda — `transform`/`filter`/
+    `array_max` over the token array — so the profile runs at scan speed
+    with zero shuffle on any corpus size. Fractions are single divisions
+    of exact integers: bit-identical cross-engine (policy class 1)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = (
+        docs.withColumn("l", F.split("text", " "))
+        .withColumn(
+            "bg",
+            F.expr("transform(sequence(1, size(l) - 1),"
+                   " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"),
+        )
+    )
+    top_frac = (
+        "cast(array_max(transform(array_distinct({a}),"
+        " t -> size(filter({a}, x -> x = t)))) as double) / size({a})"
+    )
+    return out.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("l")).cast("double") / F.size("l"))
+        .alias("dup_token_frac"),
+        F.expr(top_frac.format(a="l")).alias("top_unigram_frac"),
+        F.when(F.size("bg") == 0, F.lit(0.0))
+        .otherwise(F.expr(top_frac.format(a="bg")))
+        .alias("top_bigram_frac"),
+    )
+
+
+# =========================================================================
+# PII scrubbing — regex redaction with match accounting
+# =========================================================================
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH synth AS (
+        -- the corpus is synthetic and PII-free, so (like the decode
+        -- roundtrip gates) each row BUILDS a deterministic PII-bearing
+        -- envelope from its own key, then the production scrubber must
+        -- find and redact exactly what was planted
+        SELECT doc_id,
+               concat(
+                   'contact user', CAST(doc_id AS VARCHAR), '@example.com ',
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('cc admin', CAST(doc_id AS VARCHAR), '@corp.net ')
+                        ELSE '' END,
+                   'or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   ' re: ', array_to_string(string_split(text, ' ')[1:5], ' ')
+               ) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM synth
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text: count and replace email/phone matches.
+    The corpus is synthetic, so each row plants deterministic PII derived
+    from its own doc_id (every third doc gets a second email) and the
+    scrubber must redact exactly that — counts and the scrubbed string
+    are both hash-checked.
+
+    Patterns stay in the regex subset with identical semantics in Java
+    (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+    backrefs/lookaround. Row-local, zero shuffle at any scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"), F.lit("@example.com "),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("cc admin"), F.col("doc_id").cast("string"),
+                        F.lit("@corp.net ")))
+        .otherwise(F.lit("")),
+        F.lit("or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " "),
+    )
+    out = docs.withColumn("raw", raw)
+    return out.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
+                         _PHONE_RE, "<PHONE>").alias("scrubbed"),
+    )
+
+
+# =========================================================================
+# BM25 keyword retrieval — broadcast corpus stats, map-side scoring
+# =========================================================================
+
+_BM25_TERMS = ("table", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"('{x}')" for x in _BM25_TERMS)
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    terms(term) AS (VALUES {_bm25_terms_sql()}),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(l)) AS BIGINT) AS sum_dl
+        FROM toks
+    ),
+    tf AS (
+        SELECT t.doc_id, q.term, len(t.l) AS dl,
+               len(list_filter(t.l, x -> x = q.term)) AS tf
+        FROM toks t CROSS JOIN terms q
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf WHERE tf > 0 GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   round(ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                            / (d.df + 0.5) + 1.0) * 1e6)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * (CAST(tf.dl * s.n_docs AS DOUBLE) / s.sum_dl)))
+               ) AS BIGINT) AS score_micro
+        FROM tf JOIN df d USING (term) CROSS JOIN stats s
+        WHERE tf.tf > 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of every document against a fixed query term
+    set — the retrieval primitive behind corpus search and RAG candidate
+    generation (Robertson & Zaragoza 2009; Lucene's practical scoring).
+
+    Scale shape: corpus-global state is two scalars (N, Σdl) plus one df
+    row per query term — all broadcast; the corpus side computes tf with
+    a row-local array filter and scores map-side in a single pass. No
+    corpus shuffle until the final per-doc integer sum (and even that is
+    a doc_id-keyed partial agg).
+
+    Parity: idf is micro-nat-quantized (round(ln·1e6) → BIGINT, the
+    tfidf_top_terms device) and the per-term score — one double
+    expression over exact integer inputs, identical operation order both
+    engines — is micro-quantized BEFORE the cross-term sum, so the total
+    is an order-free integer sum."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("l", F.split("text", " ")).select("doc_id", "l")
+    toks = toks.persist()
+
+    stats = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("l")).cast("long").alias("sum_dl"),
+    )
+    terms = F.explode(F.array(*[F.lit(x) for x in _BM25_TERMS])).alias("term")
+    tf = toks.select(
+        "doc_id",
+        F.size("l").alias("dl"),
+        terms,
+        "l",
+    ).withColumn(
+        "tf", F.expr("size(filter(l, x -> x = term))")
+    ).drop("l")
+    df = (
+        tf.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.round(
+                F.log(
+                    ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                ) * 1e6
+            ),
+        )
+        .withColumn(
+            "score_micro",
+            F.round(
+                F.col("idf_micro") * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b
+                   + b * ((F.col("dl") * F.col("n_docs")).cast("double")
+                          / F.col("sum_dl"))))
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        F.sum("score_micro").cast("long").alias("bm25_micro"),
+    )
+
+
+# =========================================================================
+# Inverted index — token -> bounded posting list
+# =========================================================================
+
+_POSTINGS_CAP = 20
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH posting AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
+        FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}], ',')
+               AS postings_head
+    FROM posting
+    GROUP BY 1
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → document frequency + the
+    head of the sorted posting list. The postings string is capped at
+    {cap} doc_ids so per-token reducer output stays bounded even for
+    stopword-frequency tokens — the same head-truncation a real index
+    shard applies per segment.
+
+    One shuffle on token (the inherent one); postings arrive pre-deduped
+    (array_distinct before the explode) so join fan-out is bounded by
+    document length, and the sort is per-token inside the aggregate, not
+    global.""".format(cap=_POSTINGS_CAP)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    posting = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        "doc_id",
+    )
+    return posting.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP), ","
+        ).alias("postings_head"),
+    )

@@ -1,0 +1,62 @@
+"""Property tests for the wave-3 curation ops (registry_llm3): repetition
+profile bounds, PII scrub accounting, BM25 monotonicity, posting caps.
+The cross-engine value evidence lives in the oracle gates; these pin the
+operator-level invariants a hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm3 as m
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_fractions_bounded(spark):
+    rows = m.doc_repetition_profile(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac < 1.0
+        # the top unigram covers at least its fair share and at most all
+        assert 1.0 / r.n_tokens <= r.top_unigram_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = m.pii_scrub(spark, SF).collect()
+    assert rows
+    for r in rows:
+        expected_emails = 2 if r.doc_id % 3 == 0 else 1
+        assert r.n_emails == expected_emails, r
+        assert r.n_phones == 1
+        assert "@" not in r.scrubbed
+        assert "555-" not in r.scrubbed
+        assert r.scrubbed.count("<EMAIL>") == expected_emails
+        assert r.scrubbed.count("<PHONE>") == 1
+
+
+def test_bm25_more_hits_scores_present(spark):
+    df = m.bm25_search(spark, SF)
+    rows = df.collect()
+    assert rows
+    assert all(r.bm25_micro > 0 for r in rows)
+    assert all(1 <= r.n_terms_hit <= len(m._BM25_TERMS) for r in rows)
+    # every doc containing a query term (and only those) is scored
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hit = docs.filter(
+        F.arrays_overlap(
+            F.split("text", " "),
+            F.array(*[F.lit(x) for x in m._BM25_TERMS]),
+        )
+    ).count()
+    assert len(rows) == hit
+
+
+def test_inverted_index_postings_sorted_capped(spark):
+    rows = m.inverted_index_postings(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings_head.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, m._POSTINGS_CAP)
+        assert len(set(ids)) == len(ids)
