@@ -1,0 +1,452 @@
+"""Advanced relational wave 2: SCD2 change history, GROUPING SETS,
+robust statistics (winsorized mean, MAD), finite-window EWMA, and
+triangle counting on the trade graph.
+
+These round out the warehouse-side surface: slowly-changing-dimension
+reconstruction (the standard CDC/merge downstream shape), multi-level
+aggregation lattices beyond cube/rollup, outlier-robust summary stats,
+the time-series smoothing primitive, and one more graph-analytics shape
+next to PageRank/connected-components.
+
+Scale notes (100 TB plans):
+- SCD2 islands: two window functions over the SAME (user_id, ts) sort —
+  one partitioned shuffle, both row_numbers share the sort.
+- Winsorize/MAD: thresholds are exact order statistics picked by
+  row_number (no interpolation), so the clamp boundary is bit-identical
+  cross-engine; per-group windows parallelize across groups.
+- EWMA: bounded 8-row window per series — state is O(window), shuffle is
+  one partition-by-user exchange. The weights are micro-quantized per
+  term BEFORE summation so totals are order-free integer sums.
+- Triangles: edges oriented low->high endpoint (halves the join fan-out,
+  the standard orientation trick); two equi-joins on node keys — shuffle
+  or broadcast by size, never all-pairs.
+
+Float parity: order-statistic medians/thresholds are exact row picks
+(class 1); clamped means are %.6e (class 2); EWMA is integer-exact via
+per-term micro-quantization (the tfidf_top_terms device).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import fmt, register, t
+
+# =========================================================================
+# SCD2 history — gaps-and-islands run collapse (CDC downstream shape)
+# =========================================================================
+
+@register(
+    "scd2_history",
+    """
+    WITH r AS (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_t
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS valid_from, MAX(ts) AS last_seen,
+               COUNT(*) AS n_events, MIN(rn) AS run_order
+        FROM r
+        GROUP BY user_id, event_type, rn - rn_t
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY run_order),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM runs
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct SCD2 validity intervals from an event stream: collapse
+    consecutive runs of the same event_type per user into
+    [valid_from, valid_to) rows, valid_to = next run's start (NULL while
+    current) — the classic gaps-and-islands island id
+    (row_number − per-type row_number, constant within a run).
+
+    Both row_numbers ride the same (user_id, ts, event_id) sort, so the
+    whole history rebuild is ONE partitioned shuffle + windows — the
+    shape that rebuilds dimension history from a 100 TB CDC log."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w_all)).withColumn(
+        "rn_t", F.row_number().over(w_typ)
+    )
+    runs = (
+        r.groupBy("user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("_isl"))
+        .agg(
+            F.min("ts").alias("_from"),
+            F.count("*").cast("long").alias("n_events"),
+            F.min("rn").alias("run_order"),
+        )
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_order")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("_from").over(w_run), "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_to"),
+        "n_events",
+    )
+
+
+# =========================================================================
+# GROUPING SETS — the aggregation lattice beyond cube/rollup
+# =========================================================================
+
+@register(
+    "grouping_sets_metrics",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grouping_lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice — (flag,status), (flag), () — with
+    the grouping-id disambiguator, complementing the cube/rollup/pivot
+    family (returnflag_cube). One pass over the fact table; Spark expands
+    the sets via Expand, still a single shuffle of partial aggregates.
+
+    sum_qty is a sum of integral doubles — order-free, exact (class 1)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    out = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long").alias("grouping_lvl"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "grouping_lvl", "n_rows", "sum_qty",
+    )
+
+
+# =========================================================================
+# Winsorized mean — clamp at exact order-statistic thresholds
+# =========================================================================
+
+@register(
+    "winsorized_stats",
+    """
+    WITH r AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    th AS (
+        SELECT flag,
+               MIN(CASE WHEN rn = greatest(1, CAST(floor(0.05 * n) AS BIGINT))
+                        THEN x END) AS lo,
+               MIN(CASE WHEN rn = least(n, CAST(ceil(0.95 * n) AS BIGINT))
+                        THEN x END) AS hi
+        FROM r GROUP BY flag
+    )
+    SELECT r.flag AS returnflag,
+           printf('%.6e', th.lo) AS p05,
+           printf('%.6e', th.hi) AS p95,
+           printf('%.6e', AVG(least(greatest(r.x, th.lo), th.hi)))
+               AS winsorized_mean,
+           CAST(SUM(CASE WHEN r.x < th.lo OR r.x > th.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM r JOIN th USING (flag)
+    GROUP BY r.flag, th.lo, th.hi
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clamp values at the 5th/95th
+    percentile before averaging — the robust-mean preprocessing step that
+    keeps fat-tailed money columns from dominating aggregates.
+
+    Thresholds are EXACT order statistics (the rank-⌊0.05n⌋ / rank-⌈0.95n⌉
+    row picked by row_number, no interpolation) so the clamp boundary is
+    bit-identical cross-engine — an interpolated percentile could differ
+    by an ulp and flip boundary rows' clamping. Ranks ride one per-group
+    window sort; the clamped mean is %.6e (class 2)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey", "l_linenumber",
+    )
+    w = Window.partitionBy("flag").orderBy("x", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("flag")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    th = r.groupBy("flag").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.floor(0.05 * F.col("n"))),
+                F.col("x"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.least(F.col("n"), F.ceil(0.95 * F.col("n"))),
+                F.col("x"),
+            )
+        ).alias("hi"),
+    )
+    joined = r.join(F.broadcast(th), "flag")
+    return (
+        joined.groupBy("flag", "lo", "hi")
+        .agg(
+            F.avg(F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")))
+            .alias("_wm"),
+            F.sum(
+                F.when((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_clamped"),
+        )
+        .select(
+            F.col("flag").alias("returnflag"),
+            fmt("lo").alias("p05"),
+            fmt("hi").alias("p95"),
+            fmt("_wm").alias("winsorized_mean"),
+            "n_clamped",
+        )
+    )
+
+
+# =========================================================================
+# Median absolute deviation — two exact order-statistic passes
+# =========================================================================
+
+@register(
+    "mad_robust",
+    """
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median
+        FROM r GROUP BY event_type
+    ),
+    d AS (
+        SELECT r.event_type, abs(r.value - m.median) AS dev, m.median,
+               ROW_NUMBER() OVER (PARTITION BY r.event_type
+                                  ORDER BY abs(r.value - m.median), r.rn) AS drn,
+               COUNT(*) OVER (PARTITION BY r.event_type) AS dn
+        FROM r JOIN med m USING (event_type)
+    )
+    SELECT event_type, median,
+           MIN(CASE WHEN drn = (dn + 1) // 2 THEN dev END) AS mad
+    FROM d
+    GROUP BY event_type, median
+    """,
+)
+def mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust spread
+    estimator (MAD = median(|x − median(x)|)) used to flag outlier
+    regimes where stddev is itself corrupted by the outliers.
+
+    Both medians are LOWER medians picked as exact rank-(n+1)÷2 order
+    statistics (deterministic tie order), so median, deviations, and MAD
+    are all bit-exact doubles (class 1) — no interpolation, no %.6e
+    needed. Two per-group window sorts, parallel across groups."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    med = r.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("value"))
+        ).alias("median")
+    )
+    d = r.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("median"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "rn")
+    d = d.withColumn("drn", F.row_number().over(wd)).withColumn(
+        "dn", F.count("*").over(wn)
+    )
+    return d.groupBy("event_type", "median").agg(
+        F.min(
+            F.when(F.col("drn") == F.floor((F.col("dn") + 1) / 2), F.col("dev"))
+        ).alias("mad")
+    )
+
+
+# =========================================================================
+# Finite-window EWMA — micro-quantized, integer-exact
+# =========================================================================
+
+_EWMA_ALPHA = 0.125  # 1/8: exactly representable, (1-α)=0.875 too
+_EWMA_K = 8
+
+@register(
+    "ewma_user_value",
+    f"""
+    WITH r AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT cur.user_id, CAST(cur.rn AS BIGINT) AS rn,
+           CAST(SUM(CAST(round(prev.value * pow(0.875, cur.rn - prev.rn)
+                               * 0.125 * 1e6) AS BIGINT)) AS BIGINT)
+               AS ewma_micro
+    FROM r cur
+    JOIN r prev
+      ON prev.user_id = cur.user_id
+     AND prev.rn BETWEEN cur.rn - {_EWMA_K - 1} AND cur.rn
+    GROUP BY cur.user_id, cur.rn
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user over
+    the trailing {k}-row window — the smoothing primitive behind anomaly
+    scores and rate limiters. α = 1/8 (both α and 1−α exactly
+    representable, so the weight powers are deterministic).
+
+    Each term value·(1−α)^Δ·α is micro-quantized to BIGINT before the
+    sum, making the EWMA an order-free integer sum (exact cross-engine
+    regardless of summation order — the tfidf_top_terms device). Spark
+    computes it with a bounded {k}-row window (collect → zip_with →
+    integer fold): one partition-by-user shuffle, O(window) state, no
+    self-join fan-out at scale; the oracle spells the same recurrence as
+    a rank-delta self-join.""".format(k=_EWMA_K)
+    ev = t(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    warr = w.rowsBetween(-(_EWMA_K - 1), 0)
+    r = r.withColumn("arr", F.collect_list("value").over(warr))
+    # element k (1-based) of the window array sits delta = size(arr)-k rows
+    # before the current row; identical operand order to the oracle:
+    # value * pow(0.875, delta) * 0.125 * 1e6
+    return r.select(
+        "user_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.expr(
+            "aggregate(zip_with(arr, sequence(1, size(arr)),"
+            " (v, k) -> cast(round(v * pow(0.875, size(arr) - k)"
+            "                      * 0.125 * 1e6) as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("ewma_micro"),
+    )
+
+
+# =========================================================================
+# Triangle counting — oriented two-join enumeration on the trade graph
+# =========================================================================
+
+def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected customer-nation — supplier-nation trade edges,
+    oriented low->high endpoint (drops self-loops and halves fan-out)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    raw = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(su, l["l_suppkey"] == su["s_suppkey"])
+        .select(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+    )
+    return (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+        )
+        .distinct()
+    )
+
+
+_TRIANGLE_SQL = """
+    WITH raw AS (
+        SELECT c.c_nationkey AS u, s.s_nationkey AS v
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    e AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pernode
+    GROUP BY node
+    """
+
+
+@register("triangle_count", _TRIANGLE_SQL)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected trade graph —
+    the clustering/community primitive next to PageRank and connected
+    components. Enumeration is the standard oriented two-join: edges
+    stored once as (low, high), wedge join on the shared middle vertex,
+    then a closing-edge equi-join — never an all-pairs product, and the
+    orientation means each triangle is found exactly once. At billion-edge
+    scale the same plan runs with the edge list hash-partitioned on the
+    join keys (degree-ordered orientation bounds the wedge fan-out)."""
+    e = _nation_edges(spark, sf_dir)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return pernode.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    ).select(F.col("node").cast("long").alias("nation_key"), "n_triangles")
