@@ -24,6 +24,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm2  # noq
 from defi_etl_platform_sqlglot_implementation__spark import registry_decode  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm3  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_adv2  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_transpile  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -46,18 +46,20 @@ def analyze_sql(spark: SparkSession, sql: str) -> list[str]:
 
 
 def transpile(sql: str, target_dialect: str, read: str = "spark") -> str:
-    """Emit warehouse SQL for an external engine. Requires sqlglot for any
-    non-identity translation."""
+    """Emit warehouse SQL for an external engine. Uses sqlglot when
+    installed (full-language coverage); otherwise falls back to the
+    built-in rule transpiler (plans.transpiler), which covers the
+    canonical analytic subset and raises UnsupportedConstructError on
+    anything outside it rather than emitting silently wrong SQL."""
     if target_dialect == read:
         return sql
-    if not _HAS_SQLGLOT:
-        raise NotImplementedError(
-            "sqlglot not installed; only identity transpile "
-            f"({read} -> {read}) is available in this environment"
+    if _HAS_SQLGLOT:
+        return "\n".join(
+            sqlglot.transpile(sql, read=read, write=target_dialect, pretty=True)
         )
-    return "\n".join(
-        sqlglot.transpile(sql, read=read, write=target_dialect, pretty=True)
-    )
+    from .transpiler import transpile as _rule_transpile
+
+    return _rule_transpile(sql, target_dialect, source=read)
 
 
 def get_all_dialects() -> list[str]:

@@ -1,0 +1,383 @@
+"""Rule-based SQL transpiler for the canonical analytic subset
+(SURVEY.md §2.11 Q1 — the reference's write-once-emit-anywhere contract,
+etl_pipeline.py:299-327, without the sqlglot dependency).
+
+This is a *token-level* rewriter, not a parser: SQL is tokenized
+(strings / quoted identifiers / words / numbers / operators), and the
+dialect-divergent constructs are rewritten on the token stream with
+balanced-paren argument extraction. Everything this engine's canonical
+subset shares across warehouses — SELECT/WHERE/GROUP/HAVING/ORDER/LIMIT,
+arithmetic, CASE, CAST, COUNT/SUM/AVG/MIN/MAX — passes through verbatim;
+the constructs that genuinely differ are translated:
+
+- identifier quoting (`` ` `` ↔ ``"``)
+- NOW() / current_timestamp()
+- INTERVAL literals (``INTERVAL 24 HOURS`` ↔ ``INTERVAL '24 hours'`` ↔
+  ``INTERVAL '24' HOUR`` …)
+- DATE_TRUNC (incl. BigQuery's argument-order flip and MySQL's
+  format-roundtrip emulation)
+- DATE_FORMAT with Java patterns → strftime / to_char / FORMAT_TIMESTAMP
+  / DATE_FORMAT with per-dialect pattern-token mapping
+- integer division ``div`` (→ ``//`` on DuckDB, ``DIV`` on MySQL)
+
+Anything outside the subset raises :class:`UnsupportedConstructError`
+instead of emitting silently wrong SQL — a transpiler for a documented
+subset with loud edges, exercised by an EXECUTABLE proof: the pytest
+suite runs corpus queries on Spark and their transpiled form on DuckDB
+and compares results, and the ``transpiled_*`` driver gates register the
+transpiled text itself as the oracle, so the driver hash-checks the
+transpiler output end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+class UnsupportedConstructError(NotImplementedError):
+    """Raised when the SQL uses a construct outside the documented
+    transpilable subset for the requested target dialect."""
+
+
+DIALECTS = ("spark", "duckdb", "postgres", "trino", "bigquery", "mysql",
+            "snowflake")
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<qident>"[^"]*")
+      | (?P<bident>`[^`]*`)
+      | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<num>[0-9]+(?:\.[0-9]+)?)
+      | (?P<op><>|!=|<=|>=|\|\||//|.)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str  # ws | str | qident | bident | word | num | op
+    text: str
+
+    def is_word(self, *names: str) -> bool:
+        return self.kind == "word" and self.text.lower() in names
+
+
+def tokenize(sql: str) -> list[Tok]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:  # pragma: no cover — the op catch-all matches any char
+            raise UnsupportedConstructError(f"cannot tokenize at: {sql[pos:pos+20]!r}")
+        out.append(Tok(m.lastgroup, m.group()))
+        pos = m.end()
+    return out
+
+
+def render(tokens: list[Tok]) -> str:
+    return "".join(t.text for t in tokens)
+
+
+def _next_code(tokens: list[Tok], i: int) -> int:
+    """Index of the next non-whitespace token at or after i (len() if none)."""
+    while i < len(tokens) and tokens[i].kind == "ws":
+        i += 1
+    return i
+
+
+def _match_paren(tokens: list[Tok], i_open: int) -> int:
+    """Index of the ')' matching the '(' at i_open."""
+    depth = 0
+    for j in range(i_open, len(tokens)):
+        if tokens[j].kind == "op":
+            if tokens[j].text == "(":
+                depth += 1
+            elif tokens[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+    raise UnsupportedConstructError("unbalanced parentheses")
+
+
+def _split_args(tokens: list[Tok], i_open: int, i_close: int) -> list[list[Tok]]:
+    """Split tokens between i_open/i_close (exclusive) on top-level commas."""
+    args, cur, depth = [], [], 0
+    for t in tokens[i_open + 1:i_close]:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if t.kind == "op" and t.text == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    args.append(cur)
+    return [_strip_ws(a) for a in args]
+
+
+def _strip_ws(tokens: list[Tok]) -> list[Tok]:
+    a, b = 0, len(tokens)
+    while a < b and tokens[a].kind == "ws":
+        a += 1
+    while b > a and tokens[b - 1].kind == "ws":
+        b -= 1
+    return tokens[a:b]
+
+
+# ---------------------------------------------------------------------------
+# Dialect tables
+# ---------------------------------------------------------------------------
+
+_QUOTE = {"spark": "`", "mysql": "`", "bigquery": "`",
+          "duckdb": '"', "postgres": '"', "trino": '"', "snowflake": '"'}
+
+_NOW = {"spark": "current_timestamp()", "duckdb": "NOW()", "postgres": "NOW()",
+        "trino": "CURRENT_TIMESTAMP", "bigquery": "CURRENT_TIMESTAMP()",
+        "mysql": "NOW()", "snowflake": "CURRENT_TIMESTAMP()"}
+
+# unit spellings: canonical singular lower ('hour', 'day', 'minute', ...)
+_UNIT_CANON = {"hour": "hour", "hours": "hour", "day": "day", "days": "day",
+               "minute": "minute", "minutes": "minute",
+               "second": "second", "seconds": "second",
+               "week": "week", "weeks": "week",
+               "month": "month", "months": "month",
+               "year": "year", "years": "year"}
+
+
+def _interval(target: str, n: str, unit: str) -> str:
+    plural = unit + "s" if n != "1" else unit
+    if target == "spark":
+        return f"INTERVAL {n} {plural.upper()}"
+    if target in ("duckdb", "postgres", "snowflake"):
+        return f"INTERVAL '{n} {plural}'"
+    if target == "trino":
+        return f"INTERVAL '{n}' {unit.upper()}"
+    # bigquery / mysql
+    return f"INTERVAL {n} {unit.upper()}"
+
+
+# Java SimpleDateFormat pattern tokens -> per-family equivalents.
+# Families: c (strftime: duckdb / bigquery), mysql (mysql / trino),
+# pg (to_char: postgres / snowflake).
+_FMT_TOKENS = [  # longest match first
+    ("yyyy", {"c": "%Y", "mysql": "%Y", "pg": "YYYY"}),
+    ("MM",   {"c": "%m", "mysql": "%m", "pg": "MM"}),
+    ("dd",   {"c": "%d", "mysql": "%d", "pg": "DD"}),
+    ("HH",   {"c": "%H", "mysql": "%H", "pg": "HH24"}),
+    ("mm",   {"c": "%M", "mysql": "%i", "pg": "MI"}),
+    ("ss",   {"c": "%S", "mysql": "%s", "pg": "SS"}),
+]
+
+
+def _convert_java_pattern(pat: str, family: str) -> str:
+    out, i = [], 0
+    while i < len(pat):
+        for jtok, table in _FMT_TOKENS:
+            if pat.startswith(jtok, i):
+                out.append(table[family])
+                i += len(jtok)
+                break
+        else:
+            ch = pat[i]
+            if ch.isalpha():
+                raise UnsupportedConstructError(
+                    f"date_format pattern token {ch!r} in {pat!r} not in the "
+                    "transpilable subset (yyyy MM dd HH mm ss)")
+            if family in ("c", "mysql") and ch == "%":
+                out.append("%%")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Construct rewrites (source dialect -> canonical IR -> target emission)
+# ---------------------------------------------------------------------------
+
+def _emit_date_trunc(target: str, unit: str, arg_sql: str) -> str:
+    if target in ("spark", "duckdb", "postgres", "trino", "snowflake"):
+        return f"DATE_TRUNC('{unit}', {arg_sql})"
+    if target == "bigquery":
+        return f"TIMESTAMP_TRUNC({arg_sql}, {unit.upper()})"
+    if target == "mysql":
+        fmt = {"hour": "%Y-%m-%d %H:00:00", "day": "%Y-%m-%d 00:00:00",
+               "minute": "%Y-%m-%d %H:%i:00"}.get(unit)
+        if fmt is None:
+            raise UnsupportedConstructError(
+                f"date_trunc('{unit}') has no MySQL emulation in the subset")
+        return (f"STR_TO_DATE(DATE_FORMAT({arg_sql}, '{fmt}'), "
+                "'%Y-%m-%d %H:%i:%s')")
+    raise UnsupportedConstructError(f"unknown target dialect {target!r}")
+
+
+def _emit_date_format(target: str, arg_sql: str, java_pat: str) -> str:
+    if target == "spark":
+        return f"date_format({arg_sql}, '{java_pat}')"
+    if target == "duckdb":
+        return f"strftime({arg_sql}, '{_convert_java_pattern(java_pat, 'c')}')"
+    if target == "bigquery":
+        return (f"FORMAT_TIMESTAMP('{_convert_java_pattern(java_pat, 'c')}', "
+                f"{arg_sql})")
+    if target in ("mysql", "trino"):
+        fn = "DATE_FORMAT" if target == "mysql" else "date_format"
+        return f"{fn}({arg_sql}, '{_convert_java_pattern(java_pat, 'mysql')}')"
+    if target in ("postgres", "snowflake"):
+        return f"TO_CHAR({arg_sql}, '{_convert_java_pattern(java_pat, 'pg')}')"
+    raise UnsupportedConstructError(f"unknown target dialect {target!r}")
+
+
+def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+
+        # --- identifier quoting ---------------------------------------
+        if t.kind == "bident" or (t.kind == "qident" and source != "spark"):
+            q = _QUOTE[target]
+            out.append(Tok("qident", f"{q}{t.text[1:-1]}{q}"))
+            i += 1
+            continue
+
+        # --- NOW() / current_timestamp() ------------------------------
+        if t.is_word("now", "current_timestamp"):
+            j = _next_code(tokens, i + 1)
+            has_parens = (j < n and tokens[j].kind == "op"
+                          and tokens[j].text == "(")
+            if has_parens:
+                close = _match_paren(tokens, j)
+                if _split_args(tokens, j, close) != [[]]:
+                    raise UnsupportedConstructError(
+                        f"{t.text} with arguments is outside the subset")
+                i = close + 1
+            else:
+                i += 1
+            out.append(Tok("word", _NOW[target]))
+            continue
+
+        # --- INTERVAL literal -----------------------------------------
+        if t.is_word("interval"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "num":      # INTERVAL 24 HOURS
+                num = tokens[j].text
+                k = _next_code(tokens, j + 1)
+                if k < n and tokens[k].kind == "word" \
+                        and tokens[k].text.lower() in _UNIT_CANON:
+                    unit = _UNIT_CANON[tokens[k].text.lower()]
+                    out.append(Tok("word", _interval(target, num, unit)))
+                    i = k + 1
+                    continue
+            if j < n and tokens[j].kind == "str":      # INTERVAL '24 hours' / '24' HOUR
+                body = tokens[j].text[1:-1].strip()
+                m = re.fullmatch(r"(\d+)\s*([A-Za-z]+)?", body)
+                if m:
+                    num, unit_s = m.group(1), m.group(2)
+                    if unit_s is None:                 # trino INTERVAL '24' HOUR
+                        k = _next_code(tokens, j + 1)
+                        if k < n and tokens[k].kind == "word" \
+                                and tokens[k].text.lower() in _UNIT_CANON:
+                            unit = _UNIT_CANON[tokens[k].text.lower()]
+                            out.append(Tok("word", _interval(target, num, unit)))
+                            i = k + 1
+                            continue
+                    elif unit_s.lower() in _UNIT_CANON:
+                        unit = _UNIT_CANON[unit_s.lower()]
+                        out.append(Tok("word", _interval(target, num, unit)))
+                        i = j + 1
+                        continue
+            raise UnsupportedConstructError(
+                "INTERVAL form not in the subset near: "
+                + render(tokens[i:i + 6]))
+
+        # --- DATE_TRUNC / TIMESTAMP_TRUNC ------------------------------
+        if t.is_word("date_trunc", "timestamp_trunc"):
+            j = _next_code(tokens, i + 1)
+            if j >= n or tokens[j].text != "(":
+                raise UnsupportedConstructError("date_trunc without call parens")
+            close = _match_paren(tokens, j)
+            args = _split_args(tokens, j, close)
+            if len(args) != 2:
+                raise UnsupportedConstructError("date_trunc arity != 2")
+            if t.text.lower() == "timestamp_trunc":    # bigquery order
+                expr_toks, unit_tok = args[0], args[1]
+                unit = render(unit_tok).strip().lower()
+            else:
+                unit_lit = render(args[0]).strip()
+                if not (unit_lit.startswith("'") and unit_lit.endswith("'")):
+                    raise UnsupportedConstructError(
+                        "date_trunc unit must be a string literal in the subset")
+                unit = unit_lit[1:-1].lower()
+                expr_toks = args[1]
+            if unit not in _UNIT_CANON:
+                raise UnsupportedConstructError(f"date_trunc unit {unit!r}")
+            inner = render(_rewrite(expr_toks, source, target))
+            out.append(Tok("word",
+                           _emit_date_trunc(target, _UNIT_CANON[unit], inner)))
+            i = close + 1
+            continue
+
+        # --- DATE_FORMAT / STRFTIME ------------------------------------
+        if t.is_word("date_format", "strftime"):
+            j = _next_code(tokens, i + 1)
+            if j >= n or tokens[j].text != "(":
+                raise UnsupportedConstructError(f"{t.text} without call parens")
+            close = _match_paren(tokens, j)
+            args = _split_args(tokens, j, close)
+            if len(args) != 2:
+                raise UnsupportedConstructError(f"{t.text} arity != 2")
+            expr_toks, pat_toks = args
+            pat_lit = render(pat_toks).strip()
+            if not (pat_lit.startswith("'") and pat_lit.endswith("'")):
+                raise UnsupportedConstructError(
+                    f"{t.text} pattern must be a string literal")
+            pat = pat_lit[1:-1]
+            if t.text.lower() == "strftime" or source == "duckdb":
+                raise UnsupportedConstructError(
+                    "strftime source patterns not in the subset; write the "
+                    "canonical query in Spark date_format() form")
+            inner = render(_rewrite(expr_toks, source, target))
+            out.append(Tok("word", _emit_date_format(target, inner, pat)))
+            i = close + 1
+            continue
+
+        # --- integer division ``div`` ----------------------------------
+        if t.is_word("div"):
+            if target == "spark":
+                out.append(Tok("word", "div"))
+            elif target == "duckdb":
+                out.append(Tok("op", "//"))
+            elif target == "mysql":
+                out.append(Tok("word", "DIV"))
+            else:
+                raise UnsupportedConstructError(
+                    f"integer division 'div' has no {target} mapping in the "
+                    "subset (operands are not re-parsed)")
+            i += 1
+            continue
+
+        out.append(t)
+        i += 1
+    return out
+
+
+def transpile(sql: str, target: str, source: str = "spark") -> str:
+    """Transpile canonical-subset SQL between dialects. Identity when
+    source == target; raises :class:`UnsupportedConstructError` on any
+    construct outside the documented subset rather than emitting silently
+    wrong SQL."""
+    if target not in DIALECTS:
+        raise UnsupportedConstructError(f"unknown target dialect {target!r}")
+    if source not in DIALECTS:
+        raise UnsupportedConstructError(f"unknown source dialect {source!r}")
+    if source == target:
+        return sql
+    return render(_rewrite(tokenize(sql), source, target))

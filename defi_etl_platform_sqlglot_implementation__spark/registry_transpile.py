@@ -1,0 +1,75 @@
+"""Driver gates for the rule-based SQL transpiler (plans/transpiler.py).
+
+These two gates make the transpiler itself driver-hash-checked: the Spark
+side executes the canonical Spark-dialect SQL TEXT (spark.sql over temp
+views), and the registered oracle is ``transpile(text, "duckdb")`` — the
+transpiler's own output, computed at import time. If any rewrite (quoting,
+date_format pattern mapping, interval forms, integer division) emitted
+wrong DuckDB SQL, the hashes would diverge. This upgrades the Q1
+multi-dialect surface from text-snapshot evidence to executed evidence,
+mirroring how the reference transpiles its canonical Postgres queries to
+warehouse dialects (reference etl_pipeline.py:299-327) — except here both
+ends of the translation actually run.
+
+Float parity: aggregates stay on integral domains (COUNT, integer SUM of
+floor-scaled values) so results are exact without %.6e machinery — the
+gate exists to validate the TRANSPILER, not to re-test float policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.transpiler import transpile
+from .registry import register, t
+
+# Canonical Spark-dialect texts. Constructs covered: date_trunc,
+# date_format (Java pattern), backtick-quoted reserved identifier, CASE,
+# CAST, integer ``div``, HAVING — the full documented subset minus the
+# relative-NOW predicate (time-dependent results can't be hash-compared).
+_HOURLY_SQL_SPARK = """
+    SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')
+               AS hour_bucket,
+           event_type AS `type`,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS value_milli,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    WHERE event_type IN ('purchase', 'click', 'view')
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+"""
+
+_BUCKETS_SQL_SPARK = """
+    SELECT user_id div 100 AS user_bucket,
+           date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS `day`,
+           CASE WHEN value >= 500 THEN 'high'
+                WHEN value >= 100 THEN 'mid'
+                ELSE 'low' END AS band,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value) AS BIGINT)) AS value_floor_sum
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+def _run_spark_text(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(sql)
+
+
+@register("transpiled_hourly_rollup", transpile(_HOURLY_SQL_SPARK, "duckdb"))
+def transpiled_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the canonical hourly-rollup SQL TEXT on Spark; the oracle
+    is the rule-transpiled DuckDB emission of the same text (quoted
+    reserved alias, date_trunc + Java→strftime pattern mapping, integral
+    aggregates). A transpiler bug = hash mismatch."""
+    return _run_spark_text(spark, sf_dir, _HOURLY_SQL_SPARK)
+
+
+@register("transpiled_user_buckets", transpile(_BUCKETS_SQL_SPARK, "duckdb"))
+def transpiled_user_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the bucket/CASE/div canonical text on Spark against the
+    transpiler's DuckDB emission (`div` → `//`, reserved `day` alias
+    requoted, day-level trunc + short date pattern)."""
+    return _run_spark_text(spark, sf_dir, _BUCKETS_SQL_SPARK)
