@@ -50,6 +50,12 @@ _PRIORITY = [
     "curation_pipeline_e2e", "source_mix_rebalance",
     # -- bucket 2: changed in r02 after their r01 green row (DECIMAL sums) --
     "pricing_summary", "shipping_priority", "local_supplier_volume",
+    # -- bucket 2b: changed in r03 (money aggregates moved to order-free
+    #    DECIMAL sums after the sf1 stress sweep caught a %.6e flip in
+    #    swap_price_impact.avg_price) — prior green rows predate the change
+    "swap_price_impact", "block_agg_daily", "region_enrichment",
+    "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
+    "order_price_histogram", "returnflag_metrics_unpivot",
 ]
 
 

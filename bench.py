@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "text_profile",
+    "bm25_search",
+    "scd2_history",
+    "ewma_user_value",
 ]
 
 

@@ -337,13 +337,26 @@ def char_shingles(text_col: str, n: int = 5) -> "Column":
 
 
 def char_jaccard_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 5,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_chargram_df: int | None = None) -> DataFrame:
     """Brute-force near-dup pairs on character n-gram Jaccard — same
-    self-join shape as :func:`ngram_jaccard_pairs` with char shingles."""
+    self-join shape as :func:`ngram_jaccard_pairs` with char shingles.
+
+    ``max_chargram_df`` is the same O(df²) guard as ``max_shingle_df``
+    there, and matters MORE here: char n-grams collide across documents
+    that share no word shingles (an sf1 stress corpus whose copies
+    prefix every token still shares most interior 5-grams — ~100× pair
+    blow-up measured), so the uncapped brute path is strictly an oracle
+    path. Capping drops over-common grams before the self-join and from
+    the Jaccard denominators (Jaccard over the discriminative gram set)."""
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(char_shingles(text_col, n)).alias("s"),
     )
+    if max_chargram_df is not None:
+        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        keep = df_counts.filter(F.col("_df") <= max_chargram_df).select("s")
+        sh = sh.join(keep, "s")
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 

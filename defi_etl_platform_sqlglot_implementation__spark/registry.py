@@ -144,9 +144,18 @@ def transfer_volume_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "swap_price_impact",
     """
     SELECT l_partkey AS pool,
-           printf('%.6e', AVG(l_extendedprice)) AS avg_price,
-           printf('%.6e', STDDEV(l_extendedprice)) AS price_volatility,
-           printf('%.6e', SUM(l_extendedprice + l_tax)) AS total_volume,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                               AS DOUBLE) / COUNT(*)) AS avg_price,
+           printf('%.6e', sqrt(
+               (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*))
+               / (COUNT(*) - 1))) AS price_volatility,
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice + l_tax
+                                        AS DECIMAL(12,2))) AS DOUBLE))
+               AS total_volume,
            COUNT(*) AS swap_count
     FROM lineitem
     GROUP BY 1
@@ -154,16 +163,35 @@ def transfer_volume_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — price-impact aggregate. Money columns are 2-decimal, so every
+    multi-row aggregate rides an order-free DECIMAL sum (the
+    pricing_summary device): avg = decimal-sum / count, and the sample
+    stddev comes from exact decimal Σd and Σd² folded through ONE double
+    expression — an sf1 stress sweep caught the plain double AVG flipping
+    the 7th %.6e digit (partial-agg reassociation), and exact sums make
+    the result bit-identical at any scale factor and any partitioning."""
     li = t(spark, sf_dir, "lineitem")
-    return (
+    d = F.col("l_extendedprice").cast("decimal(12,2)")
+    out = (
         li.groupBy(F.col("l_partkey").alias("pool"))
         .agg(
-            fmt(F.avg("l_extendedprice")).alias("avg_price"),
-            fmt(F.stddev("l_extendedprice")).alias("price_volatility"),
-            fmt(F.sum(F.col("l_extendedprice") + F.col("l_tax"))).alias("total_volume"),
+            F.sum(d).alias("_s1"),
+            F.sum(d * d).alias("_s2"),
+            F.sum((F.col("l_extendedprice") + F.col("l_tax"))
+                  .cast("decimal(12,2)")).alias("_sv"),
             F.count("*").alias("swap_count"),
         )
         .filter(F.col("swap_count") > 5)
+    )
+    n = F.col("swap_count")
+    s1 = F.col("_s1").cast("double")
+    return out.select(
+        "pool",
+        fmt(s1 / n).alias("avg_price"),
+        fmt(F.sqrt((F.col("_s2").cast("double") - s1 * s1 / n) / (n - 1)))
+        .alias("price_volatility"),
+        fmt(F.col("_sv").cast("double")).alias("total_volume"),
+        "swap_count",
     )
 
 
@@ -176,8 +204,10 @@ def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            COUNT(*) AS tx_count,
-           printf('%.6e', SUM(o_totalprice)) AS total_volume,
-           printf('%.6e', AVG(o_totalprice)) AS avg_price,
+           printf('%.6e', CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                               AS DOUBLE)) AS total_volume,
+           printf('%.6e', CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                               AS DOUBLE) / COUNT(*)) AS avg_price,
            printf('%.6e', MAX(o_totalprice)) AS max_price,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_count,
            CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count
@@ -186,13 +216,17 @@ def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def block_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-day multi-agg. o_totalprice is 2-decimal money, so SUM and
+    AVG ride order-free DECIMAL sums (see swap_price_impact) — exact at
+    any SF; MAX needs no protection (no accumulation)."""
     o = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
     return o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
     ).agg(
         F.count("*").alias("tx_count"),
-        fmt(F.sum("o_totalprice")).alias("total_volume"),
-        fmt(F.avg("o_totalprice")).alias("avg_price"),
+        fmt(F.sum(dec).cast("double")).alias("total_volume"),
+        fmt(F.sum(dec).cast("double") / F.count("*")).alias("avg_price"),
         fmt(F.max("o_totalprice")).alias("max_price"),
         F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("filled_count"),
         F.sum(F.col("o_orderpriority").startswith("1").cast("long")).alias("urgent_count"),
@@ -277,7 +311,7 @@ def hour_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_enrichment",
     """
     SELECT r.r_name AS region, COUNT(*) AS customer_count,
-           printf('%.6e', SUM(c.c_acctbal)) AS total_acctbal
+           printf('%.6e', CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -294,7 +328,7 @@ def region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("customer_count"),
-            fmt(F.sum("c_acctbal")).alias("total_acctbal"),
+            fmt(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")).alias("total_acctbal"),
         )
     )
 

@@ -171,8 +171,9 @@ def grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.flag AS returnflag,
            printf('%.6e', th.lo) AS p05,
            printf('%.6e', th.hi) AS p95,
-           printf('%.6e', AVG(least(greatest(r.x, th.lo), th.hi)))
-               AS winsorized_mean,
+           printf('%.6e', CAST(SUM(CAST(least(greatest(r.x, th.lo), th.hi)
+                                        AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*)) AS winsorized_mean,
            CAST(SUM(CASE WHEN r.x < th.lo OR r.x > th.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clamped
     FROM r JOIN th USING (flag)
@@ -188,7 +189,8 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row picked by row_number, no interpolation) so the clamp boundary is
     bit-identical cross-engine — an interpolated percentile could differ
     by an ulp and flip boundary rows' clamping. Ranks ride one per-group
-    window sort; the clamped mean is %.6e (class 2)."""
+    window sort; the clamped mean rides an order-free DECIMAL money sum
+    (clamped money is still 2-decimal), so it is exact at any SF."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("x"),
@@ -217,7 +219,8 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("flag", "lo", "hi")
         .agg(
-            F.avg(F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")))
+            (F.sum(F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+                   .cast("decimal(12,2)")).cast("double") / F.count("*"))
             .alias("_wm"),
             F.sum(
                 F.when((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi")), 1)

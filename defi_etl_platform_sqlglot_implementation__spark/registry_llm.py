@@ -161,6 +161,51 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.7, n=5)
 
 
+_CHAR_DF_CAP = 64
+
+@register(
+    "dedup_char_jaccard_capped",
+    f"""
+    WITH sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, length(text) - 4) + 1),
+                   i -> text[i:i+4]))) AS s
+        FROM documents
+    ),
+    keep AS (
+        SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {_CHAR_DF_CAP}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ipair AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM ipair
+    JOIN sz sa ON sa.doc_id = d1
+    JOIN sz sb ON sb.doc_id = d2
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 7e-1
+    """,
+)
+def dedup_char_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char 5-gram Jaccard with the document-frequency cap — the
+    stress-runnable form of the brute path. Char grams collide across
+    documents that share no word shingles (measured ~100× pair blow-up on
+    the sf1 stress corpus), so the O(df²) self-join MUST drop over-common
+    grams first at scale; Jaccard is then over the discriminative gram
+    set (denominators count kept grams only, identically in the oracle)."""
+    from .operators.dedup import char_jaccard_pairs
+
+    return char_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.7, n=5,
+        max_chargram_df=_CHAR_DF_CAP,
+    )
+
+
 @register(
     "dedup_simhash_pairs",
     f"""

@@ -29,7 +29,7 @@ tfidf_top_terms / doc_unigram_surprise).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, t
@@ -324,4 +324,63 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP), ","
         ).alias("postings_head"),
+    )
+
+
+# =========================================================================
+# Weighted sampling — deterministic Efraimidis–Spirakis top-k per source
+# =========================================================================
+
+_WSAMPLE_K = 10
+
+@register(
+    "weighted_sample_topk",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 1.0) / 4294967296.0,
+                   1.0 / n_chars) AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY es_key DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           es_key, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_WSAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k per source, via the
+    Efraimidis–Spirakis key u^(1/w) (w = n_chars): the standard one-pass
+    distributed weighted reservoir — heavier documents are
+    proportionally more likely to rank in the top k. The uniform u is
+    derived deterministically from md5(doc_id) (first 8 hex chars →
+    (h+1)/2^32 ∈ (0,1]) so both engines draw the SAME randomness and the
+    sample is hash-checkable; in production the same plan runs with a
+    seeded hash over the id.
+
+    One per-source window sort (at true scale: per-partition top-k then
+    merge — the rank filter lets AQE keep partial top-k map-side).
+    es_key is one pow() over exact integer inputs — bit-identical
+    cross-engine (class 1)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    keyed = docs.withColumn(
+        "es_key",
+        F.pow((h.cast("double") + 1.0) / 4294967296.0, 1.0 / F.col("n_chars")),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WSAMPLE_K)
+        .select(
+            "doc_id", "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            "es_key",
+            F.col("rk").cast("long").alias("rk"),
+        )
     )

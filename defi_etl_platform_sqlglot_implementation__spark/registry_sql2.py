@@ -44,7 +44,7 @@ from .registry import fmt, register, t
 @register(
     "avg_yearly_small_qty",
     """
-    SELECT printf('%.6e', SUM(l_extendedprice) / 7.0) AS avg_yearly
+    SELECT printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#2'
@@ -79,7 +79,7 @@ def avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(limits, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(fmt(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(fmt(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -213,7 +213,7 @@ def lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_cust,
-           printf('%.6e', SUM(c_acctbal)) AS total_bal
+           printf('%.6e', CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)) AS total_bal
     FROM customer c
     WHERE c_acctbal > (
             SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -248,7 +248,7 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n_cust"),
-            fmt(F.sum("c_acctbal")).alias("total_bal"),
+            fmt(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")).alias("total_bal"),
         )
     )
 
@@ -382,8 +382,8 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT l_returnflag,
                SUM(l_quantity)      AS sum_qty,
-               SUM(l_extendedprice) AS sum_price,
-               SUM(l_discount)      AS sum_disc
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, 'sum_qty'   AS metric, printf('%.6e', sum_qty)   AS metric_value FROM agg
@@ -403,8 +403,10 @@ def returnflag_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_price"),
-            F.sum("l_discount").alias("sum_disc"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").alias("sum_price"),
+            F.sum(F.col("l_discount").cast("decimal(4,2)"))
+            .cast("double").alias("sum_disc"),
         )
     )
     return agg.select(
@@ -427,7 +429,7 @@ def returnflag_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(l_linestatus, 'ALL') AS lstat,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
            COUNT(*) AS n_items,
-           printf('%.6e', SUM(l_extendedprice)) AS total_price
+           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) AS total_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -444,7 +446,7 @@ def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_items"),
-            fmt(F.sum("l_extendedprice")).alias("total_price"),
+            fmt(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")).alias("total_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
@@ -653,7 +655,7 @@ def segment_name_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
            END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           printf('%.6e', SUM(o_totalprice)) AS bucket_value
+           printf('%.6e', CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)) AS bucket_value
     FROM orders
     GROUP BY 1
     """,
@@ -674,7 +676,7 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            fmt(F.sum("o_totalprice")).alias("bucket_value"),
+            fmt(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")).alias("bucket_value"),
         )
     )
 

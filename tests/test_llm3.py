@@ -52,6 +52,27 @@ def test_bm25_more_hits_scores_present(spark):
     assert len(rows) == hit
 
 
+def test_weighted_sample_shape_and_bias(spark):
+    rows = m.weighted_sample_topk(spark, SF).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+        assert 0.0 < r.es_key <= 1.0
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_per_source = {}
+    for d in docs:
+        n_per_source[d.source] = n_per_source.get(d.source, 0) + 1
+    for src, rs in by_source.items():
+        assert len(rs) == min(m._WSAMPLE_K, n_per_source[src])
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+    # weight bias: the sampled docs should skew heavier than the corpus
+    # average (Efraimidis-Spirakis favors large w); deterministic check
+    mean_corpus = sum(d.n_chars for d in docs) / len(docs)
+    mean_sample = sum(r.weight for r in rows) / len(rows)
+    assert mean_sample > mean_corpus
+
+
 def test_inverted_index_postings_sorted_capped(spark):
     rows = m.inverted_index_postings(spark, SF).collect()
     assert rows
