@@ -1,0 +1,110 @@
+"""Property tests for the early-round-3 gates (PQ ANN, IVF recall gate,
+approx-check gates, tfidf/surprise scores, chunking, int8 quantization).
+Cross-engine value evidence lives in the oracle gates; these pin operator
+invariants."""
+
+from __future__ import annotations
+
+from defi_etl_platform_sqlglot_implementation__spark import registry  # noqa: F401
+from defi_etl_platform_sqlglot_implementation__spark import (
+    registry_llm,
+    registry_llm2,
+    registry_sql2,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_recall_bounds_and_quality(spark):
+    rows = registry_llm.similarity_ann_recall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits <= r.k
+    # on the fixed corpus the production nprobe must find at least half of
+    # the true neighbors on average (the gate hash pins the exact values;
+    # this pins the floor an implementation change must not sink below)
+    assert sum(r.hits for r in rows) >= 0.5 * sum(r.k for r in rows)
+
+
+def test_pq_rank_contiguous_per_query(spark):
+    rows = registry_llm.similarity_ann_pq(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r.neighbor_id != q for r in rs)
+        # adc distances non-decreasing in rank
+        rs.sort(key=lambda r: r.rank)
+        assert all(a.adc <= b.adc for a, b in zip(rs, rs[1:]))
+
+
+def test_approx_check_gates_all_within_bounds(spark):
+    hll = registry_llm.transfer_volume_hourly_approx_check(spark, SF).collect()
+    assert hll and all(r.within_tol for r in hll)
+    qt = registry_sql2.value_quantiles_approx_check(spark, SF).collect()
+    assert qt
+    for r in qt:
+        for name, val in r.asDict().items():
+            if name.endswith("_rank_ok"):
+                assert val, (name, r)
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    rows = registry_llm2.doc_chunks(spark, SF).collect()
+    docs = {d.doc_id: d.text.split(" ")
+            for d in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    size, stride = 64, 48
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in docs.items():
+        rs = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        # chunk i starts at i*stride and has min(size, n - i*stride) tokens
+        for r in rs:
+            start = r.chunk_id * stride
+            expect = toks[start:start + size]
+            assert r.chunk_text.split(" ") == expect
+            assert r.n_chunk_tokens == len(expect)
+        # every token position is covered by at least one chunk
+        covered = set()
+        for r in rs:
+            covered.update(range(r.chunk_id * stride,
+                                 r.chunk_id * stride + r.n_chunk_tokens))
+        assert covered == set(range(len(toks)))
+
+
+def test_int8_codes_in_range_and_monotone(spark):
+    rows = registry_llm2.embedding_int8_quantize(spark, SF).collect()
+    assert rows
+    assert all(-127 <= r.code <= 127 for r in rows)
+    # per dimension, codes must be monotone in the raw value: check via
+    # the reconstruction ordering on one dimension
+    dim1 = [r for r in rows if r.dim == 1]  # dims are 1-based
+    assert dim1
+    embs = {e.vec_id: e.embedding
+            for e in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    dim1.sort(key=lambda r: embs[r.vec_id][0])
+    codes = [r.code for r in dim1]
+    assert codes == sorted(codes)
+
+
+def test_unigram_surprise_positive_and_length_scaled(spark):
+    rows = registry_llm2.doc_unigram_surprise(spark, SF).collect()
+    assert rows
+    assert all(r.surprise_micro > 0 for r in rows)
+
+
+def test_tfidf_top_terms_ranked(spark):
+    rows = registry_llm2.tfidf_top_terms(spark, SF).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
