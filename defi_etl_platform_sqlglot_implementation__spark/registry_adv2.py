@@ -391,16 +391,21 @@ def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = """
-    WITH raw AS (
-        SELECT c.c_nationkey AS u, s.s_nationkey AS v
+    WITH raw AS MATERIALIZED (
+        -- equi-joins ONLY in this block: expressing the u <> v filter here
+        -- hands the optimizer a cross-table theta edge and (measured,
+        -- DuckDB 1.0 at sf1) it nested-loop-joins customer x supplier on
+        -- it, spilling >80 GB; MATERIALIZED fences the block so the
+        -- inequality applies to the tiny distinct pair set below instead
+        SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE c.c_nationkey <> s.s_nationkey
     ),
     e AS (
-        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM raw WHERE u <> v
     ),
     tri AS (
         SELECT e1.a, e1.b, e2.b AS c
