@@ -458,3 +458,139 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pernode.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     ).select(F.col("node").cast("long").alias("nation_key"), "n_triangles")
+
+
+# =========================================================================
+# Data-quality pair: column profiling + rule-violation accounting
+# =========================================================================
+
+@register(
+    "column_profile",
+    """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS nn_orderkey,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_orderkey,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS mn_orderkey,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS mx_orderkey,
+               CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+               MIN(o_orderstatus) AS mn_status,
+               MAX(o_orderstatus) AS mx_status,
+               CAST(COUNT(o_totalprice) AS BIGINT) AS nn_price,
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+               printf('%.6e', MIN(o_totalprice)) AS mn_price,
+               printf('%.6e', MAX(o_totalprice)) AS mx_price,
+               CAST(COUNT(o_orderdate) AS BIGINT) AS nn_date,
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_date,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_date
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col, n, n - nn_orderkey AS n_null,
+           nd_orderkey AS n_distinct, mn_orderkey AS min_repr,
+           mx_orderkey AS max_repr FROM agg
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn_status, nd_status,
+           mn_status, mx_status FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', n, n - nn_price, nd_price,
+           mn_price, mx_price FROM agg
+    UNION ALL
+    SELECT 'o_orderdate', n, n - nn_date, nd_date,
+           mn_date, mx_date FROM agg
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler — the data-quality summary every
+    warehouse/catalog computes per table: row count, null count, exact
+    distinct count, and min/max in a type-appropriate canonical string
+    form (ints raw, doubles %.6e, dates formatted) per profiled column.
+
+    ONE aggregate over the table produces all column stats (Catalyst
+    expands the multi-distinct into one Expand + two-level aggregate —
+    still a single scan); the wide->long melt happens after aggregation
+    on a 1-row frame, so the unpivot never multiplies table rows. At
+    100 TB swap exact COUNT(DISTINCT) for approx_count_distinct per the
+    approx-gate pattern (value_quantiles_approx_check)."""
+    from .registry import fmt
+
+    o = t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("o_orderkey").cast("long").alias("nn_orderkey"),
+        F.countDistinct("o_orderkey").cast("long").alias("nd_orderkey"),
+        F.min("o_orderkey").cast("string").alias("mn_orderkey"),
+        F.max("o_orderkey").cast("string").alias("mx_orderkey"),
+        F.count("o_orderstatus").cast("long").alias("nn_status"),
+        F.countDistinct("o_orderstatus").cast("long").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.count("o_totalprice").cast("long").alias("nn_price"),
+        F.countDistinct("o_totalprice").cast("long").alias("nd_price"),
+        fmt(F.min("o_totalprice")).alias("mn_price"),
+        fmt(F.max("o_totalprice")).alias("mx_price"),
+        F.count("o_orderdate").cast("long").alias("nn_date"),
+        F.countDistinct("o_orderdate").cast("long").alias("nd_date"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_date"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+           'o_orderkey',    n - nn_orderkey, nd_orderkey, mn_orderkey, mx_orderkey,
+           'o_orderstatus', n - nn_status,   nd_status,   mn_status,   mx_status,
+           'o_totalprice',  n - nn_price,    nd_price,    mn_price,    mx_price,
+           'o_orderdate',   n - nn_date,     nd_date,     mn_date,     mx_date
+        ) AS (col, n_null, n_distinct, min_repr, max_repr)""",
+        "n",
+    ).select("col", "n", "n_null", "n_distinct", "min_repr", "max_repr")
+
+
+_DQ_RULES = [
+    ("qty_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("discount_in_range", "l_discount >= 0.0 AND l_discount <= 0.10"),
+    ("price_positive", "l_extendedprice > 0.0"),
+    ("tax_cap_007", "l_tax <= 0.07"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_present", "l_shipdate IS NOT NULL"),
+]
+
+
+def _dq_oracle_sql() -> str:
+    selects = [
+        f"""SELECT '{name}' AS rule,
+               CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations
+        FROM lineitem"""
+        for name, cond in _DQ_RULES
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+@register("dq_violations", _dq_oracle_sql())
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation/constraint checking (the Deequ/Great-Expectations
+    shape): each rule is a boolean SQL predicate; the output is one row
+    per rule with checked/violation counts. All rules evaluate in ONE
+    scan — per-rule conditional sums inside a single aggregate — and the
+    result is a constant-size frame regardless of input size, so the
+    check runs as a cheap tail on any 100 TB load job (the quarantine
+    split in sources/bronze is the row-level sibling of this table-level
+    report)."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        *[
+            F.sum(F.when(F.expr(cond), 0).otherwise(1)).cast("long")
+            .alias(f"v_{i}")
+            for i, (_, cond) in enumerate(_DQ_RULES)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', v_{i}" for i, (name, _) in enumerate(_DQ_RULES)
+    )
+    return agg.selectExpr(
+        f"stack({len(_DQ_RULES)}, {stack_args}) AS (rule, n_violations)",
+        "n_checked",
+    ).select("rule", "n_checked", "n_violations")

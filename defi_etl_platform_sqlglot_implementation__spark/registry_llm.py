@@ -945,3 +945,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("d1") < F.col("d2"))
     cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
     return pairs.select("d1", "d2", cos).filter(F.col("cosine") >= 4e-1)
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    f"""
+    SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+           ({_dot_chain('a', 'b')})
+           / (sqrt({_dot_chain('a', 'a')}) * sqrt({_dot_chain('b', 'b')})) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ({_dot_chain('a', 'b')})
+          / (sqrt({_dot_chain('a', 'a')}) * sqrt({_dot_chain('b', 'b')})) >= 4e-1
+    """,
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding near-dup pairs: cosine >= 0.4 WITHIN each label
+    block — the stress-runnable form of the brute path above. The equi-key
+    on the blocking column turns the unbounded inequality join (a
+    broadcast-nested-loop at scale — measured stuck at sf1) into a hash
+    join whose fan-out is bounded by the largest block; in production the
+    blocking key is the IVF cluster assignment (plus neighboring probes
+    for cross-block recall), exactly the shape similarity_ann_ivf ships."""
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    a = with_norm(e.select("label", F.col("vec_id").alias("d1"),
+                           F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(e.select(F.col("label").alias("_lb"),
+                           F.col("vec_id").alias("d2"),
+                           F.col("embedding").alias("eb")), "eb", "nb")
+    pairs = a.join(b, (F.col("label") == F.col("_lb"))
+                   & (F.col("d1") < F.col("d2")))
+    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return pairs.select("label", "d1", "d2", cos).filter(F.col("cosine") >= 4e-1)

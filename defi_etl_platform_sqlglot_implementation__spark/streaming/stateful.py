@@ -189,3 +189,55 @@ def user_value_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("ewma", DoubleType())]
+)
+
+EWMA_ALPHA = 0.125  # 1/8 — exactly representable (matches ewma_user_value)
+
+
+def _update_ewma(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Recursive EWMA state machine: ewma <- a*x + (1-a)*ewma, seeded with
+    the first observation (pandas ewm(adjust=False) semantics, so the
+    batch parity target is exact, not asymptotic)."""
+    if state.exists:
+        n, ewma = state.get
+    else:
+        n, ewma = 0, 0.0
+    for pdf in pdfs:
+        for x in pdf.sort_values("ts")["value"]:
+            x = float(x)
+            if n == 0:
+                ewma = x
+            else:
+                ewma = EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * ewma
+            n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
+
+
+def streaming_user_ewma(events: DataFrame) -> DataFrame:
+    """Per-user recursive EWMA over a stream (applyInPandasWithState) —
+    the streaming sibling of the batch finite-window ``ewma_user_value``
+    gate: O(1) state per key (count + current smoothed value), update
+    outputMode, no timeout. Input needs columns (user_id, ts, value)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

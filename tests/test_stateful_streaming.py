@@ -202,3 +202,65 @@ class TestTransformWithStatePlanPin:
         assert [f.name for f in df.schema.fields] == [
             "user_id", "n_events", "total_value"
         ]
+
+
+class TestStreamingEwma:
+    def test_matches_pandas_ewm_across_microbatches(self, spark, tmp_path):
+        import pandas as pd
+
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.stateful import (
+            EWMA_ALPHA,
+            streaming_user_ewma,
+        )
+
+        (tmp_path / "in").mkdir()
+        batch0 = [
+            {"user_id": 1, "ts": "2024-01-01 00:00:00", "value": 10.0},
+            {"user_id": 1, "ts": "2024-01-01 00:01:00", "value": 20.0},
+            {"user_id": 2, "ts": "2024-01-01 00:00:30", "value": 5.0},
+        ]
+        batch1 = [
+            {"user_id": 1, "ts": "2024-01-01 00:02:00", "value": 40.0},
+            {"user_id": 2, "ts": "2024-01-01 00:03:00", "value": 15.0},
+            {"user_id": 2, "ts": "2024-01-01 00:04:00", "value": 25.0},
+        ]
+        (tmp_path / "in" / "b0.jsonl").write_text(_event_lines(batch0))
+
+        schema = "user_id LONG, ts STRING, value DOUBLE"
+        raw = (
+            spark.readStream.schema(schema).json(str(tmp_path / "in"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            streaming_user_ewma(raw)
+            .writeStream.format("memory").queryName("ewma_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            (tmp_path / "in" / "b1.jsonl").write_text(_event_lines(batch1))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM ewma_test"
+            ).collect()
+        finally:
+            q.stop()
+
+        # last update per user must equal pandas ewm(adjust=False) over the
+        # full per-user history — state carried correctly across batches
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+                latest[r.user_id] = r
+        hist = {}
+        for b in (batch0, batch1):
+            for e in sorted(b, key=lambda e: e["ts"]):
+                hist.setdefault(e["user_id"], []).append(e["value"])
+        for uid, vals in hist.items():
+            expect = (
+                pd.Series(vals).ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+            )
+            assert latest[uid].n_events == len(vals)
+            assert abs(latest[uid].ewma - expect) < 1e-12, (uid, vals)
