@@ -99,3 +99,27 @@ def test_minhash_signatures_are_row_local(spark):
     for ln in plan.splitlines():
         if "HashAggregate" in ln:
             assert "min(h" not in ln, f"per-hash min aggregate: {ln}"
+
+
+def test_bi_nation_disjunction_stays_a_filter(spark):
+    # Q7 shape: the two-nation disjunction must remain a row Filter AFTER
+    # the broadcast equi-joins. Handed to the planner as a join condition
+    # it becomes a nested-loop edge (measured: DuckDB NLJ'd customer x
+    # supplier on the analogous predicate and spilled >80 GB at sf1).
+    plan = _executed(spark, "bi_nation_trade_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_scalar_reuse_shapes(spark):
+    # Q11/Q15 shapes: the global scalar (total / max over the view) must
+    # join back as a broadcast of a 1-row frame, never re-aggregate the
+    # fact table per row and never shuffle the fact side again for it.
+    for name in ("part_qty_share_threshold", "top_revenue_suppliers"):
+        plan = _executed(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        # exactly one scan family of lineitem feeds both aggregates
+        scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln
+                 and "lineitem" in ln]
+        assert scans, name
