@@ -349,6 +349,52 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             i = close + 1
             continue
 
+        # --- YEAR()/MONTH()/DAY() <-> EXTRACT(unit FROM x) --------------
+        if t.is_word("year", "month", "day"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                args = _split_args(tokens, j, close)
+                if len(args) == 1:
+                    unit = t.text.upper()
+                    inner = render(_rewrite(args[0], source, target))
+                    if target in ("postgres", "trino", "snowflake"):
+                        out.append(Tok("word", f"EXTRACT({unit} FROM {inner})"))
+                    elif target == "bigquery":
+                        out.append(Tok("word", f"EXTRACT({unit} FROM {inner})"))
+                    else:  # spark / duckdb / mysql share the function form
+                        out.append(Tok("word", f"{t.text.lower()}({inner})"))
+                    i = close + 1
+                    continue
+            out.append(t)
+            i += 1
+            continue
+
+        if t.is_word("extract"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                raw_body = tokens[j + 1:close]
+                code = [(k, x) for k, x in enumerate(raw_body) if x.kind != "ws"]
+                # EXTRACT(UNIT FROM expr) — expr keeps its original
+                # whitespace (slicing the raw span after FROM), only the
+                # unit/FROM keywords are consumed structurally
+                if (len(code) >= 3 and code[0][1].kind == "word"
+                        and code[0][1].text.lower() in ("year", "month", "day")
+                        and code[1][1].is_word("from")):
+                    unit = code[0][1].text.lower()
+                    expr_toks = _strip_ws(raw_body[code[1][0] + 1:])
+                    inner = render(_rewrite(expr_toks, source, target))
+                    if target in ("spark", "duckdb", "mysql"):
+                        out.append(Tok("word", f"{unit}({inner})"))
+                    else:
+                        out.append(Tok("word",
+                                       f"EXTRACT({unit.upper()} FROM {inner})"))
+                    i = close + 1
+                    continue
+            raise UnsupportedConstructError(
+                "EXTRACT form not in the subset (YEAR/MONTH/DAY FROM expr)")
+
         # --- integer division ``div`` ----------------------------------
         if t.is_word("div"):
             if target == "spark":

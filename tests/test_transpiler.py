@@ -37,6 +37,9 @@ CORPUS = [
     # string ops and IN-lists pass through verbatim
     """SELECT upper(event_type) AS t, length(event_type) AS l, COUNT(*) AS n
        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2""",
+    # year()/month() field extraction maps through the EXTRACT family
+    """SELECT year(ts) AS y, month(ts) AS m, COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
 ]
 
 
@@ -103,6 +106,20 @@ def test_postgres_canonical_to_spark_parses(spark):
     sp = transpile(pg, "spark", source="postgres")
     assert "`from`" in sp and "INTERVAL 24 HOURS" in sp
     assert sqlutil.validate_sql(spark, sp) == []
+
+
+def test_extract_family_mappings():
+    q = "SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d FROM t"
+    pg = transpile(q, "postgres")
+    assert "EXTRACT(YEAR FROM ts)" in pg and "EXTRACT(DAY FROM ts)" in pg
+    assert transpile(q, "duckdb") == q  # function form shared
+    # reverse: postgres EXTRACT -> spark function form
+    back = transpile("SELECT EXTRACT(YEAR FROM o_orderdate) AS y FROM t",
+                     "spark", source="postgres")
+    assert "year(o_orderdate)" in back
+    with pytest.raises(UnsupportedConstructError):
+        transpile("SELECT EXTRACT(EPOCH FROM ts) FROM t", "spark",
+                  source="postgres")
 
 
 def test_unsupported_constructs_raise_loudly():
