@@ -7,7 +7,10 @@ signatures, partitioning — is real and tested.
 Header-level decode is REAL: ``decode_image_dimensions`` parses actual
 PNG (fixed-offset IHDR) and JPEG (marker-segment walk via an aggregate
 fold) bytes with pure column expressions — no imaging library, no Python
-UDF. Pixel-level decode (``decode_features``) remains STUBBED (no
+UDF. Pixel-level decode is REAL for 24-bit uncompressed BMP
+(``decode_bmp_pixels``: numpy slicing over Arrow batches, exact channel
+sums + pixel-buffer md5 — no library needed for an uncompressed raster);
+compressed-format pixel decode (``decode_features``) remains STUBBED (no
 pillow/ffmpeg in this container): pass ``fake=True`` for a deterministic
 byte-derived feature extractor, or get a clearly-marked
 ``NotImplementedError``.
@@ -238,3 +241,106 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
         "doc_id", "byte_len",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: 24-bit uncompressed BMP (no imaging library needed)
+# ---------------------------------------------------------------------------
+
+BMP_PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("pixel_md5", StringType()),
+    ]
+)
+
+
+def build_bmp(pixels) -> bytes:
+    """Serialize an HxWx3 uint8 RGB array into a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up row order, BGR byte order, rows padded to
+    4 bytes) — the format every decoder must reproduce byte-for-byte.
+    Test/fabrication helper; the decoder below must invert it exactly."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up storage
+        row = px[y][:, ::-1]                # RGB -> BGR
+        body += row.tobytes() + b"\x00" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp_pixels(media: DataFrame) -> DataFrame:
+    """REAL pixel-level decode for 24-bit uncompressed BMP content — the
+    one raster format decodable with zero imaging dependencies, so the
+    pixel path stops being a stub: header fields are parsed (little-endian
+    offsets/width/height/bpp/compression), the bottom-up padded BGR pixel
+    grid is re-ordered to row-major top-down RGB with numpy, and the
+    output carries exact integer channel sums plus the md5 of the
+    canonical RGB buffer (hashable evidence the PIXELS are right, not
+    just the dimensions).
+
+    Arrow-batched ``mapInPandas``: each batch decodes with vectorized
+    numpy slicing per image — the same shape a pillow/ffmpeg extractor
+    plugs into at 100 TB (partition-parallel, no shuffle). Non-BMP or
+    unsupported (compressed / non-24bpp) content raises ValueError —
+    quarantine upstream, don't guess."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
+                                   "sum_r", "sum_g", "sum_b", "pixel_md5")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(buf)
+                if b[:2] != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP payload")
+                data_offset = struct.unpack_from("<I", b, 10)[0]
+                w = struct.unpack_from("<i", b, 18)[0]
+                h = struct.unpack_from("<i", b, 22)[0]
+                bpp = struct.unpack_from("<H", b, 28)[0]
+                compression = struct.unpack_from("<I", b, 30)[0]
+                if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: unsupported BMP (bpp={bpp}, "
+                        f"compression={compression}, w={w}, h={h})")
+                bottom_up = h > 0
+                h_abs = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                grid = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h_abs, offset=data_offset
+                ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
+                if bottom_up:
+                    grid = grid[::-1]
+                rgb = grid[:, :, ::-1]      # BGR -> RGB
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h_abs)
+                out["n_pixels"].append(w * h_abs)
+                out["sum_r"].append(int(rgb[:, :, 0].sum(dtype=np.int64)))
+                out["sum_g"].append(int(rgb[:, :, 1].sum(dtype=np.int64)))
+                out["sum_b"].append(int(rgb[:, :, 2].sum(dtype=np.int64)))
+                out["pixel_md5"].append(
+                    hashlib.md5(np.ascontiguousarray(rgb).tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, BMP_PIXEL_SCHEMA)

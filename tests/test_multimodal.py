@@ -113,3 +113,58 @@ class TestRealHeaderDecode:
         assert got[0] == ("unknown", None, None)
         assert got[1] == ("jpeg", None, None)  # sniffed, but no SOF found
         assert got[2] == ("unknown", None, None)
+
+
+class TestBmpPixelDecode:
+    def _media(self, spark, arrays):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            build_bmp,
+        )
+
+        rows = [(i, bytearray(build_bmp(a))) for i, a in enumerate(arrays)]
+        return spark.createDataFrame(rows, "doc_id long, content binary")
+
+    def test_pixels_roundtrip_exactly(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            decode_bmp_pixels,
+        )
+
+        rng = np.random.RandomState(7)
+        # widths 3 and 5 force nonzero row padding; 4 exercises pad == 0
+        arrays = [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                  for (h, w) in [(2, 3), (3, 4), (5, 5), (1, 1)]]
+        out = {r.doc_id: r
+               for r in decode_bmp_pixels(self._media(spark, arrays)).collect()}
+        assert len(out) == len(arrays)
+        for i, a in enumerate(arrays):
+            r = out[i]
+            assert (r.height, r.width) == a.shape[:2]
+            assert r.n_pixels == a.shape[0] * a.shape[1]
+            assert r.sum_r == int(a[:, :, 0].sum(dtype=np.int64))
+            assert r.sum_g == int(a[:, :, 1].sum(dtype=np.int64))
+            assert r.sum_b == int(a[:, :, 2].sum(dtype=np.int64))
+            assert r.pixel_md5 == hashlib.md5(
+                np.ascontiguousarray(a).tobytes()).hexdigest()
+
+    def test_non_bmp_payload_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            decode_bmp_pixels,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG not a bmp"))],
+            "doc_id long, content binary",
+        )
+        try:
+            decode_bmp_pixels(bad).collect()
+            raise AssertionError("expected decode failure")
+        except Py4JJavaError:
+            pass
+        except Exception as exc:  # PySpark wraps worker errors variously
+            assert "not a BMP" in str(exc) or "ValueError" in str(exc)
