@@ -344,3 +344,94 @@ def decode_bmp_pixels(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, BMP_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: 16-bit PCM WAV (RIFF) — no codec library needed
+# ---------------------------------------------------------------------------
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("sample_md5", StringType()),
+    ]
+)
+
+
+def build_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Serialize int16 PCM samples (frames x channels, interleaved) into a
+    canonical RIFF/WAVE file (fmt + data chunks). Fabrication/test helper;
+    :func:`decode_wav_features` must invert it exactly."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).reshape(-1, n_channels)
+    body = pcm.tobytes()  # little-endian int16, interleaved
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_channels,
+                      sample_rate, byte_rate, n_channels * 2, 16)
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode for 16-bit PCM WAV — RIFF chunk walk (fmt then
+    data, skipping unknown chunks), then vectorized numpy over the sample
+    buffer: exact integer peak |amplitude| and energy (Σ s², the RMS
+    numerator — kept integral so the result is hash-exact), duration in
+    whole ms, and the md5 of the raw PCM buffer. Arrow-batched
+    ``mapInPandas``, partition-parallel, no shuffle — the slot a real
+    codec (ffmpeg) extractor occupies for compressed audio at 100 TB.
+    Compressed or non-16-bit-PCM content raises ValueError."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                   "n_samples", "duration_ms", "peak_abs",
+                                   "sum_sq", "sample_md5")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(buf)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+                pos, fmt_seen, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    size = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"fmt ":
+                        fmt_seen = struct.unpack_from("<HHIIHH", b, pos + 8)
+                    elif cid == b"data":
+                        data = b[pos + 8:pos + 8 + size]
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if fmt_seen is None or data is None:
+                    raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+                audio_fmt, n_ch, rate, _, _, bits = fmt_seen
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError(
+                        f"doc {doc_id}: unsupported WAV (fmt={audio_fmt}, "
+                        f"bits={bits}) — PCM16 only without codec libs")
+                pcm = np.frombuffer(data, dtype="<i2")
+                n_frames = len(pcm) // n_ch
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_samples"].append(n_frames)
+                out["duration_ms"].append(n_frames * 1000 // rate)
+                a64 = pcm.astype(np.int64)
+                out["peak_abs"].append(int(np.abs(a64).max()) if len(pcm) else 0)
+                out["sum_sq"].append(int((a64 * a64).sum()))
+                out["sample_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, WAV_FEATURE_SCHEMA)

@@ -168,3 +168,50 @@ class TestBmpPixelDecode:
             pass
         except Exception as exc:  # PySpark wraps worker errors variously
             assert "not a BMP" in str(exc) or "ValueError" in str(exc)
+
+
+class TestWavDecode:
+    def test_pcm_roundtrip_exactly(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            build_wav,
+            decode_wav_features,
+        )
+
+        rng = np.random.RandomState(11)
+        clips = [
+            (rng.randint(-32768, 32768, size=(1600, 1), dtype=np.int16), 16000, 1),
+            (rng.randint(-32768, 32768, size=(441, 2), dtype=np.int16), 44100, 2),
+            (np.zeros((10, 1), dtype=np.int16), 8000, 1),
+        ]
+        rows = [(i, bytearray(build_wav(pcm, rate, ch)))
+                for i, (pcm, rate, ch) in enumerate(clips)]
+        media = spark.createDataFrame(rows, "doc_id long, content binary")
+        out = {r.doc_id: r for r in decode_wav_features(media).collect()}
+        for i, (pcm, rate, ch) in enumerate(clips):
+            r = out[i]
+            assert (r.sample_rate, r.n_channels) == (rate, ch)
+            assert r.n_samples == pcm.shape[0]
+            assert r.duration_ms == pcm.shape[0] * 1000 // rate
+            a = pcm.astype(np.int64)
+            assert r.peak_abs == int(np.abs(a).max())
+            assert r.sum_sq == int((a * a).sum())
+            assert r.sample_md5 == hashlib.md5(pcm.tobytes()).hexdigest()
+
+    def test_non_wav_raises(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            decode_wav_features,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"ID3 not a wav file at all"))],
+            "doc_id long, content binary",
+        )
+        try:
+            decode_wav_features(bad).collect()
+            raise AssertionError("expected decode failure")
+        except Exception as exc:
+            assert "RIFF" in str(exc) or "Error" in type(exc).__name__
