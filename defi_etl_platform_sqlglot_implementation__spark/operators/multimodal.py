@@ -435,3 +435,105 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video container decode: AVI (RIFF) frame index — no codec needed
+# ---------------------------------------------------------------------------
+
+AVI_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_rate_us", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def build_avi(frames, frame_rate_us: int = 40000, width: int = 64,
+              height: int = 48) -> bytes:
+    """Serialize per-frame payload bytes into a minimal valid AVI: RIFF
+    'AVI ' -> LIST hdrl (avih main header) -> LIST movi with one '00dc'
+    chunk per frame (word-aligned). Frame payloads are opaque (a real
+    file would hold compressed video frames); the container structure is
+    the real AVI layout. Fabrication/test helper."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return struct.pack("<4sI", cid, len(body)) + body + pad
+
+    avih = struct.pack("<IIIIIIIIIIIIII", frame_rate_us, 0, 0, 0,
+                       len(frames), 0, 1, 0, width, height, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", bytes(f)) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def sample_avi_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video-container decode: walk an actual AVI RIFF tree (hdrl's
+    avih main header for frame count / rate / dimensions, then the movi
+    LIST's '00dc' frame chunks) and emit every ``every_n``-th frame's
+    index, size, and payload md5 — frame SAMPLING without frame
+    DECODING, which is exactly how a 100 TB video pipeline subsamples
+    before handing selected frames to a codec stage. Word-aligned chunk
+    skipping, unknown chunks ignored; a non-AVI payload raises."""
+    import hashlib
+    import struct
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "frame_rate_us",
+                                   "width", "height", "frame_idx",
+                                   "frame_bytes", "frame_md5")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(buf)
+                if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/AVI payload")
+                n_frames = rate = w = h = None
+                frames = []
+
+                def walk(start: int, end: int) -> None:
+                    nonlocal n_frames, rate, w, h
+                    pos = start
+                    while pos + 8 <= end:
+                        cid = b[pos:pos + 4]
+                        size = struct.unpack_from("<I", b, pos + 4)[0]
+                        body_start = pos + 8
+                        if cid == b"LIST":
+                            walk(body_start + 4, body_start + size)
+                        elif cid == b"avih":
+                            vals = struct.unpack_from("<IIIIIIIIII", b, body_start)
+                            rate, n_frames, w, h = (vals[0], vals[4],
+                                                    vals[8], vals[9])
+                        elif cid == b"00dc":
+                            frames.append(b[body_start:body_start + size])
+                        pos = body_start + size + (size & 1)
+
+                walk(12, len(b))
+                if n_frames is None:
+                    raise ValueError(f"doc {doc_id}: missing avih header")
+                if len(frames) != n_frames:
+                    raise ValueError(
+                        f"doc {doc_id}: header says {n_frames} frames, "
+                        f"movi holds {len(frames)}")
+                for idx in range(0, len(frames), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(n_frames)
+                    out["frame_rate_us"].append(rate)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frames[idx]))
+                    out["frame_md5"].append(
+                        hashlib.md5(frames[idx]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, AVI_FRAME_SCHEMA)

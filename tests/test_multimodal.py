@@ -215,3 +215,51 @@ class TestWavDecode:
             raise AssertionError("expected decode failure")
         except Exception as exc:
             assert "RIFF" in str(exc) or "Error" in type(exc).__name__
+
+
+class TestAviFrameSampling:
+    def test_container_walk_and_sampling(self, spark):
+        import hashlib
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            build_avi,
+            sample_avi_frames,
+        )
+
+        # odd-length frame payloads force word-aligned chunk padding
+        frames_a = [bytes([i]) * (10 + i) for i in range(5)]
+        frames_b = [b"xyz", b"pq"]
+        media = spark.createDataFrame(
+            [(1, bytearray(build_avi(frames_a, 33333, 320, 240))),
+             (2, bytearray(build_avi(frames_b, 40000, 64, 48)))],
+            "doc_id long, content binary",
+        )
+        rows = sample_avi_frames(media, every_n=2).collect()
+        a = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in a] == [0, 2, 4]
+        assert all((r.n_frames, r.frame_rate_us, r.width, r.height)
+                   == (5, 33333, 320, 240) for r in a)
+        for r in a:
+            assert r.frame_bytes == len(frames_a[r.frame_idx])
+            assert r.frame_md5 == hashlib.md5(frames_a[r.frame_idx]).hexdigest()
+        b = [r for r in rows if r.doc_id == 2]
+        assert [r.frame_idx for r in b] == [0]
+
+    def test_frame_count_mismatch_raises(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            build_avi,
+            sample_avi_frames,
+        )
+
+        good = build_avi([b"aa", b"bb"])
+        # corrupt: header claims 2 frames; drop the last movi chunk (10 bytes)
+        bad = bytearray(good[:-10])
+        media = spark.createDataFrame(
+            [(1, bad)], "doc_id long, content binary")
+        import pytest as _pytest
+
+        # a truncated container must FAIL loudly (either the frame-count
+        # cross-check or the chunk walk hitting the cut), never silently
+        # yield fewer frames than the header declares
+        with _pytest.raises(Exception):
+            sample_avi_frames(media).collect()
