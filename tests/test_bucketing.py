@@ -47,3 +47,38 @@ class TestBucketedJoin:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestPartitionedBronzePruning:
+    """Executable form of the SCALE.md bronze claim: silver/bronze written
+    partitioned by (event_type, date) lets downstream decode filters prune
+    PARTITIONS (directory skip) rather than rows."""
+
+    def test_partition_filter_prunes_directories(self, spark, tmp_path):
+        sf = "/root/testdata/sf0.001"
+        ev = (spark.read.parquet(f"{sf}/events.parquet")
+              .withColumn("event_date",
+                          __import__("pyspark.sql.functions",
+                                     fromlist=["date_format"]).date_format(
+                              "ts", "yyyy-MM-dd")))
+        out = str(tmp_path / "bronze")
+        (ev.write.mode("overwrite")
+           .partitionBy("event_type", "event_date").parquet(out))
+
+        read = spark.read.parquet(out).filter(
+            "event_type = 'purchase'")
+        plan = read._jdf.queryExecution().executedPlan().toString()
+        # the predicate must appear as PartitionFilters on the scan (a
+        # directory prune), NOT merely as a post-scan row Filter
+        assert "PartitionFilters" in plan
+        scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert any("event_type" in ln for ln in scan_lines)
+        # the scan line itself must carry the pushed partition predicate
+        # (inputFiles() reflects the pre-filter relation, so the plan text
+        # is the correct evidence of the directory prune)
+        assert any("PartitionFilters" in ln and "event_type" in ln
+                   for ln in scan_lines)
+        # sanity: the data still arrives
+        assert read.count() == (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .filter("event_type = 'purchase'").count())
