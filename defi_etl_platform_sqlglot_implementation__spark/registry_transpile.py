@@ -73,3 +73,27 @@ def transpiled_user_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     transpiler's DuckDB emission (`div` → `//`, reserved `day` alias
     requoted, day-level trunc + short date pattern)."""
     return _run_spark_text(spark, sf_dir, _BUCKETS_SQL_SPARK)
+
+
+_MONTHLY_SQL_SPARK = """
+    SELECT year(o_orderdate) AS `year`,
+           month(o_orderdate) AS `month`,
+           o_orderkey div 1000 AS key_bucket,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS price_floor_sum
+    FROM orders
+    WHERE o_orderstatus <> 'X'
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("transpiled_monthly_orders", transpile(_MONTHLY_SQL_SPARK, "duckdb"))
+def transpiled_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third transpiler gate, covering the EXTRACT-family construct: the
+    Spark text uses year()/month() (which the transpiler maps through
+    EXTRACT for the warehouse dialects and keeps as functions for
+    DuckDB), reserved-word aliases, and integer div — executed on Spark
+    with the transpiled DuckDB emission as the oracle."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MONTHLY_SQL_SPARK)
