@@ -232,7 +232,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an order-free integer sum."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.withColumn("l", F.split("text", " ")).select("doc_id", "l")
-    toks = toks.persist()
+    # no persist: the three consumers (stats, df, tf) each need only a
+    # cheap split+size over the scan, and a persist inside a registry
+    # builder would leak cached partitions across driver-contract calls
 
     stats = toks.agg(
         F.count("*").cast("long").alias("n_docs"),
