@@ -61,11 +61,12 @@ _PRIORITY = [
 
 
 # Green driver row exists (r01 ∪ r02) and the implementation is unchanged
-# since that row.  NOTE: pricing_summary / shipping_priority /
-# local_supplier_volume are deliberately ABSENT here (bucket 2 above).
+# since that row.  NOTE: every _PRIORITY bucket-2/2b query (changed after
+# its green row) is deliberately ABSENT here — the convention is that
+# changed-since-green means not-green, regardless of prior rows.
 _DRIVER_GREEN = {
-    "transfer_volume_hourly", "swap_price_impact", "block_agg_daily",
-    "topk_parts_by_quantity", "hour_spine_join", "region_enrichment",
+    "transfer_volume_hourly",
+    "topk_parts_by_quantity", "hour_spine_join",
     "order_lineitem_pairing", "event_projection", "block_range_scan",
     "rolling_p90", "rolling_var_minperiods", "rolling_var_cvar",
     "rolling_var_cvar_partitioned", "var_cvar_scalar", "stress_test_table",
@@ -82,12 +83,12 @@ _DRIVER_GREEN = {
     "user_event_sets", "priority_top_orders", "asof_price_join",
     "session_stats", "sliding_window_range_join", "stratified_sample",
     "view_purchase_attribution", "user_event_gaps", "secondary_sort_deltas",
-    "bernoulli_hash_sample", "reservoir_sample_global", "avg_yearly_small_qty",
-    "big_quantity_orders", "lone_late_suppliers", "rich_idle_customers",
+    "bernoulli_hash_sample", "reservoir_sample_global",
+    "big_quantity_orders", "lone_late_suppliers",
     "order_price_quartiles", "rolling_hour_user_value", "event_type_pivot",
-    "returnflag_metrics_unpivot", "returnflag_cube", "value_quantiles_by_type",
+    "value_quantiles_by_type",
     "token_vocab_topk", "cohort_retention", "segment_name_listagg",
-    "order_price_histogram", "source_numeric_profile",
+    "source_numeric_profile",
     "user_click_purchase_ratio", "contamination_overlap",
     "token_shard_assignment", "curation_funnel", "dedup_clusters",
     "transfer_decode_roundtrip", "swap_decode_roundtrip",

@@ -514,6 +514,11 @@ def sample_avi_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                             rate, n_frames, w, h = (vals[0], vals[4],
                                                     vals[8], vals[9])
                         elif cid == b"00dc":
+                            if body_start + size > len(b):
+                                raise ValueError(
+                                    f"frame chunk truncated at byte "
+                                    f"{body_start}: declares {size} bytes, "
+                                    f"payload ends at {len(b)}")
                             frames.append(b[body_start:body_start + size])
                         pos = body_start + size + (size & 1)
 

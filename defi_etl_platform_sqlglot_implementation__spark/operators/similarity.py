@@ -235,11 +235,21 @@ def ann_pq(
 
     codebook = embeddings.orderBy(id_col).limit(n_codes)
     enc = pq_encode(embeddings, codebook, m=m, vec_col=vec_col, id_col=id_col)
-    # drop the raw vector: ADC must only see (id, codes, cb)
-    enc = enc.select(id_col, "cb", *[f"code_{j}" for j in range(m)])
+    # drop the raw vector AND the per-row codebook copy: the scan side of
+    # the ADC pass must be exactly (id, m code ids) — the narrow table
+    # that is PQ's point. The codebook is re-attached AFTER the candidate
+    # join as a fresh 1-row broadcast, so candidate rows stay narrow
+    # through the join and only widen transiently for codeword lookup.
+    enc = enc.select(id_col, *[f"code_{j}" for j in range(m)])
+    cb_row = codebook.select(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        ))).alias("cb")
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
-    cand = enc.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    cand = (enc.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+            .crossJoin(F.broadcast(cb_row)))
     for j in range(m):
         cand = cand.withColumn(f"_cw{j}", F.expr(f"element_at(cb, code_{j} + 1).cv"))
     adc = " + ".join(

@@ -176,6 +176,35 @@ _FMT_TOKENS = [  # longest match first
 ]
 
 
+_MYSQL_TO_JAVA = {"%Y": "yyyy", "%m": "MM", "%d": "dd",
+                  "%H": "HH", "%i": "mm", "%s": "ss"}
+
+
+def _mysql_to_java_pattern(pat: str) -> str:
+    """MySQL/Trino %-token pattern -> canonical Java pattern. Anything
+    outside the 6-token subset — including literal alphabetic characters,
+    which Java would reinterpret as pattern letters — raises."""
+    out, i = [], 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "%":
+            tok = pat[i:i + 2]
+            if tok not in _MYSQL_TO_JAVA:
+                raise UnsupportedConstructError(
+                    f"date_format token {tok!r} in {pat!r} not in the "
+                    "transpilable subset (%Y %m %d %H %i %s)")
+            out.append(_MYSQL_TO_JAVA[tok])
+            i += 2
+        elif ch.isalpha():
+            raise UnsupportedConstructError(
+                f"literal letter {ch!r} in mysql pattern {pat!r} would be "
+                "reinterpreted as a Java pattern token")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _convert_java_pattern(pat: str, family: str) -> str:
     out, i = [], 0
     while i < len(pat):
@@ -241,18 +270,35 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
     while i < n:
         t = tokens[i]
 
-        # --- identifier quoting ---------------------------------------
-        if t.kind == "bident" or (t.kind == "qident" and source != "spark"):
+        # --- identifier quoting / spark double-quoted string literals ---
+        if t.kind == "qident" and source == "spark":
+            # in the Spark dialect "..." is a STRING literal, not an
+            # identifier; emit it as a portable single-quoted literal
+            body = t.text[1:-1]
+            if "\\" in body:
+                raise UnsupportedConstructError(
+                    "backslash escapes in Spark double-quoted string "
+                    "literals are outside the subset")
+            out.append(Tok("str", "'" + body.replace("'", "''") + "'"))
+            i += 1
+            continue
+        if t.kind == "bident" or t.kind == "qident":
             q = _QUOTE[target]
             out.append(Tok("qident", f"{q}{t.text[1:-1]}{q}"))
             i += 1
             continue
 
         # --- NOW() / current_timestamp() ------------------------------
+        # `now` REQUIRES call parens (a bare `now` is a legal column
+        # name); bare `current_timestamp` is the SQL-standard niladic form
         if t.is_word("now", "current_timestamp"):
             j = _next_code(tokens, i + 1)
             has_parens = (j < n and tokens[j].kind == "op"
                           and tokens[j].text == "(")
+            if not has_parens and t.text.lower() == "now":
+                out.append(t)  # plain identifier named now
+                i += 1
+                continue
             if has_parens:
                 close = _match_paren(tokens, j)
                 if _split_args(tokens, j, close) != [[]]:
@@ -344,6 +390,12 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                 raise UnsupportedConstructError(
                     "strftime source patterns not in the subset; write the "
                     "canonical query in Spark date_format() form")
+            if source in ("mysql", "trino"):
+                pat = _mysql_to_java_pattern(pat)
+            elif source != "spark":
+                raise UnsupportedConstructError(
+                    f"date_format from {source!r} is not in the subset "
+                    "(that dialect formats with TO_CHAR)")
             inner = render(_rewrite(expr_toks, source, target))
             out.append(Tok("word", _emit_date_format(target, inner, pat)))
             i = close + 1

@@ -318,6 +318,7 @@ _EWMA_K = 8
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT cur.user_id, CAST(cur.rn AS BIGINT) AS rn,
            CAST(SUM(CAST(round(prev.value * pow(0.875, cur.rn - prev.rn)
@@ -343,7 +344,13 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer fold): one partition-by-user shuffle, O(window) state, no
     self-join fan-out at scale; the oracle spells the same recurrence as
     a rank-delta self-join.""".format(k=_EWMA_K)
-    ev = t(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    # NULL values are excluded BEFORE ranking on both engines: the window
+    # collect_list silently drops nulls, which would shift every array
+    # position (and thus every weight delta) relative to the oracle's
+    # rank-delta arithmetic — filtering first keeps rn consistent
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "value", "ts", "event_id")
+          .filter(F.col("value").isNotNull()))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.withColumn("rn", F.row_number().over(w))
     warr = w.rowsBetween(-(_EWMA_K - 1), 0)

@@ -38,7 +38,13 @@ TOPIC_TOKEN_TRANSFERS = "blockchain.token_transfers.raw"
 
 
 class RpcError(RuntimeError):
-    """JSON-RPC transport or protocol failure after all retries."""
+    """JSON-RPC transport failure after all retries."""
+
+
+class RpcProtocolError(RpcError):
+    """Deterministic JSON-RPC error response (method not found, invalid
+    params, pruned block): retrying cannot help, so it surfaces
+    immediately without burning the backoff schedule."""
 
 
 class JsonRpcClient:
@@ -72,7 +78,9 @@ class JsonRpcClient:
                                 self.backoff_min * 2 ** (attempt - 1)))
             try:
                 return self._call_once(method, params)
-            except Exception as exc:  # transport or RPC-level error
+            except RpcProtocolError:
+                raise  # deterministic: a retry cannot change the answer
+            except Exception as exc:  # transport-level (5xx, timeout, conn)
                 last_exc = exc
         raise RpcError(
             f"{method} failed after {self.max_attempts} attempts: {last_exc}"
@@ -88,7 +96,7 @@ class JsonRpcClient:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             out = json.loads(resp.read())
         if "error" in out:
-            raise RpcError(f"{method}: {out['error']}")
+            raise RpcProtocolError(f"{method}: {out['error']}")
         return out["result"]
 
     # -- eth_* convenience (hex-quantity decoding per the JSON-RPC spec) --

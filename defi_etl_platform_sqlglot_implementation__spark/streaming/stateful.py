@@ -214,14 +214,19 @@ def _update_ewma(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         n, ewma = state.get
     else:
         n, ewma = 0, 0.0
-    for pdf in pdfs:
-        for x in pdf.sort_values("ts")["value"]:
-            x = float(x)
-            if n == 0:
-                ewma = x
-            else:
-                ewma = EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * ewma
-            n += 1
+    # a key's microbatch rows can arrive as MULTIPLE Arrow chunks with
+    # arbitrary inter-chunk order — concatenate before sorting, or the
+    # recurrence folds out of time order once a user exceeds one chunk;
+    # event_id breaks equal-timestamp ties deterministically when present
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    sort_cols = ["ts"] + (["event_id"] if "event_id" in pdf.columns else [])
+    for x in pdf.sort_values(sort_cols, kind="mergesort")["value"]:
+        x = float(x)
+        if n == 0:
+            ewma = x
+        else:
+            ewma = EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * ewma
+        n += 1
     state.update((n, ewma))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
 

@@ -263,3 +263,17 @@ class TestAviFrameSampling:
         # yield fewer frames than the header declares
         with _pytest.raises(Exception):
             sample_avi_frames(media).collect()
+
+    def test_truncated_final_frame_raises(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            build_avi,
+            sample_avi_frames,
+        )
+
+        good = build_avi([b"aaaa", b"bbbb"])
+        bad = bytearray(good[:-2])  # cut INSIDE the last frame payload
+        media = spark.createDataFrame([(1, bad)], "doc_id long, content binary")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            sample_avi_frames(media).collect()

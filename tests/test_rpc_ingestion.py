@@ -95,7 +95,15 @@ class _FakeNode(BaseHTTPRequestHandler):
         elif method == "eth_getTransactionReceipt":
             result = self.receipts[params[0]]
         else:
-            result = None
+            body = json.dumps({"jsonrpc": "2.0", "id": req["id"],
+                               "error": {"code": -32601,
+                                         "message": "method not found"}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         body = json.dumps({"jsonrpc": "2.0", "id": req["id"],
                            "result": result}).encode()
         self.send_response(200)
@@ -183,3 +191,19 @@ def test_ingest_block_range_reaches_decoders(spark, node):
     assert transfers[0].standard == "ERC-20"
     assert transfers[0].amount == float(5 * E18)
     assert transfers[0].block_number == 1
+
+
+def test_protocol_errors_do_not_retry(node):
+    """A deterministic JSON-RPC error response must surface immediately —
+    only transport failures burn the backoff schedule."""
+    from defi_etl_platform_sqlglot_implementation__spark.sources.rpc import (
+        RpcProtocolError,
+    )
+
+    url, _ = node
+    sleeps = []
+    client = JsonRpcClient(url, sleep=sleeps.append)
+    with pytest.raises(RpcProtocolError):
+        client.call("eth_bogusMethod", [])  # node answers JSON-RPC -32601
+    assert sleeps == []          # zero backoff burned
+    assert client.n_retries == 0

@@ -264,3 +264,35 @@ class TestStreamingEwma:
             )
             assert latest[uid].n_events == len(vals)
             assert abs(latest[uid].ewma - expect) < 1e-12, (uid, vals)
+
+
+class TestEwmaChunkOrdering:
+    def test_update_fn_sorts_across_chunks(self):
+        """The state-update fn must concatenate ALL Arrow chunks before
+        sorting: a later-ts row arriving in an earlier chunk would
+        otherwise fold out of time order."""
+        import pandas as pd
+
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.stateful import (
+            EWMA_ALPHA,
+            _update_ewma,
+        )
+
+        class FakeState:
+            exists = False
+
+            def update(self, v):
+                self.value = v
+
+        # chunk 1 holds the LATER rows; chunk 2 the earlier ones
+        c1 = pd.DataFrame({"ts": ["2024-01-01 00:03:00", "2024-01-01 00:04:00"],
+                           "value": [30.0, 40.0], "event_id": [3, 4]})
+        c2 = pd.DataFrame({"ts": ["2024-01-01 00:01:00", "2024-01-01 00:02:00"],
+                           "value": [10.0, 20.0], "event_id": [1, 2]})
+        state = FakeState()
+        [out] = list(_update_ewma((7,), iter([c1, c2]), state))
+        expect = pd.Series([10.0, 20.0, 30.0, 40.0]).ewm(
+            alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+        assert out.n_events.iloc[0] == 4
+        assert abs(out.ewma.iloc[0] - expect) < 1e-12
+        assert state.value == (4, out.ewma.iloc[0])

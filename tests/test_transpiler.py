@@ -145,3 +145,34 @@ def test_sqlutil_falls_back_to_rule_transpiler():
         "SELECT date_trunc('hour', ts) FROM e", "duckdb", read="spark"
     )
     assert "DATE_TRUNC('hour', ts)" in out
+
+
+def test_mysql_percent_patterns_translate_or_raise():
+    # %-patterns from mysql/trino sources must be TRANSLATED into Java
+    # tokens (never emitted verbatim into Spark, where 'm' means minute)
+    out = transpile("SELECT DATE_FORMAT(ts, '%Y-%m-%d') AS d FROM t",
+                    "spark", source="mysql")
+    assert "yyyy-MM-dd" in out and "%" not in out
+    roundtrip = transpile("SELECT DATE_FORMAT(ts, '%H:%i:%s') AS x FROM t",
+                          "duckdb", source="mysql")
+    assert "%H:%M:%S" in roundtrip  # mysql %i (minute) -> strftime %M
+    with pytest.raises(UnsupportedConstructError):
+        transpile("SELECT DATE_FORMAT(ts, '%a') FROM t", "spark",
+                  source="mysql")
+    with pytest.raises(UnsupportedConstructError):
+        transpile("SELECT DATE_FORMAT(ts, 'at %Y') FROM t", "spark",
+                  source="mysql")  # literal letters would become Java tokens
+
+
+def test_spark_double_quoted_string_literal_becomes_single_quoted():
+    out = transpile('SELECT "hello" AS s, "it""s" AS t FROM x', "duckdb")
+    assert "'hello'" in out
+    # spark "" inside "..." is a literal double-quote; subsetted out via
+    # the backslash rule only — the doubled form survives as-is per token
+    assert '"hello"' not in out
+
+
+def test_bare_now_is_a_column_not_a_function():
+    out = transpile("SELECT now, now() AS ts FROM t", "duckdb")
+    assert out.startswith("SELECT now,")
+    assert "NOW()" in out
