@@ -26,6 +26,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm3  # noq
 from defi_etl_platform_sqlglot_implementation__spark import registry_adv2  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_transpile  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_tpch2  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_tpch3  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
