@@ -286,6 +286,66 @@ def build_bmp(pixels) -> bytes:
     return bytes(header + info + body)
 
 
+def bmp_rgb_array(doc_id, b: bytes):
+    """Decode one 24-bit uncompressed BMP byte string into a top-down
+    row-major HxWx3 RGB uint8 array — the single production pixel-decode
+    core shared by :func:`decode_bmp_pixels` and the perceptual-hash
+    operators (media_dedup.py), so a decode fix lands everywhere at once."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError(f"doc {doc_id}: not a BMP payload")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        raise ValueError(
+            f"doc {doc_id}: unsupported BMP (bpp={bpp}, "
+            f"compression={compression}, w={w}, h={h})")
+    bottom_up = h > 0
+    h_abs = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    grid = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h_abs, offset=data_offset
+    ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
+    if bottom_up:
+        grid = grid[::-1]
+    return grid[:, :, ::-1]                 # BGR -> RGB
+
+
+def wav_pcm_array(doc_id, b: bytes):
+    """Decode one RIFF/WAVE PCM16 byte string into (sample_rate,
+    n_channels, int16 sample array) — the production audio-decode core
+    shared by :func:`decode_wav_features` and the fingerprint operators."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+    pos, fmt_seen, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt_seen = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)        # chunks are word-aligned
+    if fmt_seen is None or data is None:
+        raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt_seen
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"doc {doc_id}: unsupported WAV (fmt={audio_fmt}, "
+            f"bits={bits}) — PCM16 only without codec libs")
+    return rate, n_ch, np.frombuffer(data, dtype="<i2")
+
+
 def decode_bmp_pixels(media: DataFrame) -> DataFrame:
     """REAL pixel-level decode for 24-bit uncompressed BMP content — the
     one raster format decodable with zero imaging dependencies, so the
@@ -311,27 +371,8 @@ def decode_bmp_pixels(media: DataFrame) -> DataFrame:
             out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
                                    "sum_r", "sum_g", "sum_b", "pixel_md5")}
             for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
-                b = bytes(buf)
-                if b[:2] != b"BM":
-                    raise ValueError(f"doc {doc_id}: not a BMP payload")
-                data_offset = struct.unpack_from("<I", b, 10)[0]
-                w = struct.unpack_from("<i", b, 18)[0]
-                h = struct.unpack_from("<i", b, 22)[0]
-                bpp = struct.unpack_from("<H", b, 28)[0]
-                compression = struct.unpack_from("<I", b, 30)[0]
-                if bpp != 24 or compression != 0 or w <= 0 or h == 0:
-                    raise ValueError(
-                        f"doc {doc_id}: unsupported BMP (bpp={bpp}, "
-                        f"compression={compression}, w={w}, h={h})")
-                bottom_up = h > 0
-                h_abs = abs(h)
-                stride = (w * 3 + 3) // 4 * 4
-                grid = np.frombuffer(
-                    b, dtype=np.uint8, count=stride * h_abs, offset=data_offset
-                ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
-                if bottom_up:
-                    grid = grid[::-1]
-                rgb = grid[:, :, ::-1]      # BGR -> RGB
+                rgb = bmp_rgb_array(doc_id, bytes(buf))
+                h_abs, w, _ = rgb.shape
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h_abs)
@@ -402,26 +443,7 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                                    "n_samples", "duration_ms", "peak_abs",
                                    "sum_sq", "sample_md5")}
             for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
-                b = bytes(buf)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
-                pos, fmt_seen, data = 12, None, None
-                while pos + 8 <= len(b):
-                    cid = b[pos:pos + 4]
-                    size = struct.unpack_from("<I", b, pos + 4)[0]
-                    if cid == b"fmt ":
-                        fmt_seen = struct.unpack_from("<HHIIHH", b, pos + 8)
-                    elif cid == b"data":
-                        data = b[pos + 8:pos + 8 + size]
-                    pos += 8 + size + (size & 1)  # chunks are word-aligned
-                if fmt_seen is None or data is None:
-                    raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
-                audio_fmt, n_ch, rate, _, _, bits = fmt_seen
-                if audio_fmt != 1 or bits != 16:
-                    raise ValueError(
-                        f"doc {doc_id}: unsupported WAV (fmt={audio_fmt}, "
-                        f"bits={bits}) — PCM16 only without codec libs")
-                pcm = np.frombuffer(data, dtype="<i2")
+                rate, n_ch, pcm = wav_pcm_array(doc_id, bytes(buf))
                 n_frames = len(pcm) // n_ch
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
@@ -431,7 +453,7 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 a64 = pcm.astype(np.int64)
                 out["peak_abs"].append(int(np.abs(a64).max()) if len(pcm) else 0)
                 out["sum_sq"].append(int((a64 * a64).sum()))
-                out["sample_md5"].append(hashlib.md5(data).hexdigest())
+                out["sample_md5"].append(hashlib.md5(pcm.tobytes()).hexdigest())
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, WAV_FEATURE_SCHEMA)

@@ -1,0 +1,169 @@
+"""Media-dedup gates: perceptual image hashing and audio fingerprinting,
+oracle-checked end-to-end through the REAL byte-level decoders.
+
+Each gate synthesizes media bytes deterministically from doc_id (the
+sandbox has no imaging/codec libs, so content is fabricated — but the
+BYTES are real BMP/WAV files), pushes them through the production decode
+cores (multimodal.bmp_rgb_array / wav_pcm_array: bottom-up padded BGR
+inversion, RIFF chunk walk), and derives integer-only perceptual
+signatures from the DECODED arrays. The DuckDB oracle reproduces the
+expected signatures arithmetically (generate_series pixel/sample grids),
+so any regression in build or decode — row order, byte order, padding,
+chunk alignment — changes the Spark-side hashes and breaks the value
+hash. Pair generation is banded/bucketed (see operators/media_dedup.py),
+never all-pairs; the oracle may brute-force because DuckDB only ever
+sees sf-scale data.
+
+Float parity: everything here is integer arithmetic (class 1 exact) —
+grays, energies, hamming distances, fingerprints. The only strings are
+md5 hex digests computed identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, t
+
+_BASES_SQL = """
+    bases AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN (doc_id // 10) % 25
+                    ELSE 10000 + doc_id END AS base
+        FROM documents
+    )
+"""
+
+_IMAGE_HASH_SQL = f"""
+    WITH {_BASES_SQL},
+    g AS (
+        SELECT doc_id, x, y,
+               CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
+                    THEN ((base*(2*(y*8+x)+1) + 7*(y*8+x)*(y*8+x)) % 256 + 96) % 256
+                    ELSE (base*(2*(y*8+x)+1) + 7*(y*8+x)*(y*8+x)) % 256 END AS gray
+        FROM bases,
+             generate_series(0, 7) AS gx(x),
+             generate_series(0, 7) AS gy(y)
+    ),
+    tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
+    bits AS (
+        SELECT g.doc_id, (y*8 + x) AS i,
+               CASE WHEN 64*gray > total THEN 1 ELSE 0 END AS bit
+        FROM g JOIN tot USING (doc_id)
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band0,
+               CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band1,
+               CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band2,
+               CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band3
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "image_ahash_signatures",
+    _IMAGE_HASH_SQL + "SELECT doc_id, band0, band1, band2, band3 FROM h",
+)
+def image_ahash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit aHash (as 4x16-bit bands) from DECODED BMP pixels;
+    the oracle computes the expected hash arithmetically, so the whole
+    build_bmp -> bmp_rgb_array -> threshold pipeline is hash-gated."""
+    from .operators.media_dedup import image_ahash_signatures
+
+    return image_ahash_signatures(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "image_ahash_pairs",
+    _IMAGE_HASH_SQL + """
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.band0, b.band0))
+                  + bit_count(xor(a.band1, b.band1))
+                  + bit_count(xor(a.band2, b.band2))
+                  + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def image_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs at Hamming <= 3. Spark finds candidates
+    via the banded (band_idx, band_val) equi-join — pigeonhole-complete
+    for <= 3 differing bits over 4 bands — then verifies with
+    bit_count(xor) on candidates only. The oracle brute-forces all pairs
+    (sf-scale only), proving the banded path loses nothing."""
+    from .operators.media_dedup import ahash_near_pairs, image_ahash_signatures
+
+    sigs = image_ahash_signatures(t(spark, sf_dir, "documents"))
+    return ahash_near_pairs(sigs, max_hamming=3)
+
+
+_AUDIO_FP_SQL = f"""
+    WITH {_BASES_SQL},
+    s AS (
+        SELECT doc_id, i,
+               ((base*(2*i+17) + 13*i*i) % 4096) - 2048
+               + CASE WHEN doc_id % 20 >= 10 AND i = doc_id % 256
+                      THEN 999 ELSE 0 END AS samp
+        FROM bases, generate_series(0, 255) AS gi(i)
+    ),
+    w AS (
+        SELECT doc_id, i // 16 AS win, SUM(samp*samp) AS e
+        FROM s GROUP BY doc_id, win
+    ),
+    tt AS (SELECT doc_id, SUM(e) AS total FROM w GROUP BY doc_id),
+    fp AS (
+        SELECT w.doc_id,
+               CAST(SUM(CASE WHEN 16*e > total THEN (1 << win) ELSE 0 END) AS BIGINT) AS fingerprint
+        FROM w JOIN tt USING (doc_id) GROUP BY w.doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               md5(string_agg(CAST(samp AS VARCHAR), ',' ORDER BY i)) AS sample_sig
+        FROM s GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "audio_fingerprint_signatures",
+    _AUDIO_FP_SQL + """
+    SELECT fp.doc_id, fp.fingerprint, sig.sample_sig
+    FROM fp JOIN sig ON sig.doc_id = fp.doc_id
+    """,
+)
+def audio_fingerprint_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit energy-profile fingerprint + md5 content signature
+    from DECODED PCM samples; the oracle recomputes both arithmetically
+    (md5 over the comma-joined decimal samples), pinning the WAV
+    build -> chunk-walk decode -> windowed-energy pipeline sample-exact."""
+    from .operators.media_dedup import audio_fingerprint_signatures
+
+    return audio_fingerprint_signatures(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audio_fingerprint_pairs",
+    _AUDIO_FP_SQL + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.fingerprint AS fingerprint,
+           (sa.sample_sig = sb.sample_sig) AS same_audio
+    FROM fp a
+    JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    JOIN sig sa ON sa.doc_id = a.doc_id
+    JOIN sig sb ON sb.doc_id = b.doc_id
+    """,
+)
+def audio_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dup candidates sharing a fingerprint bucket, flagged exact
+    when the decoded sample signatures match — the bucket key is the one
+    shuffle; no all-pairs comparison on the Spark side."""
+    from .operators.media_dedup import (
+        audio_fingerprint_pairs,
+        audio_fingerprint_signatures,
+    )
+
+    sigs = audio_fingerprint_signatures(t(spark, sf_dir, "documents"))
+    return audio_fingerprint_pairs(sigs)
