@@ -19,6 +19,15 @@ the constructs that genuinely differ are translated:
 - DATE_FORMAT with Java patterns → strftime / to_char / FORMAT_TIMESTAMP
   / DATE_FORMAT with per-dialect pattern-token mapping
 - integer division ``div`` (→ ``//`` on DuckDB, ``DIV`` on MySQL)
+- ``expr::type`` cast shorthand → universal ``CAST(expr AS t)`` with
+  per-target type spellings (INT64/FLOAT64 on BigQuery, SIGNED/CHAR on
+  MySQL, STRING on Spark)
+- the string-position family INSTR/STRPOS/CHARINDEX (incl. CHARINDEX's
+  flipped argument order on Snowflake)
+- APPROX_COUNT_DISTINCT ↔ APPROX_DISTINCT (Trino); loud on targets with
+  no approximate-distinct aggregate
+- ``||`` string concatenation → ``CONCAT(...)`` on MySQL (where ``||``
+  is logical OR)
 
 Anything outside the subset raises :class:`UnsupportedConstructError`
 instead of emitting silently wrong SQL — a transpiler for a documented
@@ -54,7 +63,7 @@ _TOKEN_RE = re.compile(
       | (?P<bident>`[^`]*`)
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<num>[0-9]+(?:\.[0-9]+)?)
-      | (?P<op><>|!=|<=|>=|\|\||//|.)
+      | (?P<op><>|!=|<=|>=|\|\||//|::|.)
     """,
     re.VERBOSE,
 )
@@ -263,6 +272,139 @@ def _emit_date_format(target: str, arg_sql: str, java_pat: str) -> str:
     raise UnsupportedConstructError(f"unknown target dialect {target!r}")
 
 
+# --- cast / function-family tables -----------------------------------------
+
+# ``expr::type`` shorthand is normalized to the universal CAST(expr AS t);
+# type spellings that differ per target come from this table (canonical
+# lowercase type -> {target: spelling}; absent target keeps the spelling).
+_CAST_TYPE_MAP: dict[str, dict[str, str]] = {
+    "bigint": {"bigquery": "INT64", "mysql": "SIGNED"},
+    "int": {"bigquery": "INT64", "mysql": "SIGNED"},
+    "integer": {"bigquery": "INT64", "mysql": "SIGNED"},
+    "smallint": {"bigquery": "INT64", "mysql": "SIGNED"},
+    "double": {"bigquery": "FLOAT64"},
+    "varchar": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR"},
+    "text": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR",
+             "snowflake": "VARCHAR", "trino": "VARCHAR"},
+    "string": {"duckdb": "VARCHAR", "postgres": "VARCHAR",
+               "trino": "VARCHAR", "mysql": "CHAR", "snowflake": "VARCHAR"},
+    "date": {},
+    "timestamp": {"mysql": "DATETIME"},
+    "decimal": {},
+    "boolean": {"bigquery": "BOOL"},   # mysql has no CAST AS BOOLEAN -> raise
+}
+
+_CAST_TYPE_FORBIDDEN = {("mysql", "boolean")}
+
+
+def _map_cast_type(type_word: str, target: str) -> str:
+    canon = type_word.lower()
+    if canon not in _CAST_TYPE_MAP:
+        raise UnsupportedConstructError(
+            f"cast type {type_word!r} is outside the '::' subset")
+    if (target, canon) in _CAST_TYPE_FORBIDDEN:
+        raise UnsupportedConstructError(
+            f"{target} has no CAST spelling for {type_word!r}")
+    return _CAST_TYPE_MAP[canon].get(target, type_word.upper())
+
+
+_KEYWORDS = frozenset(
+    "select from where and or not when then else end case in on by as having"
+    " group order join inner left right full outer cross union all distinct"
+    " limit offset between like is null exists with values insert update".split()
+)
+
+
+def _pop_primary(out: list[Tok]) -> list[Tok]:
+    """Remove and return the trailing primary expression from the emitted
+    stream: a balanced paren group (with an optional preceding function
+    name), or a literal/identifier with optional dotted qualification.
+    Used by the postfix rules ('::' cast, '||' concat)."""
+    while out and out[-1].kind == "ws":
+        out.pop()
+    if not out:
+        raise UnsupportedConstructError("postfix operator with no operand")
+    if out[-1].kind == "op" and out[-1].text == ")":
+        depth, k = 0, len(out) - 1
+        while k >= 0:
+            tok = out[k]
+            if tok.kind == "op" and tok.text == ")":
+                depth += 1
+            elif tok.kind == "op" and tok.text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if depth != 0:
+            raise UnsupportedConstructError("unbalanced parens before operator")
+        # include a function name directly before the group — but never a
+        # keyword (SELECT (a+b)::t must not swallow SELECT)
+        j = k - 1
+        while j >= 0 and out[j].kind == "ws":
+            j -= 1
+        if (j >= 0 and out[j].kind in ("word", "qident", "bident")
+                and out[j].text.lower() not in _KEYWORDS):
+            k = j
+        prim = out[k:]
+        del out[k:]
+        return prim
+    if out[-1].kind in ("word", "num", "str", "qident", "bident"):
+        prim = [out.pop()]
+        # dotted qualification: tbl.col
+        while (len(out) >= 2 and out[-1].kind == "op" and out[-1].text == "."
+               and out[-2].kind in ("word", "qident", "bident")):
+            prim.insert(0, out.pop())
+            prim.insert(0, out.pop())
+        return prim
+    raise UnsupportedConstructError(
+        f"cannot take operand ending in {out[-1].text!r}")
+
+
+def _take_primary(tokens: list[Tok], i: int) -> tuple[list[Tok], int]:
+    """Forward twin of :func:`_pop_primary`: read one primary expression
+    starting at index ``i`` (skipping whitespace); returns (tokens, next)."""
+    n = len(tokens)
+    while i < n and tokens[i].kind == "ws":
+        i += 1
+    if i >= n:
+        raise UnsupportedConstructError("operator with no right operand")
+    t = tokens[i]
+    if t.kind in ("word", "qident", "bident"):
+        j = _next_code(tokens, i + 1)
+        if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+            close = _match_paren(tokens, j)
+            return tokens[i:close + 1], close + 1
+        prim, k = [t], i + 1
+        while (k + 1 < n and tokens[k].kind == "op" and tokens[k].text == "."
+               and tokens[k + 1].kind in ("word", "qident", "bident")):
+            prim += [tokens[k], tokens[k + 1]]
+            k += 2
+        return prim, k
+    if t.kind in ("num", "str"):
+        return [t], i + 1
+    if t.kind == "op" and t.text == "(":
+        close = _match_paren(tokens, i)
+        return tokens[i:close + 1], close + 1
+    raise UnsupportedConstructError(
+        f"cannot take operand starting at {t.text!r}")
+
+
+# haystack/needle position family: canonical arg order is (hay, needle);
+# CHARINDEX (snowflake) flips to (needle, hay) on both read and emit.
+_POSITION_EMIT = {
+    "spark": ("instr", False), "mysql": ("instr", False),
+    "duckdb": ("strpos", False), "postgres": ("strpos", False),
+    "trino": ("strpos", False), "bigquery": ("strpos", False),
+    "snowflake": ("CHARINDEX", True),
+}
+
+_APPROX_DISTINCT_EMIT = {
+    "spark": "approx_count_distinct", "duckdb": "approx_count_distinct",
+    "snowflake": "APPROX_COUNT_DISTINCT",
+    "bigquery": "APPROX_COUNT_DISTINCT", "trino": "approx_distinct",
+}
+
+
 def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -446,6 +588,90 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                     continue
             raise UnsupportedConstructError(
                 "EXTRACT form not in the subset (YEAR/MONTH/DAY FROM expr)")
+
+        # --- ``expr::type`` cast shorthand -> universal CAST ------------
+        if t.kind == "op" and t.text == "::":
+            prim = _pop_primary(out)
+            j = _next_code(tokens, i + 1)
+            if j >= n or tokens[j].kind != "word":
+                raise UnsupportedConstructError("'::' without a type name")
+            type_word = tokens[j].text
+            k = _next_code(tokens, j + 1)
+            suffix = ""
+            if (type_word.lower() == "decimal" and k < n
+                    and tokens[k].kind == "op" and tokens[k].text == "("):
+                close = _match_paren(tokens, k)
+                suffix = render(tokens[k:close + 1])
+                k = close + 1
+            else:
+                k = j + 1
+            mapped = _map_cast_type(type_word, target)
+            out.append(Tok("word",
+                           f"CAST({render(prim)} AS {mapped}{suffix})"))
+            i = k
+            continue
+
+        # --- position family: instr/strpos/charindex --------------------
+        if t.is_word("instr", "strpos", "charindex"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                args = _split_args(tokens, j, close)
+                if len(args) != 2:
+                    raise UnsupportedConstructError(
+                        f"{t.text} arity != 2 is outside the subset")
+                a0 = render(_rewrite(args[0], source, target))
+                a1 = render(_rewrite(args[1], source, target))
+                hay, needle = (a1, a0) if t.text.lower() == "charindex" \
+                    else (a0, a1)
+                fn, flipped = _POSITION_EMIT[target]
+                emitted = (f"{fn}({needle}, {hay})" if flipped
+                           else f"{fn}({hay}, {needle})")
+                out.append(Tok("word", emitted))
+                i = close + 1
+                continue
+            out.append(t)   # bare identifier named instr/strpos
+            i += 1
+            continue
+
+        # --- approximate distinct family --------------------------------
+        if t.is_word("approx_count_distinct", "approx_distinct"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                args = _split_args(tokens, j, close)
+                if len(args) != 1:
+                    raise UnsupportedConstructError(
+                        "approx distinct with extra arguments is outside "
+                        "the subset")
+                if target not in _APPROX_DISTINCT_EMIT:
+                    raise UnsupportedConstructError(
+                        f"{target} has no approximate-distinct aggregate "
+                        "in the subset")
+                inner = render(_rewrite(args[0], source, target))
+                out.append(Tok(
+                    "word", f"{_APPROX_DISTINCT_EMIT[target]}({inner})"))
+                i = close + 1
+                continue
+            out.append(t)
+            i += 1
+            continue
+
+        # --- ``||`` string concat -> CONCAT on MySQL --------------------
+        if t.kind == "op" and t.text == "||" and target == "mysql":
+            operands = [render(_pop_primary(out))]
+            k = i
+            while k < n and tokens[k].kind == "op" and tokens[k].text == "||":
+                prim, k2 = _take_primary(tokens, k + 1)
+                operands.append(render(_rewrite(list(prim), source, target)))
+                k = _next_code(tokens, k2)
+                if not (k < n and tokens[k].kind == "op"
+                        and tokens[k].text == "||"):
+                    k = k2
+                    break
+            out.append(Tok("word", f"CONCAT({', '.join(operands)})"))
+            i = k
+            continue
 
         # --- integer division ``div`` ----------------------------------
         if t.is_word("div"):

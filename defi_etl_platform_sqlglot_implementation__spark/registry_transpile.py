@@ -97,3 +97,25 @@ def transpiled_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the transpiled DuckDB emission as the oracle."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MONTHLY_SQL_SPARK)
+
+
+_POSITION_SQL_SPARK = """
+    SELECT instr(event_type, 'c') AS pos_c,
+           event_type || '-' || CAST(user_id % 10 AS STRING) AS tag,
+           FLOOR(value)::BIGINT AS value_int,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("transpiled_position_concat",
+          transpile(_POSITION_SQL_SPARK, "duckdb"))
+def transpiled_position_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth transpiler gate covering the round-3 subset widening: the
+    string-position family (Spark ``instr`` → DuckDB ``strpos``), the
+    ``||`` concatenation passthrough, and the ``expr::type`` cast
+    shorthand normalized to universal CAST — executed on Spark with the
+    transpiled DuckDB emission as the oracle, so an argument-order or
+    type-mapping bug breaks the hash."""
+    return _run_spark_text(spark, sf_dir, _POSITION_SQL_SPARK)

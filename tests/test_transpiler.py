@@ -176,3 +176,85 @@ def test_bare_now_is_a_column_not_a_function():
     out = transpile("SELECT now, now() AS ts FROM t", "duckdb")
     assert out.startswith("SELECT now,")
     assert "NOW()" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-3 subset widening: '::' casts, position family, approx-distinct,
+# '||' on MySQL
+# ---------------------------------------------------------------------------
+
+def test_colon_cast_shorthand_normalizes_to_cast():
+    out = transpile("SELECT value::BIGINT AS v, (a + b)::DOUBLE AS s FROM t",
+                    "spark", source="duckdb")
+    assert "CAST(value AS BIGINT)" in out
+    assert "CAST((a + b) AS DOUBLE)" in out
+    # per-target type spellings
+    bq = transpile("SELECT x::DOUBLE, y::VARCHAR FROM t", "bigquery",
+                   source="postgres")
+    assert "FLOAT64" in bq and "STRING" in bq
+    my = transpile("SELECT x::BIGINT, y::TEXT FROM t", "mysql",
+                   source="postgres")
+    assert "SIGNED" in my and "CHAR" in my
+    dec = transpile("SELECT x::DECIMAL(12,2) FROM t", "spark", source="duckdb")
+    assert "CAST(x AS DECIMAL(12,2))" in dec
+    # qualified names and function-call operands
+    q = transpile("SELECT e.val::DATE, sum(v)::VARCHAR FROM t e", "spark",
+                  source="duckdb")
+    assert "CAST(e.val AS DATE)" in q and "CAST(sum(v) AS STRING)" in q
+
+
+def test_colon_cast_loud_edges():
+    with pytest.raises(UnsupportedConstructError):
+        transpile("SELECT x::FANCYTYPE FROM t", "spark", source="duckdb")
+    with pytest.raises(UnsupportedConstructError):
+        transpile("SELECT x::BOOLEAN FROM t", "mysql", source="duckdb")
+
+
+def test_position_family_mappings():
+    assert "strpos(event_type, 'c')" in transpile(
+        "SELECT instr(event_type, 'c') FROM t", "duckdb")
+    # snowflake CHARINDEX flips argument order on both read and emit
+    assert "CHARINDEX('c', name)" in transpile(
+        "SELECT strpos(name, 'c') FROM t", "snowflake", source="postgres")
+    assert "instr(name, 'c')" in transpile(
+        "SELECT CHARINDEX('c', name) FROM t", "spark", source="snowflake")
+
+
+def test_approx_distinct_family():
+    assert "approx_distinct(user_id)" in transpile(
+        "SELECT approx_count_distinct(user_id) FROM t", "trino")
+    assert "approx_count_distinct(u)" in transpile(
+        "SELECT approx_distinct(u) FROM t", "spark", source="trino")
+    with pytest.raises(UnsupportedConstructError):
+        transpile("SELECT approx_count_distinct(x) FROM t", "postgres")
+
+
+def test_concat_pipes_on_mysql():
+    out = transpile("SELECT 'a' || event_type || 'z' AS s FROM t", "mysql")
+    assert "CONCAT('a', event_type, 'z')" in out
+    assert "||" not in out
+    # function-call and qualified operands
+    out2 = transpile("SELECT upper(a) || e.b FROM t e", "mysql",
+                     source="duckdb")
+    assert "CONCAT(upper(a), e.b)" in out2
+    # non-mysql targets keep the operator
+    assert "||" in transpile("SELECT a || b FROM t", "duckdb")
+
+
+def test_duckdb_to_spark_executable_roundtrip(spark):
+    """Executable proof in the reverse direction: a DuckDB-dialect text
+    with '::' casts and strpos runs on DuckDB, its Spark emission runs on
+    Spark, and the frames match."""
+    sql_duck = ("SELECT FLOOR(value)::BIGINT AS vi, "
+                "strpos(event_type, 'c') AS p, COUNT(*) AS n "
+                "FROM events GROUP BY 1, 2")
+    from defi_etl_platform_sqlglot_implementation__spark.registry import t
+    t(spark, SF, "events").createOrReplaceTempView("events")
+    got = _normalize(spark.sql(transpile(sql_duck, "spark",
+                                         source="duckdb")).toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = _normalize(con.execute(sql_duck).df())
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got.astype(object), want.astype(object),
+                                  check_dtype=False)
