@@ -174,10 +174,9 @@ _BM25_B = 0.75
 def _bm25_terms_sql() -> str:
     return ", ".join(f"('{x}')" for x in _BM25_TERMS)
 
-@register(
-    "bm25_search",
-    f"""
-    WITH toks AS (
+# The BM25 scoring CTE chain is shared between the bm25_search oracle and
+# the hybrid-retrieval fusion oracle below — one definition, two gates.
+_BM25_ORACLE_CTES = f"""toks AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ),
     terms(term) AS (VALUES {_bm25_terms_sql()}),
@@ -204,9 +203,16 @@ def _bm25_terms_sql() -> str:
                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                       + {_BM25_B} * (CAST(tf.dl * s.n_docs AS DOUBLE) / s.sum_dl)))
                ) AS BIGINT) AS score_micro
-        FROM tf JOIN df d USING (term) CROSS JOIN stats s
+        FROM tf JOIN df d USING (term)
+        CROSS JOIN stats s
         WHERE tf.tf > 0
-    )
+    )"""
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH {_BM25_ORACLE_CTES}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
            CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
@@ -385,4 +391,137 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "es_key",
             F.col("rk").cast("long").alias("rk"),
         )
+    )
+
+
+# =========================================================================
+# Hybrid retrieval — BM25 + embedding cosine fused by reciprocal rank
+# =========================================================================
+
+def _hybrid_oracle_sql() -> str:
+    from .registry_llm import _dot_chain
+
+    return f"""
+    WITH {_BM25_ORACLE_CTES},
+    bm AS (
+        SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+        FROM scored GROUP BY 1
+    ),
+    lex50 AS (
+        SELECT doc_id, bm25_micro FROM bm
+        ORDER BY bm25_micro DESC, doc_id LIMIT 50
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM lex50
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    sem0 AS (
+        SELECT e.vec_id AS doc_id,
+               ({_dot_chain('q', 'e')})
+               / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('e', 'e')}))
+                   AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+    ),
+    sem50 AS (
+        SELECT doc_id, cosine FROM sem0
+        ORDER BY cosine DESC, doc_id LIMIT 50
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                    AS BIGINT) AS rank_sem
+        FROM sem50
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.rank_lex, sem.rank_sem,
+               COALESCE(CAST(round(1e6 / (60 + lex.rank_lex)) AS BIGINT), 0)
+             + COALESCE(CAST(round(1e6 / (60 + sem.rank_sem)) AS BIGINT), 0)
+                   AS rrf_micro
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_micro,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                      AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 20
+    """
+
+
+@register("hybrid_search_rrf", _hybrid_oracle_sql())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword scores and embedding-cosine scores
+    fused with reciprocal rank fusion (Cormack et al. 2009, k=60) — the
+    standard candidate-merging shape behind RAG retrieval stacks.
+
+    Scale shape: each ranker's top-50 comes from orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, no global sort of the
+    score table); the ROW_NUMBER windows then run over <= 50-row frames,
+    and the fusion is a full outer join of two 50-row lists. In a
+    multi-query deployment every step partitions by query_id; the
+    single-query gate keeps the same operator chain.
+
+    Parity: ranks are integers; each RRF contribution is micro-quantized
+    (round(1e6/(60+rank)) -> BIGINT) per ranker BEFORE the cross-ranker
+    sum, so the fused score is an order-free integer sum (the registry
+    money-sum rule applied to rank fusion)."""
+    from .operators.similarity import dot, with_norm
+
+    bm = bm25_search(spark, sf_dir).select("doc_id", "bm25_micro")
+    w_lex = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    lex = (
+        bm.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(50)
+        .withColumn("rank_lex", F.row_number().over(w_lex).cast("long"))
+        .select("doc_id", "rank_lex")
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = with_norm(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe")),
+        "qe", "qn",
+    )
+    cand = with_norm(
+        e.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce")
+        ),
+        "ce", "cn",
+    )
+    sem0 = cand.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        (dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w_sem = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    sem = (
+        sem0.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(50)
+        .withColumn("rank_sem", F.row_number().over(w_sem).cast("long"))
+        .select(F.col("doc_id").alias("s_doc_id"), "rank_sem")
+    )
+
+    fused = (
+        lex.join(sem, lex.doc_id == sem.s_doc_id, "full_outer")
+        .select(
+            F.coalesce(lex.doc_id, sem.s_doc_id).alias("doc_id"),
+            "rank_lex", "rank_sem",
+            (
+                F.coalesce(
+                    F.round(F.lit(1e6) / (F.lit(60) + F.col("rank_lex")))
+                    .cast("long"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.round(F.lit(1e6) / (F.lit(60) + F.col("rank_sem")))
+                    .cast("long"), F.lit(0)
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("fused_rank") <= 20)
     )

@@ -9,8 +9,10 @@ from defi_etl_platform_sqlglot_implementation__spark import registry  # noqa: F4
 from defi_etl_platform_sqlglot_implementation__spark import (
     registry_llm,
     registry_llm2,
+    registry_llm3,  # noqa: F401 — fills QUERIES (bm25, hybrid RRF)
     registry_sql2,
 )
+import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
@@ -108,3 +110,31 @@ def test_tfidf_top_terms_ranked(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestHybridSearchRRF:
+    def test_fusion_invariants(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        out = QUERIES["hybrid_search_rrf"](spark, "/root/testdata/sf0.001").toPandas()
+        assert len(out) == 20
+        assert out.fused_rank.tolist() == sorted(out.fused_rank.tolist())
+        # fused scores are non-increasing along the fused rank
+        srt = out.sort_values("fused_rank")
+        assert (srt.rrf_micro.to_numpy()[:-1] >= srt.rrf_micro.to_numpy()[1:]).all()
+        # every contribution decomposes into the two rank terms
+        for _, r in srt.iterrows():
+            expect = 0
+            if pd.notna(r.rank_lex):
+                expect += round(1e6 / (60 + int(r.rank_lex)))
+            if pd.notna(r.rank_sem):
+                expect += round(1e6 / (60 + int(r.rank_sem)))
+            assert r.rrf_micro == expect
+
+    def test_topk_plans_avoid_global_sort_of_score_tables(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        plan = (QUERIES["hybrid_search_rrf"](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        # both ranker top-50s must be TakeOrderedAndProject, not Sort+Limit
+        assert plan.count("TakeOrderedAndProject") >= 2
