@@ -525,3 +525,198 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
         .filter(F.col("fused_rank") <= 20)
     )
+
+
+# =========================================================================
+# SemDeDup — semantic dedup blocked by nearest-centroid cluster
+# =========================================================================
+
+def _semdedup_assigned_ctes(n_centroids: int = 16) -> str:
+    from .registry_llm import _dot_chain
+
+    return f"""cent AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id < {n_centroids}
+    ),
+    asg AS (
+        SELECT vec_id, centroid_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ({_dot_chain('e', 'c')})
+                   / (sqrt({_dot_chain('e', 'e')}) * sqrt({_dot_chain('c', 'c')})) AS csim
+            FROM embeddings e, cent c
+        )
+    ),
+    assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM asg WHERE rn = 1)"""
+
+
+def _semdedup_pairs_sql() -> str:
+    from .registry_llm import _dot_chain
+
+    cos = (f"({_dot_chain('ea', 'eb')})"
+           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    return f"""
+    WITH {_semdedup_assigned_ctes()}
+    SELECT a.cluster_id, a.vec_id AS d1, b.vec_id AS d2, {cos} AS cosine
+    FROM assigned a
+    JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE {cos} >= 4e-1
+    """
+
+
+@register("semdedup_pairs", _semdedup_pairs_sql())
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    WITHIN nearest-centroid clusters — cluster assignment is the blocking
+    key, so the pair join is a hash equi-join on cluster_id whose fan-out
+    is bounded by the largest cluster, never the all-pairs BNLJ. Centroids
+    are the first 16 corpus vectors (the deterministic stand-in for an
+    offline k-means — same convention as ann_ivf); cosines are the
+    bit-exact fold-order dot chains, so the threshold filter and the
+    assignment argmax are engine-identical."""
+    from .operators.similarity import assign_clusters, dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.orderBy("vec_id").limit(16)
+    assigned = assign_clusters(e, centroids)
+    a = with_norm(
+        assigned.select("cluster_id", F.col("vec_id").alias("d1"),
+                        F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(
+        assigned.select(F.col("cluster_id").alias("_cb"),
+                        F.col("vec_id").alias("d2"),
+                        F.col("embedding").alias("eb")), "eb", "nb")
+    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return (
+        a.join(b, (F.col("cluster_id") == F.col("_cb"))
+               & (F.col("d1") < F.col("d2")))
+        .select("cluster_id", "d1", "d2", cos)
+        .filter(F.col("cosine") >= 4e-1)
+    )
+
+
+def _semdedup_recall_sql() -> str:
+    from .registry_llm import _dot_chain
+
+    cos = (f"({_dot_chain('ea', 'eb')})"
+           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    return f"""
+    WITH {_semdedup_assigned_ctes()},
+    assigned4 AS (SELECT vec_id, centroid_id AS cluster_id FROM asg WHERE rn <= 4),
+    true_pairs AS (
+        SELECT ea.vec_id AS d1, eb.vec_id AS d2
+        FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        WHERE {cos} >= 4e-1
+    ),
+    found1 AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM assigned a
+        JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {cos} >= 4e-1
+    ),
+    found4 AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM assigned4 a
+        JOIN assigned4 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {cos} >= 4e-1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM found1) AS n_found_hard,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM found4) AS n_found_probe4,
+           CAST(round(1e4 * (SELECT COUNT(*) FROM found1)
+                          / (SELECT COUNT(*) FROM true_pairs)) AS BIGINT)
+               AS recall_bp_hard,
+           CAST(round(1e4 * (SELECT COUNT(*) FROM found4)
+                          / (SELECT COUNT(*) FROM true_pairs)) AS BIGINT)
+               AS recall_bp_probe4
+    """
+
+
+@register("semdedup_recall", _semdedup_recall_sql())
+def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric quality gate for SemDeDup's blocking loss: counts the
+    full brute-force near-dup pairs (the oracle path — BNLJ, sf-scale
+    only; excluded from sf1 stress like dedup_embedding_cosine) and the
+    cluster-blocked pairs at BOTH ends of the assignment/recall tradeoff
+    — hard assignment (1 cluster per vector: cheapest, recall ~19% on
+    this corpus with stand-in centroids) and 4-way soft assignment (4x
+    candidate fan-out, recall ~92%) — emitting recall in basis points as
+    deterministic integers. Same evidentiary pattern as
+    similarity_ann_recall: approximation quality is MEASURED and
+    hash-pinned, not argued."""
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    a = with_norm(e.select(F.col("vec_id").alias("d1"),
+                           F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(e.select(F.col("vec_id").alias("d2"),
+                           F.col("embedding").alias("eb")), "eb", "nb")
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    true_cnt = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .filter(cos >= 4e-1)
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
+    found1 = semdedup_pairs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_found_hard")
+    )
+    found4 = _semdedup_multi_pairs(spark, sf_dir, n_assign=4).agg(
+        F.count("*").cast("long").alias("n_found_probe4")
+    )
+    return (
+        true_cnt.crossJoin(found1).crossJoin(found4)
+        .select(
+            "n_true", "n_found_hard", "n_found_probe4",
+            F.round(F.lit(1e4) * F.col("n_found_hard") / F.col("n_true"))
+            .cast("long").alias("recall_bp_hard"),
+            F.round(F.lit(1e4) * F.col("n_found_probe4") / F.col("n_true"))
+            .cast("long").alias("recall_bp_probe4"),
+        )
+    )
+
+
+def _semdedup_multi_pairs(spark: SparkSession, sf_dir: str,
+                          n_assign: int) -> DataFrame:
+    """Soft-assignment SemDeDup candidates: each vector joins its
+    ``n_assign`` nearest clusters, pairs deduplicate across shared
+    clusters — the standard recall knob (cost grows ~n_assign^2 within
+    shared clusters, recall measured by semdedup_recall)."""
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.orderBy("vec_id").limit(16)
+    c = with_norm(
+        centroids.select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("ce")), "ce", "cnorm")
+    ev = with_norm(e, "embedding", "enorm")
+    sim = (dot("embedding", "ce") / (F.col("enorm") * F.col("cnorm"))).alias("csim")
+    scored = ev.join(F.broadcast(c)).select("vec_id", "embedding", sim,
+                                            "centroid_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_assign)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster_id"))
+    )
+    a = with_norm(
+        assigned.select("cluster_id", F.col("vec_id").alias("d1"),
+                        F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(
+        assigned.select(F.col("cluster_id").alias("_cb"),
+                        F.col("vec_id").alias("d2"),
+                        F.col("embedding").alias("eb")), "eb", "nb")
+    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb")))
+    return (
+        a.join(b, (F.col("cluster_id") == F.col("_cb"))
+               & (F.col("d1") < F.col("d2")))
+        .filter(cos >= 4e-1)
+        .select("d1", "d2")
+        .distinct()
+    )

@@ -138,3 +138,33 @@ class TestHybridSearchRRF:
                 ._jdf.queryExecution().executedPlan().toString())
         # both ranker top-50s must be TakeOrderedAndProject, not Sort+Limit
         assert plan.count("TakeOrderedAndProject") >= 2
+
+
+class TestSemDeDup:
+    def test_blocked_pairs_subset_of_brute(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+        from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import (
+            dot, with_norm)
+        from pyspark.sql import functions as F
+
+        pairs = QUERIES["semdedup_pairs"](spark, SF).toPandas()
+        e = registry.t(spark, SF, "embeddings")
+        a = with_norm(e.select(F.col("vec_id").alias("d1"),
+                               F.col("embedding").alias("ea")), "ea", "na")
+        b = with_norm(e.select(F.col("vec_id").alias("d2"),
+                               F.col("embedding").alias("eb")), "eb", "nb")
+        cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+        brute = {(r.d1, r.d2) for r in
+                 a.join(b, F.col("d1") < F.col("d2")).filter(cos >= 4e-1)
+                  .select("d1", "d2").collect()}
+        found = {(r.d1, r.d2) for _, r in pairs.iterrows()}
+        assert found <= brute          # blocking never invents pairs
+        # every found pair really clears the threshold
+        assert (pairs.cosine >= 0.4).all()
+
+    def test_recall_gate_monotone(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        row = QUERIES["semdedup_recall"](spark, SF).collect()[0]
+        assert 0 < row.n_found_hard <= row.n_found_probe4 <= row.n_true
+        assert 0 < row.recall_bp_hard <= row.recall_bp_probe4 <= 10000
