@@ -601,3 +601,55 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_DQ_RULES)}, {stack_args}) AS (rule, n_violations)",
         "n_checked",
     ).select("rule", "n_checked", "n_violations")
+
+
+# =========================================================================
+# Z-order clustering — multi-dimensional locality for data skipping
+# =========================================================================
+
+def _zorder_oracle_sql() -> str:
+    from .operators.layout import zorder_sql
+
+    z = zorder_sql(["ua", "vb"], bits=10)
+    return f"""
+    WITH m AS (
+        SELECT user_id % 1024 AS ua,
+               abs(CAST(FLOOR(value) AS BIGINT)) % 1024 AS vb
+        FROM events
+    ),
+    z AS (SELECT ua, vb, {z} AS zval FROM m)
+    SELECT zval >> 14 AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(ua) AS min_u, MAX(ua) AS max_u,
+           MIN(vb) AS min_v, MAX(vb) AS max_v
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_locality", _zorder_oracle_sql())
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two event dimensions, bucketed
+    by the code's high bits, with per-bucket min/max of BOTH raw
+    dimensions — the statistics a parquet reader uses for row-group
+    pruning. A contiguous z-range bounds every interleaved dimension at
+    once, which is exactly why Delta/Iceberg OPTIMIZE ZORDER exists; the
+    oracle recomputes the identical shift/mask interleave in SQL, so a
+    bit-order regression in zorder_value hash-fails. The clustering WRITE
+    built on this key (operators/layout.write_zordered: one range
+    repartition + per-partition sort) is exercised with real file-level
+    min/max evidence in tests/test_layout.py."""
+    from .operators.layout import zorder_value
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1024).alias("ua"),
+        (F.abs(F.floor("value").cast("long")) % 1024).alias("vb"),
+    )
+    z = ev.withColumn("zval", zorder_value(["ua", "vb"], bits=10))
+    return (
+        z.groupBy(F.shiftright("zval", 14).alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("ua").alias("min_u"), F.max("ua").alias("max_u"),
+            F.min("vb").alias("min_v"), F.max("vb").alias("max_v"),
+        )
+    )
