@@ -720,3 +720,155 @@ def _semdedup_multi_pairs(spark: SparkSession, sf_dir: str,
         .select("d1", "d2")
         .distinct()
     )
+
+
+# =========================================================================
+# Count-Min Sketch — bounded-memory token frequency estimation
+# =========================================================================
+
+_CMS_D = 4            # hash rows
+_CMS_W = 256          # buckets per row
+_CMS_P = 2147483647   # Mersenne prime 2^31 - 1
+_CMS_A = (1103, 12289, 331, 7841)
+_CMS_B = (54321, 917, 2469, 13)
+_CMS_PROBES = ("table", "join", "window", "select", "merge", "the",
+               "zzz_absent", "index")
+
+
+def _cms_probe_sql() -> str:
+    return ", ".join(f"('{p}')" for p in _CMS_PROBES)
+
+
+def _cms_oracle_sql() -> str:
+    buckets = ",\n               ".join(
+        f"(({_CMS_A[j]} * base_h + {_CMS_B[j]}) % {_CMS_P}) % {_CMS_W} AS b{j}"
+        for j in range(_CMS_D)
+    )
+    sketch_rows = "\n        UNION ALL\n".join(
+        f"        SELECT {j} AS row_id, b{j} AS bucket, cnt FROM tok_counts"
+        for j in range(_CMS_D)
+    )
+    probe_bucket = ",\n               ".join(
+        f"(({_CMS_A[j]} * base_h + {_CMS_B[j]}) % {_CMS_P}) % {_CMS_W} AS b{j}"
+        for j in range(_CMS_D)
+    )
+    est_joins = "\n    ".join(
+        f"LEFT JOIN cms c{j} ON c{j}.row_id = {j} AND c{j}.bucket = p.b{j}"
+        for j in range(_CMS_D)
+    )
+    least = ("LEAST(" + ", ".join(f"COALESCE(c{j}.total, 0)"
+                                  for j in range(_CMS_D)) + ")")
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tok_counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS base_h,
+               {buckets}
+        FROM (SELECT tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS base_h
+              FROM toks) _t(tok, base_h)
+        GROUP BY tok, base_h
+    ),
+    sketch_in AS (
+{sketch_rows}
+    ),
+    cms AS (
+        SELECT row_id, bucket, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM sketch_in GROUP BY 1, 2
+    ),
+    probes(term) AS (VALUES {_cms_probe_sql()}),
+    p AS (
+        SELECT term, ('0x' || substr(md5(term), 1, 8))::BIGINT AS base_h,
+               {probe_bucket}
+        FROM (SELECT term, ('0x' || substr(md5(term), 1, 8))::BIGINT AS base_h
+              FROM probes) _p(term, base_h)
+    ),
+    exact AS (
+        SELECT p2.term, COALESCE(tc.cnt, 0) AS exact_cnt
+        FROM probes p2 LEFT JOIN tok_counts tc ON tc.tok = p2.term
+    )
+    SELECT p.term,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST({least} AS BIGINT) AS cms_estimate,
+           ({least} >= e.exact_cnt) AS never_underestimates
+    FROM p
+    {est_joins}
+    JOIN exact e ON e.term = p.term
+    """
+
+
+@register("token_freq_cms", _cms_oracle_sql())
+def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) token-frequency
+    estimation, hash-gated against exact counts: the sketch is a
+    {_CMS_D}x{_CMS_W} integer grid built with one map-side-combinable
+    aggregation; probes read back the row-wise minimum. The
+    never_underestimates booleans pin the CMS one-sided error guarantee
+    (estimate >= truth, always) per probe — including a token absent
+    from the corpus, whose estimate is pure collision mass.
+
+    Cross-engine hashing: the base hash is the first 8 hex chars of
+    md5(token) as an integer (identical in Spark's conv(...) and
+    DuckdB's hex cast), pushed through {_CMS_D} universal-hash rows
+    ((a*h + b) mod p mod w) — all integer-exact.
+
+    Scale shape: the sketch is {_CMS_D * _CMS_W} cells regardless of
+    corpus size — THE bounded-memory frequency structure for streams; a
+    100 TB build aggregates (row, bucket) partial counts map-side and
+    broadcasts the finished grid to probes."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    base_h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    tok_counts = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("base_h", base_h)
+    )
+    for j in range(_CMS_D):
+        tok_counts = tok_counts.withColumn(
+            f"b{j}",
+            ((F.lit(_CMS_A[j]) * F.col("base_h") + _CMS_B[j]) % _CMS_P) % _CMS_W,
+        )
+    sketch_in = None
+    for j in range(_CMS_D):
+        part = tok_counts.select(
+            F.lit(j).alias("row_id"), F.col(f"b{j}").alias("bucket"), "cnt"
+        )
+        sketch_in = part if sketch_in is None else sketch_in.unionByName(part)
+    cms = (
+        sketch_in.groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+    )
+
+    probes = spark.createDataFrame([(x,) for x in _CMS_PROBES], "term string")
+    p = probes.withColumn(
+        "base_h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    )
+    for j in range(_CMS_D):
+        p = p.withColumn(
+            f"b{j}",
+            ((F.lit(_CMS_A[j]) * F.col("base_h") + _CMS_B[j]) % _CMS_P) % _CMS_W,
+        )
+    est = p
+    for j in range(_CMS_D):
+        cj = cms.filter(F.col("row_id") == j).select(
+            F.col("bucket").alias(f"_bk{j}"), F.col("total").alias(f"_t{j}")
+        )
+        est = est.join(F.broadcast(cj), est[f"b{j}"] == cj[f"_bk{j}"],
+                       "left")
+    exact = probes.join(
+        tok_counts.select(F.col("tok").alias("term"),
+                          F.col("cnt").alias("exact_cnt")),
+        "term", "left",
+    ).select("term", F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt"))
+    least = F.least(*[F.coalesce(F.col(f"_t{j}"), F.lit(0))
+                      for j in range(_CMS_D)]).cast("long")
+    return (
+        est.join(exact, "term")
+        .select(
+            "term", "exact_cnt",
+            least.alias("cms_estimate"),
+            (least >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+    )

@@ -168,3 +168,16 @@ class TestSemDeDup:
         row = QUERIES["semdedup_recall"](spark, SF).collect()[0]
         assert 0 < row.n_found_hard <= row.n_found_probe4 <= row.n_true
         assert 0 < row.recall_bp_hard <= row.recall_bp_probe4 <= 10000
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_on_all_probes(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        out = QUERIES["token_freq_cms"](spark, SF).toPandas()
+        assert len(out) == 8
+        assert out.never_underestimates.all()
+        assert (out.cms_estimate >= out.exact_cnt).all()
+        # absent probe exists and reports only collision mass
+        absent = out[out.term == "zzz_absent"]
+        assert len(absent) == 1 and absent.exact_cnt.iloc[0] == 0
