@@ -653,3 +653,77 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vb").alias("min_v"), F.max("vb").alias("max_v"),
         )
     )
+
+
+# =========================================================================
+# Entity resolution — multi-pass blocked fuzzy matching (edit distance)
+# =========================================================================
+
+@register(
+    "fuzzy_customer_pairs",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               substr(c_name, 10, 5) AS blk1,
+               substr(c_name, 15, 4) AS blk2,
+               length(c_name) AS nlen
+        FROM customer
+    ),
+    cand AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM c a JOIN c b
+          ON a.blk1 = b.blk1 AND a.nlen = b.nlen
+         AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        FROM c a JOIN c b
+          ON a.blk2 = b.blk2 AND a.nlen = b.nlen
+         AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: customer-name pairs
+    within Levenshtein distance 1, found via MULTI-PASS BLOCKING — two
+    hash-join passes on disjoint digit blocks (chars 10-14 and 15-18 of
+    the zero-padded name) plus a length key. Pigeonhole completeness for
+    the equal-length case: one substitution cannot touch both disjoint
+    blocks, so every distance<=1 pair shares at least one block key
+    verbatim (length-changing edits are excluded by the length key and
+    impossible between equal-format names). The quadratic
+    levenshtein(UDF-free, JVM codegen on both engines) runs only on the
+    blocked candidates — never all-pairs. This is the standard Fellegi-
+    Sunter blocking shape record-linkage systems run at warehouse scale;
+    tests brute-verify completeness on the small SF."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.substring("c_name", 10, 5).alias("blk1"),
+        F.substring("c_name", 15, 4).alias("blk2"),
+        F.length("c_name").alias("nlen"),
+    )
+
+    def blocked(key: str) -> DataFrame:
+        a = c.select(F.col("c_custkey").alias("id_a"),
+                     F.col("c_name").alias("name_a"),
+                     F.col(key).alias("_k"), F.col("nlen").alias("_la"))
+        b = c.select(F.col("c_custkey").alias("id_b"),
+                     F.col("c_name").alias("name_b"),
+                     F.col(key).alias("_kb"), F.col("nlen").alias("_lb"))
+        return (
+            a.join(b, (F.col("_k") == F.col("_kb"))
+                   & (F.col("_la") == F.col("_lb"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "name_a", "name_b")
+        )
+
+    cand = blocked("blk1").unionByName(blocked("blk2")).distinct()
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(dist <= 1)
+        .select("id_a", "id_b", dist.cast("long").alias("distance"))
+    )
