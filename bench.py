@@ -36,6 +36,17 @@ BENCH_QUERIES = [
     "bm25_search",
     "scd2_history",
     "ewma_user_value",
+    # session-2 additions: one representative per new family (TPC-H wave 4,
+    # hybrid retrieval, media dedup, SemDeDup, CMS sketch, blocked fuzzy,
+    # z-order). Totals are therefore NOT comparable to BENCH_r02's 15-query
+    # or the early-r03 18-query set without subtracting these.
+    "returned_item_customers",
+    "hybrid_search_rrf",
+    "image_ahash_pairs",
+    "semdedup_pairs",
+    "token_freq_cms",
+    "fuzzy_customer_pairs",
+    "zorder_locality",
 ]
 
 

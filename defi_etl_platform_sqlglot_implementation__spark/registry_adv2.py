@@ -664,8 +664,11 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
         SELECT c_custkey, c_name,
-               substr(c_name, 10, 5) AS blk1,
-               substr(c_name, 15, 4) AS blk2,
+               concat(substr(c_name, 10, 1), substr(c_name, 12, 1),
+                      substr(c_name, 14, 1), substr(c_name, 16, 1),
+                      substr(c_name, 18, 1)) AS blk1,
+               concat(substr(c_name, 11, 1), substr(c_name, 13, 1),
+                      substr(c_name, 15, 1), substr(c_name, 17, 1)) AS blk2,
                length(c_name) AS nlen
         FROM customer
     ),
@@ -690,8 +693,14 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by blocked fuzzy matching: customer-name pairs
     within Levenshtein distance 1, found via MULTI-PASS BLOCKING — two
-    hash-join passes on disjoint digit blocks (chars 10-14 and 15-18 of
-    the zero-padded name) plus a length key. Pigeonhole completeness for
+    hash-join passes on disjoint INTERLEAVED digit blocks (even vs odd
+    character positions of the zero-padded number) plus a length key.
+    Interleaving matters for discriminative power: contiguous blocks
+    degenerate on dense small ids (the leading-digits block takes 2
+    distinct values over 15k names at sf0.1 -> a 10k-name block ->
+    50M candidate Levenshteins, measured as a multi-minute stall),
+    while parity blocks mix high and low digits so both keys stay
+    high-cardinality at any id density. Pigeonhole completeness for
     the equal-length case: one substitution cannot touch both disjoint
     blocks, so every distance<=1 pair shares at least one block key
     verbatim (length-changing edits are excluded by the length key and
@@ -702,8 +711,10 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests brute-verify completeness on the small SF."""
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name",
-        F.substring("c_name", 10, 5).alias("blk1"),
-        F.substring("c_name", 15, 4).alias("blk2"),
+        F.concat(*[F.substring("c_name", p, 1) for p in (10, 12, 14, 16, 18)])
+        .alias("blk1"),
+        F.concat(*[F.substring("c_name", p, 1) for p in (11, 13, 15, 17)])
+        .alias("blk2"),
         F.length("c_name").alias("nlen"),
     )
 
@@ -722,8 +733,10 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cand = blocked("blk1").unionByName(blocked("blk2")).distinct()
-    dist = F.levenshtein("name_a", "name_b")
+    # threshold form: the DP early-exits once distance must exceed 1
+    # (returns -1 above the bound) — ~2x cheaper on the candidate set
+    dist = F.levenshtein("name_a", "name_b", 1)
     return (
-        cand.filter(dist <= 1)
+        cand.filter((dist >= 0) & (dist <= 1))
         .select("id_a", "id_b", dist.cast("long").alias("distance"))
     )
