@@ -198,3 +198,71 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             stratum="event_type", n_per_stratum=20,
                             id_col="event_id")
     return out.select("event_type", "event_id", "sample_rank")
+
+
+# =========================================================================
+# TWAP — time-weighted average value per user (DeFi's core price metric)
+# =========================================================================
+
+@register(
+    "twap_per_user",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dur,
+               CAST(round(value * 1e6) AS BIGINT) AS value_micro
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_s,
+           printf('%.6e', CAST(SUM(value_micro * dur) AS DOUBLE)
+                          / CAST(SUM(dur) AS DOUBLE) / 1e6) AS twap
+    FROM w
+    WHERE dur > 0
+    GROUP BY user_id
+    """,
+)
+def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the TWAP aggregation every
+    DeFi pricing/oracle pipeline runs (a value observed for longer weighs
+    more; plain AVG over irregular ticks is manipulable by burst
+    activity). Each observation is weighted by its holding duration
+    (seconds until the user's next event, LEAD over a per-user sort;
+    the open-ended last observation is excluded).
+
+    Scale shape: one shuffle on user_id for the LEAD window, then a
+    partial-aggregable grouped sum — the same cost as any per-key
+    window. Hourly/daily TWAP buckets add date_trunc to the grouping
+    key, nothing else changes.
+
+    Parity: durations are integer seconds; values micro-quantize BEFORE
+    the cross-row weighted sum (round(v*1e6) -> BIGINT), so numerator
+    and denominator are order-free integer sums and the final division
+    is one deterministic double op (the registry money rule)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dur = (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("dur")
+    wd = seq.select(
+        "user_id", dur,
+        F.round(F.col("value") * 1e6).cast("long").alias("value_micro"),
+    ).filter(F.col("dur") > 0)
+    return wd.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("dur").cast("long").alias("total_dur_s"),
+        fmt(
+            F.sum(F.col("value_micro") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double") / F.lit(1e6)
+        ).alias("twap"),
+    )

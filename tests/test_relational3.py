@@ -151,3 +151,53 @@ class TestFuzzyMatching:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or \
             "ShuffledHashJoin" in plan
+
+
+class TestTwap:
+    def test_twap_bounded_and_duration_consistent(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401
+
+        out = QUERIES["twap_per_user"](spark, SF).toPandas()
+        assert len(out) > 0
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        for _, r in out.iterrows():
+            g = ev[ev.user_id == r.user_id].sort_values(["ts", "event_id"])
+            vals = g.value.to_numpy()
+            tw = float(r.twap)
+            assert vals.min() - 1e-6 <= tw <= vals.max() + 1e-6
+            # total duration telescopes to floor-epoch(last) - floor-epoch
+            # (first): unix_timestamp truncates to whole seconds per event,
+            # so the span must be differenced AFTER flooring, not before
+            span = (int(g.ts.iloc[-1].timestamp()) -
+                    int(g.ts.iloc[0].timestamp()))
+            assert r.total_dur_s == span
+
+    def test_twap_weighting_matters(self, spark):
+        """A hand-built frame where the long-held value dominates: TWAP
+        must sit near it, far from the unweighted mean."""
+        from defi_etl_platform_sqlglot_implementation__spark import registry_ts
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 1, 100.0),                       # held 1 hour
+            (1, base + dt.timedelta(hours=1), 2, 900.0),  # held 1 second
+            (1, base + dt.timedelta(hours=1, seconds=1), 3, 0.0),  # terminal
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double")
+        df.createOrReplaceTempView("_twap_probe")
+        # reuse the operator chain inline
+        from pyspark.sql import Window, functions as F
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = df.withColumn("next_ts", F.lead("ts").over(w)) \
+                .filter(F.col("next_ts").isNotNull())
+        wd = seq.select(
+            "user_id",
+            (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("dur"),
+            F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+        )
+        r = wd.groupBy("user_id").agg(
+            (F.sum(F.col("vm") * F.col("dur")) / F.sum("dur") / 1e6).alias("twap")
+        ).collect()[0]
+        assert abs(r.twap - 100.0) < 0.3     # 3600s at 100 vs 1s at 900
