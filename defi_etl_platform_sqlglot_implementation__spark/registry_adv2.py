@@ -740,3 +740,144 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter((dist >= 0) & (dist <= 1))
         .select("id_a", "id_b", dist.cast("long").alias("distance"))
     )
+
+
+# =========================================================================
+# Exact-arithmetic statistics — Pearson correlation, chi-square test
+# =========================================================================
+
+@register(
+    "value_time_correlation",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) FROM events) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           printf('%.6e',
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+           ) AS pearson_r
+    FROM sums
+    """,
+)
+def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of event value against time, per event type —
+    computed from EXACT widened-integer moment sums (Σx, Σy, Σxy, Σx²,
+    Σy² as DECIMAL(38)/HUGEINT — value micro-quantized, time centered on
+    the global min epoch so products stay inside 128 bits), finished
+    with one fixed-shape double expression. Engine built-ins (F.corr /
+    DuckDB corr) use different accumulation orders and are NOT
+    hash-safe; the moments route is the order-free way to exact
+    distributed statistics — the same pattern as the money-sum rule.
+    One shuffle on the grouping key; moments combine map-side.
+
+    The exact sums cross the engine boundary as STRINGS (both engines
+    print integers canonically; DOUBLE would round 128-bit values
+    differently than the hash normalizer)."""
+    ev = t(spark, sf_dir, "events")
+    min_epoch = ev.agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("_m0")
+    )
+    base = ev.crossJoin(F.broadcast(min_epoch)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        (F.unix_timestamp("ts").cast("long") - F.col("_m0")).alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    sums = base.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(d("x")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(d("y")).cast("decimal(38,0)").alias("_sy"),
+        F.sum(d("x") * F.col("y")).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(d("x") * F.col("x")).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(d("y") * F.col("y")).cast("decimal(38,0)").alias("_syy"),
+    )
+    # the three cancellations run in EXACT decimal(38) — n*sxx and sx*sx
+    # agree to many leading digits, and double subtraction there loses
+    # 3-4 significant digits of the result (measured vs numpy); only the
+    # exactly-cancelled differences convert to double
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    varx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vary = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return sums.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n"),
+        fmt(num / F.sqrt(varx) / F.sqrt(vary)).alias("pearson_r"),
+    )
+
+
+@register(
+    "lang_source_chi2",
+    """
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(o) AS row_tot FROM obs GROUP BY 1),
+    ct AS (SELECT source, SUM(o) AS col_tot FROM obs GROUP BY 1),
+    n AS (SELECT SUM(o) AS total FROM obs),
+    cells AS (
+        SELECT obs.lang, obs.source, obs.o,
+               CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.total AS e
+        FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT CAST(SUM(CAST(round(1e6 * (o - e) * (o - e) / e) AS BIGINT))
+                AS BIGINT) AS chi2_micro,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the documents lang x source
+    contingency table. Observed counts are integers; each cell's
+    (o-e)^2/e term — a fixed-shape double expression over exact inputs —
+    micro-quantizes BEFORE the cross-cell sum, so the statistic is an
+    order-free integer total (only present cells contribute, identically
+    on both engines). Everything after the one groupBy is
+    dimension-cardinality (5x20) — broadcast territory at any corpus
+    size."""
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e",
+            F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total"),
+        )
+    )
+    term = F.round(
+        F.lit(1e6) * (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+        / F.col("e")
+    ).cast("long")
+    dof = (
+        (rt.count() - 1) * (ct.count() - 1)
+    )
+    return cells.agg(
+        F.sum(term).cast("long").alias("chi2_micro"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.count("*").cast("long").alias("n_cells"),
+    )

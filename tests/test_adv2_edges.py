@@ -96,3 +96,44 @@ def test_grouping_sets_tiny_reconciles(spark, tiny_dir):
     assert total.sum_qty == 26.0
     x_sub = [r for r in rows if r.grouping_lvl == 1 and r.returnflag == "X"][0]
     assert x_sub.n_rows == 1
+
+
+class TestExactStats:
+    def test_pearson_matches_numpy(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["value_time_correlation"](spark, sf).toPandas()
+        ev = pd.read_parquet(f"{sf}/events.parquet")
+        ev["x"] = (ev.value * 100).round().astype("int64")
+        # normalize to ns first: the parquet column is datetime64[us], so a
+        # bare astype(int64) yields MICROseconds
+        ev["y"] = ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+        ev["y"] -= ev["y"].min()
+        for _, r in out.iterrows():
+            g = ev[ev.event_type == r.event_type]
+            expect = np.corrcoef(g.x, g.y)[0, 1]
+            assert abs(float(r.pearson_r) - expect) < 1e-6
+            assert -1.0 <= float(r.pearson_r) <= 1.0
+
+    def test_chi2_matches_scipy_formula(self, spark):
+        import pandas as pd
+
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["lang_source_chi2"](spark, sf).collect()[0]
+        docs = pd.read_parquet(f"{sf}/documents.parquet")
+        tab = docs.groupby(["lang", "source"]).size()
+        rt = tab.groupby("lang").sum()
+        ct = tab.groupby("source").sum()
+        n = tab.sum()
+        chi2 = 0.0
+        for (lang, src), o in tab.items():
+            e = rt[lang] * ct[src] / n
+            chi2 += round(1e6 * (o - e) ** 2 / e)
+        assert row.chi2_micro == int(chi2)
+        assert row.dof == (len(rt) - 1) * (len(ct) - 1)
