@@ -872,3 +872,81 @@ def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (least >= F.col("exact_cnt")).alias("never_underestimates"),
         )
     )
+
+
+# =========================================================================
+# Exact substring dedup — maximal cross-document duplicated token spans
+# =========================================================================
+
+@register(
+    "substring_dup_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS s
+        FROM toks, LATERAL unnest(range(1, len(l) - 6)) AS t(i)
+        WHERE len(l) >= 8
+    ),
+    dups AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dups USING (s)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication à la Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): maximal token spans
+    (>= 8 tokens) that occur verbatim in more than one document — the
+    passages a pretraining pipeline clips rather than dropping whole
+    docs. A distributed stand-in for the paper's suffix array: fixed-k
+    shingles with positions (row-local), cross-doc duplicated shingles
+    (one shuffle on the shingle, map-side-combinable HAVING), then
+    gaps-and-islands merges overlapping duplicated windows into maximal
+    spans per doc (one per-doc window sort).
+
+    At 100 TB the shingle shuffle dominates and is the same cost class
+    as MinHash; a df cap on pathological stopword shingles (the
+    max_shingle_df device from operators/dedup.py) bounds reducer
+    fan-in. All outputs are integer positions — float-parity class 1."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("l", F.split("text", " ")).filter(F.size("l") >= 8)
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(l) - 7),"
+                " i -> concat_ws(' ', slice(l, i, 8)))"
+            )
+        ).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    dups = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s")
+    )
+    hits = sh.join(dups, "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + 7).cast("long").alias("span_end"),
+            (F.max("pos") + 7 - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        )
+        .drop("grp")
+    )

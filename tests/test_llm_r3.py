@@ -181,3 +181,44 @@ class TestCountMinSketch:
         # absent probe exists and reports only collision mass
         absent = out[out.term == "zzz_absent"]
         assert len(absent) == 1 and absent.exact_cnt.iloc[0] == 0
+
+
+class TestSubstringDedup:
+    def test_spans_are_true_cross_doc_duplicates(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        out = QUERIES["substring_dup_spans"](spark, SF).toPandas()
+        docs = {d.doc_id: d.text.split(" ")
+                for d in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+        # brute-force recompute duplicated 8-gram positions
+        from collections import defaultdict
+        where = defaultdict(set)
+        for did, toks in docs.items():
+            for i in range(len(toks) - 7):
+                where[" ".join(toks[i:i + 8])].add(did)
+        dup_pos = defaultdict(set)
+        for did, toks in docs.items():
+            for i in range(len(toks) - 7):
+                if len(where[" ".join(toks[i:i + 8])]) > 1:
+                    dup_pos[did].add(i + 1)   # 1-based
+        # spans must exactly cover the duplicated windows, maximally merged
+        for _, r in out.iterrows():
+            positions = dup_pos[r.doc_id]
+            covered = set(range(r.span_start, r.span_end - 7 + 1))
+            assert covered <= positions, r
+            # maximality: the positions just outside the span are NOT dups
+            assert r.span_start - 1 not in positions
+            assert r.span_end - 7 + 1 not in positions
+        # and every duplicated position is inside some emitted span
+        emitted = defaultdict(set)
+        for _, r in out.iterrows():
+            emitted[r.doc_id].update(range(r.span_start, r.span_end - 7 + 1))
+        for did, positions in dup_pos.items():
+            assert positions == emitted[did]
+
+    def test_span_length_floor(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        out = QUERIES["substring_dup_spans"](spark, SF).toPandas()
+        assert (out.span_tokens >= 8).all()
+        assert (out.span_end - out.span_start + 1 == out.span_tokens).all()
