@@ -266,3 +266,109 @@ def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur").cast("double") / F.lit(1e6)
         ).alias("twap"),
     )
+
+
+# =========================================================================
+# Sequence analytics — first-touch funnel, event-type transition matrix
+# =========================================================================
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after,
+           CAST((SELECT COUNT(*) FROM p JOIN v USING (user_id)
+                 WHERE t3 <= t1 + INTERVAL 7 DAY) AS BIGINT)
+               AS n_completed_7d
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel: users whose earliest view is
+    followed by a click, then a purchase, each strictly later than the
+    previous step's first touch, with a 7-day completion window — the
+    product-analytics staple (Amplitude/GA funnels). Each step is a
+    grouped MIN plus an equi-join on user_id with a time residual; three
+    user-keyed shuffles total and every intermediate is
+    user-cardinality, never event-cardinality."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    done = p.join(v, "user_id").filter(
+        F.col("t3") <= F.col("t1") + F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchased_after")))
+        .crossJoin(done.agg(F.count("*").cast("long").alias("n_completed_7d")))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, SUM(n) AS row_tot FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           CAST(round(1e6 * p.n / t.row_tot) AS BIGINT) AS prob_micro
+    FROM pairs p JOIN tot t USING (cur)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next | current) estimated from LEAD pairs — the
+    behavioral-model building block (next-action prediction, anomaly
+    scoring). One shuffle on user_id for the window, one on the
+    5x5-bounded pair key; probabilities micro-quantize from exact
+    integer counts (one division each — class-1 parity)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("row_tot"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n",
+        F.round(F.lit(1e6) * F.col("n") / F.col("row_tot")).cast("long")
+        .alias("prob_micro"),
+    )

@@ -201,3 +201,30 @@ class TestTwap:
             (F.sum(F.col("vm") * F.col("dur")) / F.sum("dur") / 1e6).alias("twap")
         ).collect()[0]
         assert abs(r.twap - 100.0) < 0.3     # 3600s at 100 vs 1s at 900
+
+
+class TestSequenceAnalytics:
+    def test_funnel_monotone(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401
+
+        r = QUERIES["funnel_view_click_purchase"](spark, SF).collect()[0]
+        assert r.n_viewed >= r.n_clicked_after >= r.n_purchased_after \
+            >= r.n_completed_7d >= 0
+        assert r.n_viewed > 0
+
+    def test_transition_rows_sum_to_row_totals(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401
+
+        out = QUERIES["event_transition_matrix"](spark, SF).toPandas()
+        assert len(out) > 0
+        # per current-state, probabilities approximately sum to 1e6
+        for cur, g in out.groupby("cur"):
+            assert abs(g.prob_micro.sum() - 1_000_000) <= len(g)
+        # counts reconcile with raw lead pairs recomputed in pandas
+        ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+            ["user_id", "ts", "event_id"])
+        ev["nxt"] = ev.groupby("user_id").event_type.shift(-1)
+        expect = ev.dropna(subset=["nxt"]).groupby(
+            ["event_type", "nxt"]).size()
+        for _, r in out.iterrows():
+            assert expect[(r.cur, r.nxt)] == r.n
