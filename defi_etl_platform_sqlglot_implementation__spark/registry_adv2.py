@@ -881,3 +881,79 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dof).cast("long").alias("dof"),
         F.count("*").cast("long").alias("n_cells"),
     )
+
+
+@register(
+    "ols_value_trend",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) FROM events) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           printf('%.6e', CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * syy - sy * sy AS DOUBLE)) AS slope_centi_per_s,
+           printf('%.6e',
+             (CAST(sx AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * syy - sy * sy AS DOUBLE)) * CAST(sy AS DOUBLE))
+             / CAST(n AS DOUBLE)) AS intercept_centi,
+           printf('%.6e',
+             CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
+    FROM sums
+    """,
+)
+def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of event value over time per event
+    type (x = centi-value regressed on y = centered epoch seconds):
+    slope, intercept, and R² from the SAME exact 128-bit moment sums as
+    value_time_correlation, with every cancellation performed in exact
+    integer arithmetic before the only double conversions. This is how
+    distributed regression stays hash-exact: the normal equations need
+    only order-free sums, never a second pass or an iterative solver.
+    One shuffle on the grouping key."""
+    ev = t(spark, sf_dir, "events")
+    min_epoch = ev.agg(F.min(F.unix_timestamp("ts")).cast("long").alias("_m0"))
+    base = ev.crossJoin(F.broadcast(min_epoch)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        (F.unix_timestamp("ts").cast("long") - F.col("_m0")).alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    sums = base.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(d("x")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(d("y")).cast("decimal(38,0)").alias("_sy"),
+        F.sum(d("x") * F.col("y")).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(d("y") * F.col("y")).cast("decimal(38,0)").alias("_syy"),
+        F.sum(d("x") * F.col("x")).cast("decimal(38,0)").alias("_sxx"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vary = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    varx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope = num / vary
+    return sums.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n"),
+        fmt(slope).alias("slope_centi_per_s"),
+        fmt(
+            (F.col("_sx").cast("double") - slope * F.col("_sy").cast("double"))
+            / F.col("_n").cast("double")
+        ).alias("intercept_centi"),
+        fmt(num * num / varx / vary).alias("r_squared"),
+    )

@@ -137,3 +137,23 @@ class TestExactStats:
             chi2 += round(1e6 * (o - e) ** 2 / e)
         assert row.chi2_micro == int(chi2)
         assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+
+    def test_ols_matches_numpy_polyfit(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["ols_value_trend"](spark, sf).toPandas()
+        ev = pd.read_parquet(f"{sf}/events.parquet")
+        ev["x"] = (ev.value * 100).round().astype("int64")
+        ev["y"] = ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+        ev["y"] -= ev["y"].min()
+        for _, r in out.iterrows():
+            g = ev[ev.event_type == r.event_type]
+            slope, intercept = np.polyfit(g.y, g.x, 1)
+            assert abs(float(r.slope_centi_per_s) - slope) < 1e-6 * max(1, abs(slope))
+            assert abs(float(r.intercept_centi) - intercept) < 1e-4 * max(1, abs(intercept))
+            rr = np.corrcoef(g.x, g.y)[0, 1] ** 2
+            assert abs(float(r.r_squared) - rr) < 1e-6
