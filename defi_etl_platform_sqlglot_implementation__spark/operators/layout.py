@@ -126,7 +126,7 @@ def write_partitioned(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
-    target_mb: int = 128,
+    target_mb: float = 128,
     sample_rows: int = 10_000,
 ) -> int:
     """Partitioned parquet write with size-targeted files: estimate
@@ -148,11 +148,19 @@ def write_partitioned(
         1, int(sample.memory_usage(deep=True).sum() // max(1, len(sample)) // 3)
     )  # /3: parquet+snappy typically compresses memory repr ~3x on this data
     n_part_values = df.select(*partition_cols).distinct().count()
-    rows_per_file = max(1, target_mb * 1024 * 1024 // approx_row_bytes)
+    rows_per_file = max(1, int(target_mb * 1024 * 1024) // approx_row_bytes)
     files_per_part = max(1, math.ceil(n_rows / max(1, n_part_values)
                                       / rows_per_file))
+    # repartitioning on the partition columns ALONE would put every row of
+    # a partition value into one task -> exactly one file per directory no
+    # matter the target; a deterministic salt spreads each value across
+    # files_per_part tasks so the size target can actually bite
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_part)).alias("_fsalt")
     (
-        df.repartition(files_per_part * max(1, n_part_values), *partition_cols)
+        df.withColumn("_fsalt", salt)
+        .repartition(files_per_part * max(1, n_part_values),
+                     *partition_cols, "_fsalt")
+        .drop("_fsalt")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(path)

@@ -125,6 +125,14 @@ def ahash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
     Hamming <= 3 (4 bands, at most 3 differing bits leave one band
     untouched); exact Hamming verification via bit_count(xor) runs only
     on candidates. One shuffle on the band key; never all-pairs."""
+    if max_hamming > 3:
+        # pigeonhole over 4 fixed bands only covers <= 3 differing bits;
+        # a larger radius would silently lose pairs (a 4-bit pair can
+        # differ in every band). More bands = a different signature
+        # schema, so reject rather than under-recall.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "guarantee (<= 3); re-band the signatures instead")
     bands = signatures.select(
         "doc_id",
         F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(

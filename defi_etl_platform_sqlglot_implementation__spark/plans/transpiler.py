@@ -284,6 +284,8 @@ _CAST_TYPE_MAP: dict[str, dict[str, str]] = {
     "smallint": {"bigquery": "INT64", "mysql": "SIGNED"},
     "double": {"bigquery": "FLOAT64"},
     "varchar": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR"},
+    "char": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR"},
+    "numeric": {},   # canonicalized to decimal before mapping
     "text": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR",
              "snowflake": "VARCHAR", "trino": "VARCHAR"},
     "string": {"duckdb": "VARCHAR", "postgres": "VARCHAR",
@@ -306,6 +308,38 @@ def _map_cast_type(type_word: str, target: str) -> str:
         raise UnsupportedConstructError(
             f"{target} has no CAST spelling for {type_word!r}")
     return _CAST_TYPE_MAP[canon].get(target, type_word.upper())
+
+
+# parameterized forms: which base types may carry a (p[,s]) suffix, and
+# which mapped spellings drop it (length-free string types)
+_PARAM_TYPES = frozenset(("decimal", "numeric", "varchar", "char"))
+_LENGTH_FREE = frozenset(("STRING",))
+
+
+def _parse_cast_type(tokens: list[Tok], j: int, target: str) -> tuple[str, int]:
+    """Parse a cast type spec starting at the type word ``tokens[j]``:
+    handles two-word ``DOUBLE PRECISION``, parameterized DECIMAL/NUMERIC/
+    VARCHAR/CHAR(...) (suffix kept unless the mapped spelling is
+    length-free), and raises on any other parameterized type instead of
+    letting the parens leak into the output as invalid SQL. Returns
+    (mapped SQL type text, index after the spec)."""
+    n = len(tokens)
+    type_word = tokens[j].text
+    low = type_word.lower()
+    k = _next_code(tokens, j + 1)
+    if low == "double" and k < n and tokens[k].is_word("precision"):
+        return _map_cast_type("double", target), k + 1
+    if k < n and tokens[k].kind == "op" and tokens[k].text == "(":
+        if low not in _PARAM_TYPES:
+            raise UnsupportedConstructError(
+                f"parameterized cast type {type_word}(...) is outside "
+                "the '::' subset")
+        close = _match_paren(tokens, k)
+        canon = "decimal" if low == "numeric" else low
+        mapped = _map_cast_type(canon, target)
+        suffix = "" if mapped in _LENGTH_FREE else render(tokens[k:close + 1])
+        return mapped + suffix, close + 1
+    return _map_cast_type(low, target), j + 1
 
 
 _KEYWORDS = frozenset(
@@ -349,6 +383,12 @@ def _pop_primary(out: list[Tok]) -> list[Tok]:
         del out[k:]
         return prim
     if out[-1].kind in ("word", "num", "str", "qident", "bident"):
+        if out[-1].kind == "word" and out[-1].text.lower() in _KEYWORDS:
+            # e.g. CASE ... END::int — a bare keyword is not a primary;
+            # emitting around it would produce broken SQL silently
+            raise UnsupportedConstructError(
+                f"keyword {out[-1].text!r} cannot be a postfix-operator "
+                "operand (construct outside the subset)")
         prim = [out.pop()]
         # dotted qualification: tbl.col
         while (len(out) >= 2 and out[-1].kind == "op" and out[-1].text == "."
@@ -369,6 +409,10 @@ def _take_primary(tokens: list[Tok], i: int) -> tuple[list[Tok], int]:
     if i >= n:
         raise UnsupportedConstructError("operator with no right operand")
     t = tokens[i]
+    if t.kind == "word" and t.text.lower() in _KEYWORDS:
+        raise UnsupportedConstructError(
+            f"keyword {t.text!r} cannot start an operand "
+            "(construct outside the subset)")
     if t.kind in ("word", "qident", "bident"):
         j = _next_code(tokens, i + 1)
         if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
@@ -595,19 +639,9 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             j = _next_code(tokens, i + 1)
             if j >= n or tokens[j].kind != "word":
                 raise UnsupportedConstructError("'::' without a type name")
-            type_word = tokens[j].text
-            k = _next_code(tokens, j + 1)
-            suffix = ""
-            if (type_word.lower() == "decimal" and k < n
-                    and tokens[k].kind == "op" and tokens[k].text == "("):
-                close = _match_paren(tokens, k)
-                suffix = render(tokens[k:close + 1])
-                k = close + 1
-            else:
-                k = j + 1
-            mapped = _map_cast_type(type_word, target)
+            mapped, k = _parse_cast_type(tokens, j, target)
             out.append(Tok("word",
-                           f"CAST({render(prim)} AS {mapped}{suffix})"))
+                           f"CAST({render(prim)} AS {mapped})"))
             i = k
             continue
 
@@ -657,13 +691,46 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             i += 1
             continue
 
-        # --- ``||`` string concat -> CONCAT on MySQL --------------------
+        # --- ``||``: logical OR on a MySQL SOURCE; string concat
+        #     everywhere else (-> CONCAT on a MySQL TARGET) --------------
+        if t.kind == "op" and t.text == "||" and source == "mysql":
+            # in the MySQL dialect (without PIPES_AS_CONCAT) '||' is
+            # boolean OR — keeping the operator on a concat-dialect
+            # target would silently change semantics
+            out.append(Tok("word", "OR"))
+            i += 1
+            continue
         if t.kind == "op" and t.text == "||" and target == "mysql":
-            operands = [render(_pop_primary(out))]
+            # precedence guard: '+' binds tighter than '||', so
+            # 'a + b || c' means (a+b)||c — a primary-level rewrite would
+            # mis-nest it as a + CONCAT(b, c). Loud edge, not wrong SQL.
+            prev = next((x for x in reversed(out) if x.kind != "ws"), None)
+            left = _pop_primary(out)
+            before = next((x for x in reversed(out) if x.kind != "ws"), None)
+            if before is not None and before.kind == "op" \
+                    and before.text in ("+", "-", "*", "/", "%"):
+                raise UnsupportedConstructError(
+                    "arithmetic adjacent to '||' is outside the MySQL "
+                    "CONCAT subset (precedence would mis-nest)")
+            del prev
+            operands = [render(left)]
             k = i
             while k < n and tokens[k].kind == "op" and tokens[k].text == "||":
                 prim, k2 = _take_primary(tokens, k + 1)
-                operands.append(render(_rewrite(list(prim), source, target)))
+                opnd = render(_rewrite(list(prim), source, target))
+                # a '::' cast binds tighter than '||': consume it into
+                # THIS operand instead of letting it pop the whole CONCAT
+                k2n = _next_code(tokens, k2)
+                while (k2n < n and tokens[k2n].kind == "op"
+                       and tokens[k2n].text == "::"):
+                    jt = _next_code(tokens, k2n + 1)
+                    if jt >= n or tokens[jt].kind != "word":
+                        raise UnsupportedConstructError(
+                            "'::' without a type name")
+                    mapped, k2 = _parse_cast_type(tokens, jt, target)
+                    opnd = f"CAST({opnd} AS {mapped})"
+                    k2n = _next_code(tokens, k2)
+                operands.append(opnd)
                 k = _next_code(tokens, k2)
                 if not (k < n and tokens[k].kind == "op"
                         and tokens[k].text == "||"):

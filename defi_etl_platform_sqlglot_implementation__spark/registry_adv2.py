@@ -746,10 +746,11 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-arithmetic statistics — Pearson correlation, chi-square test
 # =========================================================================
 
-@register(
-    "value_time_correlation",
-    """
-    WITH base AS (
+# Shared exact-moment machinery for the statistics gates: x = centi-value,
+# y = epoch seconds centered on the global minimum; all five moment sums
+# are exact 128-bit integers (DECIMAL(38) / HUGEINT). One definition feeds
+# the correlation AND regression gates on both engines.
+_MOMENT_CTES_SQL = """base AS (
         SELECT event_type,
                CAST(round(value * 100) AS BIGINT) AS x,
                CAST(floor(epoch(ts)) AS BIGINT)
@@ -765,7 +766,34 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(x AS HUGEINT) * x) AS sxx,
                SUM(CAST(y AS HUGEINT) * y) AS syy
         FROM base GROUP BY event_type
+    )"""
+
+
+def _moment_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact moment sums (_n, _sx, _sy, _sxy, _sxx, _syy
+    as DECIMAL(38,0)) — the Spark twin of _MOMENT_CTES_SQL."""
+    ev = t(spark, sf_dir, "events")
+    min_epoch = ev.agg(F.min(F.unix_timestamp("ts")).cast("long").alias("_m0"))
+    base = ev.crossJoin(F.broadcast(min_epoch)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        (F.unix_timestamp("ts").cast("long") - F.col("_m0")).alias("y"),
     )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    return base.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(d("x")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(d("y")).cast("decimal(38,0)").alias("_sy"),
+        F.sum(d("x") * F.col("y")).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(d("x") * F.col("x")).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(d("y") * F.col("y")).cast("decimal(38,0)").alias("_syy"),
+    )
+
+
+@register(
+    "value_time_correlation",
+    f"""
+    WITH {_MOMENT_CTES_SQL}
     SELECT event_type, CAST(n AS BIGINT) AS n,
            printf('%.6e',
              CAST(n * sxy - sx * sy AS DOUBLE)
@@ -789,24 +817,7 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact sums cross the engine boundary as STRINGS (both engines
     print integers canonically; DOUBLE would round 128-bit values
     differently than the hash normalizer)."""
-    ev = t(spark, sf_dir, "events")
-    min_epoch = ev.agg(
-        F.min(F.unix_timestamp("ts")).cast("long").alias("_m0")
-    )
-    base = ev.crossJoin(F.broadcast(min_epoch)).select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("x"),
-        (F.unix_timestamp("ts").cast("long") - F.col("_m0")).alias("y"),
-    )
-    d = lambda c: F.col(c).cast("decimal(38,0)")
-    sums = base.groupBy("event_type").agg(
-        F.count("*").cast("decimal(38,0)").alias("_n"),
-        F.sum(d("x")).cast("decimal(38,0)").alias("_sx"),
-        F.sum(d("y")).cast("decimal(38,0)").alias("_sy"),
-        F.sum(d("x") * F.col("y")).cast("decimal(38,0)").alias("_sxy"),
-        F.sum(d("x") * F.col("x")).cast("decimal(38,0)").alias("_sxx"),
-        F.sum(d("y") * F.col("y")).cast("decimal(38,0)").alias("_syy"),
-    )
+    sums = _moment_sums(spark, sf_dir)
     # the three cancellations run in EXACT decimal(38) — n*sxx and sx*sx
     # agree to many leading digits, and double subtraction there loses
     # 3-4 significant digits of the result (measured vs numpy); only the
@@ -873,36 +884,28 @@ def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1e6) * (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
         / F.col("e")
     ).cast("long")
+    # dof stays IN-PLAN (1-row aggregates cross-joined in) — registry
+    # builders never run eager jobs at construction time
     dof = (
-        (rt.count() - 1) * (ct.count() - 1)
+        rt.agg(F.count("*").alias("_nr"))
+        .crossJoin(ct.agg(F.count("*").alias("_nc")))
+        .select(((F.col("_nr") - 1) * (F.col("_nc") - 1))
+                .cast("long").alias("dof"))
     )
-    return cells.agg(
-        F.sum(term).cast("long").alias("chi2_micro"),
-        F.lit(dof).cast("long").alias("dof"),
-        F.count("*").cast("long").alias("n_cells"),
+    return (
+        cells.agg(
+            F.sum(term).cast("long").alias("chi2_micro"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("chi2_micro", "dof", "n_cells")
     )
 
 
 @register(
     "ols_value_trend",
-    """
-    WITH base AS (
-        SELECT event_type,
-               CAST(round(value * 100) AS BIGINT) AS x,
-               CAST(floor(epoch(ts)) AS BIGINT)
-                 - (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) FROM events) AS y
-        FROM events
-    ),
-    sums AS (
-        SELECT event_type,
-               CAST(COUNT(*) AS HUGEINT) AS n,
-               SUM(CAST(x AS HUGEINT)) AS sx,
-               SUM(CAST(y AS HUGEINT)) AS sy,
-               SUM(CAST(x AS HUGEINT) * y) AS sxy,
-               SUM(CAST(y AS HUGEINT) * y) AS syy,
-               SUM(CAST(x AS HUGEINT) * x) AS sxx
-        FROM base GROUP BY event_type
-    )
+    f"""
+    WITH {_MOMENT_CTES_SQL}
     SELECT event_type, CAST(n AS BIGINT) AS n,
            printf('%.6e', CAST(n * sxy - sx * sy AS DOUBLE)
                           / CAST(n * syy - sy * sy AS DOUBLE)) AS slope_centi_per_s,
@@ -927,22 +930,7 @@ def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed regression stays hash-exact: the normal equations need
     only order-free sums, never a second pass or an iterative solver.
     One shuffle on the grouping key."""
-    ev = t(spark, sf_dir, "events")
-    min_epoch = ev.agg(F.min(F.unix_timestamp("ts")).cast("long").alias("_m0"))
-    base = ev.crossJoin(F.broadcast(min_epoch)).select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("x"),
-        (F.unix_timestamp("ts").cast("long") - F.col("_m0")).alias("y"),
-    )
-    d = lambda c: F.col(c).cast("decimal(38,0)")
-    sums = base.groupBy("event_type").agg(
-        F.count("*").cast("decimal(38,0)").alias("_n"),
-        F.sum(d("x")).cast("decimal(38,0)").alias("_sx"),
-        F.sum(d("y")).cast("decimal(38,0)").alias("_sy"),
-        F.sum(d("x") * F.col("y")).cast("decimal(38,0)").alias("_sxy"),
-        F.sum(d("y") * F.col("y")).cast("decimal(38,0)").alias("_syy"),
-        F.sum(d("x") * F.col("x")).cast("decimal(38,0)").alias("_sxx"),
-    )
+    sums = _moment_sums(spark, sf_dir)
     num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
     vary = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
     varx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")

@@ -100,6 +100,24 @@ class TestPartitionedWrite:
         back = spark.read.parquet(path)
         assert back.count() == ev.count()
 
+    def test_small_target_splits_directories_into_multiple_files(
+            self, spark, tmp_path):
+        # with a deliberately tiny target the salt must spread each
+        # partition value across several files — the exact behavior the
+        # partition-cols-only repartition silently lacked (one file per
+        # directory regardless of size)
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        path = str(tmp_path / "tiny")
+        planned = write_partitioned(ev, path, ["event_type"],
+                                    target_mb=0.002, sample_rows=1000)
+        assert planned > 1
+        per_dir = {}
+        for f in Path(path).rglob("*.parquet"):
+            per_dir.setdefault(f.parent.name, 0)
+            per_dir[f.parent.name] += 1
+        assert max(per_dir.values()) > 1, per_dir
+        assert spark.read.parquet(path).count() == ev.count()
+
     def test_empty_frame_writes_schema(self, spark, tmp_path):
         ev = spark.read.parquet(f"{SF}/events.parquet").filter(F.lit(False))
         path = str(tmp_path / "e")
