@@ -372,3 +372,88 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1e6) * F.col("n") / F.col("row_tot")).cast("long")
         .alias("prob_micro"),
     )
+
+
+# =========================================================================
+# LOCF gap filling — hourly spine with last-observation-carried-forward
+# =========================================================================
+
+@register(
+    "hourly_locf_fill",
+    """
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, hour, val FROM (
+            SELECT user_id, date_trunc('hour', ts) AS hour, value AS val,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT s.user_id,
+           strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           (h.val IS NOT NULL) AS observed,
+           last_value(h.val IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+    """,
+)
+def hourly_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling on a per-user hourly spine with last-observation-
+    carried-forward — the standard time-series imputation before
+    resampling/joins (pandas ffill, InfluxDB FILL(previous)). Each
+    user's spine spans their own [first, last] hour (sequence + explode,
+    row-local per user); the hour's representative is its LAST event
+    (row_number pick, deterministic tie-break); the fill is one
+    IGNORE-NULLS last_value window per user partition.
+
+    Scale: the spine is user-cardinality x their active span (bounded,
+    never a global calendar cross-join); the fill window shuffles once
+    on user_id. The carried value is a single event's raw double —
+    per-row exact (class 1), no aggregation drift."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w_pick = Window.partitionBy("user_id", "hour_t").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("hour_t", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("hour_t").alias("hour"),
+                F.col("value").alias("val"))
+    )
+    w_fill = (
+        Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            F.col("val").isNotNull().alias("observed"),
+            F.last("val", ignorenulls=True).over(w_fill).alias("value_filled"),
+        )
+    )

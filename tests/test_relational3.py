@@ -228,3 +228,25 @@ class TestSequenceAnalytics:
             ["event_type", "nxt"]).size()
         for _, r in out.iterrows():
             assert expect[(r.cur, r.nxt)] == r.n
+
+
+class TestLocfFill:
+    def test_matches_pandas_ffill(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401
+
+        out = QUERIES["hourly_locf_fill"](spark, SF).toPandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        for uid in list(out.user_id.unique())[:5]:
+            g = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+            hourly = (g.assign(hour=g.ts.dt.floor("h"))
+                        .groupby("hour").last().value)
+            spine = pd.date_range(g.ts.min().floor("h"),
+                                  g.ts.max().floor("h"), freq="h")
+            filled = hourly.reindex(spine).ffill()
+            mine = out[out.user_id == uid].set_index("hour_bucket")
+            assert len(mine) == len(spine)
+            for h, v in filled.items():
+                row = mine.loc[h.strftime("%Y-%m-%d %H:%M:%S")]
+                assert row.value_filled == v
+        # every observed row carries its own hour's last value verbatim
+        assert out.observed.any() and (~out.observed).any()
