@@ -950,3 +950,115 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# =========================================================================
+# Span clipping — remove duplicated passages, rebuild the clipped text
+# =========================================================================
+
+@register(
+    "curation_clip_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS s
+        FROM toks, LATERAL unnest(range(1, len(l) - 6)) AS t(i)
+        WHERE len(l) >= 8
+    ),
+    dups AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dups USING (s)),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + o AS pos
+        FROM hits, LATERAL unnest(range(0, 8)) AS u(o)
+    ),
+    pos_tok AS (
+        SELECT doc_id, i AS pos, l[i] AS tok
+        FROM toks, LATERAL unnest(range(1, len(l) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos_tok p ANTI JOIN covered c
+          ON c.doc_id = p.doc_id AND c.pos = p.pos
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens_before,
+           CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_tokens_after,
+           COALESCE(k.clipped_md5, md5('')) AS clipped_md5
+    FROM toks t
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_after,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS clipped_md5
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = t.doc_id
+    """,
+)
+def curation_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup clipping (the action Lee et al. take on the spans
+    substring_dup_spans finds): every token position covered by a
+    cross-document duplicated 8-gram window is removed, and the clipped
+    text is rebuilt in order — n_tokens_before/after plus the md5 of the
+    rebuilt string make the surgery hash-verifiable token-for-token.
+
+    Scale shape: the duplicated-shingle set is the one corpus shuffle
+    (shared with substring_dup_spans); coverage expansion is a row-local
+    8-row explode on hits only; the rebuild is a per-doc sort_array over
+    kept positions — partition-parallel, no global sort. Docs clipped to
+    nothing emit md5('') rather than disappearing (conservation: every
+    input doc_id appears exactly once)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("l", F.split("text", " "))
+    sh = (
+        toks.filter(F.size("l") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 7),"
+                    " i -> concat_ws(' ', slice(l, i, 8)))"
+                )
+            ).alias("pos0", "s"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    dups = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s")
+    )
+    hits = sh.join(dups, "s").select("doc_id", "pos")
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("pos"),
+        )
+        .distinct()
+    )
+    pos_tok = toks.select(
+        "doc_id",
+        F.posexplode("l").alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_after"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(pos, tok))),"
+                       " x -> x.tok)"),
+                " ",
+            )
+        ).alias("clipped_md5"),
+    )
+    return (
+        toks.select("doc_id", F.size("l").cast("long").alias("n_tokens_before"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_tokens_after"),
+            F.coalesce("clipped_md5", F.md5(F.lit(""))).alias("clipped_md5"),
+        )
+    )

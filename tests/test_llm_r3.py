@@ -222,3 +222,25 @@ class TestSubstringDedup:
         out = QUERIES["substring_dup_spans"](spark, SF).toPandas()
         assert (out.span_tokens >= 8).all()
         assert (out.span_end - out.span_start + 1 == out.span_tokens).all()
+
+    def test_clip_conserves_and_reassembles(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+        import hashlib
+
+        out = QUERIES["curation_clip_spans"](spark, SF).toPandas()
+        spans = QUERIES["substring_dup_spans"](spark, SF).toPandas()
+        docs = {d.doc_id: d.text.split(" ")
+                for d in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+        assert set(out.doc_id) == set(docs)            # conservation
+        by_doc = {did: [] for did in docs}
+        for _, s in spans.iterrows():
+            by_doc[s.doc_id].append((s.span_start, s.span_end))
+        for _, r in out.iterrows():
+            toks = docs[r.doc_id]
+            cut = set()
+            for a, b in by_doc[r.doc_id]:
+                cut.update(range(a, b + 1))
+            kept = [tk for i, tk in enumerate(toks, 1) if i not in cut]
+            assert r.n_tokens_before == len(toks)
+            assert r.n_tokens_after == len(kept)
+            assert r.clipped_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
