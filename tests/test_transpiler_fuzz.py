@@ -24,6 +24,10 @@ SF = "/root/testdata/sf0.001"
 _GROUP_EXPRS = [
     "event_type",
     "user_id div 100",
+    "instr(event_type, 'c')",
+    "FLOOR(value)::BIGINT",
+    "event_type || '-tag'",
+    "(user_id % 7)::VARCHAR",
     "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')",
     "date_format(date_trunc('day', ts), 'yyyy-MM-dd')",
     "year(ts)",
@@ -39,6 +43,8 @@ _AGG_EXPRS = [
 ]
 _PREDICATES = [
     "event_type <> 'view'",
+    "instr(event_type, 'i') > 0",
+    "FLOOR(value)::BIGINT % 2 = 0",
     "value >= 100.0",
     "user_id div 10 >= 1",
     "event_type IN ('click', 'purchase')",
