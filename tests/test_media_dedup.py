@@ -116,3 +116,70 @@ class TestPlanShape:
         assert _media_base(250) == 0      # same class as 0
         assert _media_base(10) == 1
         assert _media_base(7) == 10007    # unique base
+
+
+class TestDecodeCoreEdges:
+    def test_top_down_bmp_negative_height(self):
+        """BMPs with negative height store rows top-down; the decode core
+        must NOT flip them. Hand-craft the header around build_bmp's
+        bottom-up output and compare."""
+        import struct
+
+        import numpy as np
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            bmp_rgb_array, build_bmp)
+
+        px = (np.arange(2 * 3 * 3, dtype=np.uint8)).reshape(2, 3, 3)
+        normal = bmp_rgb_array(0, build_bmp(px))
+        assert (normal == px).all()
+        # top-down variant: same pixel rows in file order, height negative
+        data_offset = 54
+        row = np.ascontiguousarray(px[:, :, ::-1])  # RGB->BGR, top-down order
+        stride = (3 * 3 + 3) // 4 * 4
+        body = b"".join(row[y].tobytes() + b"\x00" * (stride - 9)
+                        for y in range(2))
+        header = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0,
+                             data_offset)
+        info = struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, len(body),
+                           2835, 2835, 0, 0)
+        td = bmp_rgb_array(1, header + info + body)
+        assert (td == px).all()
+
+    def test_truncated_and_foreign_payloads_raise(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            bmp_rgb_array, build_bmp, build_wav, wav_pcm_array)
+
+        with _pytest.raises(ValueError, match="not a BMP"):
+            bmp_rgb_array(0, b"RIFFxxxxWAVE")
+        with _pytest.raises(ValueError, match="not a RIFF"):
+            wav_pcm_array(0, build_bmp(np.zeros((1, 1, 3), dtype=np.uint8)))
+        # WAV with a fmt chunk claiming a non-PCM codec
+        import struct
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 85, 1, 16000, 32000, 2, 16)
+        data = struct.pack("<4sI", b"data", 4) + b"\x00" * 4
+        riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+        with _pytest.raises(ValueError, match="unsupported WAV"):
+            wav_pcm_array(0, riff + fmt + data)
+
+    def test_wav_skips_unknown_chunks(self):
+        """RIFF chunk walk must skip LIST/INFO chunks before data."""
+        import struct
+
+        import numpy as np
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.multimodal import (
+            wav_pcm_array)
+
+        samples = np.array([1, -2, 3, -4], dtype=np.int16)
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 16000, 32000, 2, 16)
+        junk = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd size padded
+        data = struct.pack("<4sI", b"data", 8) + samples.tobytes()
+        body = fmt + junk + data
+        riff = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE")
+        rate, ch, pcm = wav_pcm_array(0, riff + body)
+        assert rate == 16000 and ch == 1
+        assert (pcm == samples).all()
