@@ -1,0 +1,126 @@
+"""Distributed BPE (byte-pair encoding) merge training — the tokenizer-
+construction step of an LLM data pipeline (Sennrich et al. 2016; the
+algorithm behind GPT-2/RoBERTa vocabularies).
+
+Scale shape (the kmeans contract from operators/similarity.py): corpus
+text is reduced ONCE to a word-frequency table (one shuffle,
+vocab-cardinality — Zipf makes this tiny relative to the corpus), and
+each merge iteration is
+
+  1. adjacent-pair counts over the symbol sequences, weighted by word
+     frequency — explode + groupBy, partial-aggregated map-side;
+  2. a driver-side argmax of ONE row (count desc, pair asc tie-break —
+     deterministic on any engine/partitioning);
+  3. a row-local fold that rewrites every sequence, merging the chosen
+     pair greedily left-to-right (whole-stage codegen ``aggregate``
+     lambda — no Python in the loop).
+
+Driver state is one (pair, count) row per iteration; the corpus never
+collects. n_merges iterations = n_merges bounded shuffles over the WORD
+table, not the corpus — exactly how a 100 TB tokenizer build runs (count
+words once, train on the frequency table).
+
+Evidence: tests/test_bpe.py trains against a pure-Python reference
+implementation on the same corpus and requires the identical merge
+sequence, vocabulary, and final segmentations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the only corpus-wide reduction."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_sequences(words: DataFrame) -> DataFrame:
+    """word -> array of single-character symbols (+ </w> end marker, the
+    standard device so merges cannot cross word boundaries)."""
+    return words.withColumn(
+        "seq",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    # guard single-symbol sequences: sequence(1, 0) is DESCENDING in
+    # Spark, which would index past the array under ANSI mode
+    pairs = seqs.filter(F.size("seq") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(seq) - 1),"
+                " i -> struct(element_at(seq, i) AS a,"
+                "             element_at(seq, i + 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("n")
+    )
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Codegen fold that merges adjacent (a, b) greedily left-to-right."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        "aggregate(seq, array(cast(null as string)), (acc, x) -> "
+        f"CASE WHEN size(acc) > 1 AND element_at(acc, -1) = '{qa}' "
+        f"          AND x = '{qb}' "
+        f"     THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+        "     ELSE concat(acc, array(x)) END, "
+        "acc -> slice(acc, 2, size(acc) - 1))"
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge list [(left, right, weighted_count)] and the final
+    (word, freq, seq) frame with merged symbol sequences.
+
+    The greedy left-to-right merge semantics match the reference BPE:
+    on [a, a, a] with merge (a, a), the first pair merges and the third
+    symbol survives alone."""
+    seqs = _initial_sequences(word_frequencies(docs, text_col))
+    # the word table is small (vocab-cardinality) and hit n_merges times
+    seqs = seqs.persist()
+    seqs.count()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(seqs)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].n)
+        merges.append((a, b, cnt))
+        nxt = seqs.withColumn("seq", F.expr(_merge_expr(a, b))).persist()
+        nxt.count()
+        seqs.unpersist()
+        seqs = nxt
+    return merges, seqs
+
+
+def vocab_from_sequences(seqs: DataFrame) -> DataFrame:
+    """(symbol, n_words, total_freq) — the learned subword vocabulary."""
+    return (
+        seqs.select("freq", F.explode("seq").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_freq"),
+        )
+    )

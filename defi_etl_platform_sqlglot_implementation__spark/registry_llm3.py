@@ -1062,3 +1062,28 @@ def curation_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clipped_md5", F.md5(F.lit(""))).alias("clipped_md5"),
         )
     )
+
+
+@register("bpe_vocab")  # rows-only: iterative merge training has no
+                        # single-statement SQL twin; correctness evidence
+                        # is tests/test_bpe.py's pure-Python reference
+                        # (identical merge sequence, vocab, segmentations)
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE subword vocabulary after 6 merges over the document
+    corpus (operators/bpe.py): (symbol, n_words, total_freq). Iterative
+    and eager by nature — one bounded shuffle over the word-frequency
+    table per merge, driver state one row per iteration (the kmeans
+    contract). Registered rows-only; the merge algebra is pinned against
+    a reference implementation in pytest instead of a DuckDB oracle."""
+    from .operators.bpe import train_bpe, vocab_from_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    _, seqs = train_bpe(docs, n_merges=6)
+    out = vocab_from_sequences(seqs)
+    # materialize (lineage-truncated, vocab-cardinality blocks) before
+    # unpersisting the training frame it reads from — same device as
+    # dedup_clusters; a plain persist() here would leak cached partitions
+    # across driver-contract calls
+    out = out.localCheckpoint()
+    seqs.unpersist()
+    return out

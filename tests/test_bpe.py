@@ -1,0 +1,86 @@
+"""Distributed BPE training (operators/bpe.py) vs a pure-Python reference
+implementation of the classic algorithm on the same corpus: the merge
+sequence, the learned vocabulary, and every word's final segmentation
+must be identical."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from defi_etl_platform_sqlglot_implementation__spark.operators.bpe import (
+    train_bpe,
+    vocab_from_sequences,
+    word_frequencies,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Sennrich-style reference: count pairs weighted by word freq, merge
+    the argmax (ties: lexicographic), greedy left-to-right application."""
+    seqs = {w: list(w) + ["</w>"] for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, seq in seqs.items():
+            f = word_freq[w]
+            for x, y in zip(seq, seq[1:]):
+                counts[(x, y)] += f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_merge_sequence_vocab_and_segmentations_match_reference(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    ref_merges, ref_seqs = _reference_bpe(wf, n_merges=6)
+
+    merges, seqs = train_bpe(docs, n_merges=6)
+    assert [(a, b, c) for a, b, c in merges] == ref_merges
+
+    got = {r.word: list(r.seq) for r in seqs.collect()}
+    assert got == ref_seqs
+
+    vocab = {r.symbol: (r.n_words, r.total_freq)
+             for r in vocab_from_sequences(seqs).collect()}
+    ref_vocab = Counter()
+    ref_freqs = Counter()
+    for w, seq in ref_seqs.items():
+        for s in seq:
+            ref_vocab[s] += 1
+            ref_freqs[s] += wf[w]
+    assert vocab == {s: (ref_vocab[s], ref_freqs[s]) for s in ref_vocab}
+    seqs.unpersist()
+
+
+def test_greedy_left_to_right_merge_semantics(spark):
+    # [a, a, a, </w>] with merge (a, a): first pair merges, third survives
+    docs = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    merges, seqs = train_bpe(docs, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    seq = seqs.collect()[0].seq
+    assert list(seq) == ["aa", "a", "</w>"]
+    seqs.unpersist()
+
+
+def test_merge_stops_when_no_pairs_remain(spark):
+    docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    merges, seqs = train_bpe(docs, n_merges=50)
+    # each word is one char + </w>: exactly one mergeable pair per word,
+    # then singleton symbols -> training must stop early, not loop
+    assert 0 < len(merges) < 50
+    seqs.unpersist()
