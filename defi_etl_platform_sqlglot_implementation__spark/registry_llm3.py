@@ -1087,3 +1087,72 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     seqs.unpersist()
     return out
+
+
+# =========================================================================
+# Model inference — broadcast linear scorer over the embedding column
+# =========================================================================
+
+_LM_DIM = 64
+
+
+def _lm_weight(i: int) -> float:
+    """Deterministic rational weights (exactly representable in binary
+    would be ideal, but /10 is fine: both engines parse the same literal
+    to the same double)."""
+    return ((i * 7) % 13 - 6) / 10.0
+
+
+def _lm_margin_sql(alias: str) -> str:
+    return " + ".join(
+        f"CAST({alias}.embedding[{i}] AS DOUBLE) * {_lm_weight(i)!r}"
+        for i in range(1, _LM_DIM + 1)
+    ) + " + 0.05"
+
+
+@register(
+    "linear_model_confusion",
+    f"""
+    WITH scored AS (
+        SELECT vec_id,
+               (label % 2 = 1) AS y_true,
+               ({_lm_margin_sql('e')}) AS margin
+        FROM embeddings e
+    )
+    SELECT y_true,
+           (margin > 0.0) AS y_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(margin * 1e6) AS BIGINT)) AS BIGINT)
+               AS margin_micro_sum
+    FROM scored
+    GROUP BY y_true, (margin > 0.0)
+    """,
+)
+def linear_model_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference at scale: a fixed linear scorer (the quality-
+    classifier deployment shape — fastText/logreg weights broadcast to
+    every executor, scoring as pure column arithmetic in one scan, zero
+    shuffle until the confusion-matrix aggregate). The margin is a
+    fixed-order 64-term dot chain plus bias — bit-exact cross-engine like
+    the similarity dot products — so the decision boundary, per-cell
+    counts, and micro-quantized margin sums all hash-match. No sigmoid:
+    monotone transforms don't change predictions, and libm exp is NOT
+    bit-portable across engines — the margin is the parity-safe score."""
+    e = t(spark, sf_dir, "embeddings")
+    margin = None
+    for i in range(1, _LM_DIM + 1):
+        term = F.element_at("embedding", i).cast("double") * F.lit(_lm_weight(i))
+        margin = term if margin is None else margin + term
+    margin = margin + F.lit(0.05)
+    scored = e.select(
+        (F.col("label") % 2 == 1).alias("y_true"),
+        margin.alias("margin"),
+    )
+    return (
+        scored.groupBy("y_true", (F.col("margin") > 0.0).alias("y_pred"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("margin") * 1e6).cast("long"))
+            .cast("long").alias("margin_micro_sum"),
+        )
+    )
