@@ -69,8 +69,14 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
 
 
 def _merge_expr(a: str, b: str) -> str:
-    """Codegen fold that merges adjacent (a, b) greedily left-to-right."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    """Codegen fold that merges adjacent (a, b) greedily left-to-right.
+    Backslashes must escape BEFORE quotes — a learned symbol containing
+    '\\' would otherwise swallow the literal's closing quote and kill the
+    whole training job with a ParseException."""
+    def q(sym: str) -> str:
+        return sym.replace("\\", "\\\\").replace("'", "\\'")
+
+    qa, qb = q(a), q(b)
     return (
         "aggregate(seq, array(cast(null as string)), (acc, x) -> "
         f"CASE WHEN size(acc) > 1 AND element_at(acc, -1) = '{qa}' "

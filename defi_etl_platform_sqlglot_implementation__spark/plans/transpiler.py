@@ -339,13 +339,16 @@ def _parse_cast_type(tokens: list[Tok], j: int, target: str) -> tuple[str, int]:
         mapped = _map_cast_type(canon, target)
         suffix = "" if mapped in _LENGTH_FREE else render(tokens[k:close + 1])
         return mapped + suffix, close + 1
-    return _map_cast_type(low, target), j + 1
+    return _map_cast_type("decimal" if low == "numeric" else low,
+                          target), j + 1
 
 
 _KEYWORDS = frozenset(
     "select from where and or not when then else end case in on by as having"
     " group order join inner left right full outer cross union all distinct"
-    " limit offset between like is null exists with values insert update".split()
+    # NOTE: 'null' is deliberately absent — a NULL literal is a valid
+    # postfix-operator operand (null::int, x || null)
+    " limit offset between like is exists with values insert update".split()
 )
 
 
@@ -696,15 +699,18 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
         if t.kind == "op" and t.text == "||" and source == "mysql":
             # in the MySQL dialect (without PIPES_AS_CONCAT) '||' is
             # boolean OR — keeping the operator on a concat-dialect
-            # target would silently change semantics
+            # target would silently change semantics. Emit with explicit
+            # spacing: '||' carries no ws neighbors, and render() joins
+            # token texts verbatim (a bare OR would fuse into a||b -> aORb)
+            out.append(Tok("ws", " "))
             out.append(Tok("word", "OR"))
+            out.append(Tok("ws", " "))
             i += 1
             continue
         if t.kind == "op" and t.text == "||" and target == "mysql":
             # precedence guard: '+' binds tighter than '||', so
             # 'a + b || c' means (a+b)||c — a primary-level rewrite would
             # mis-nest it as a + CONCAT(b, c). Loud edge, not wrong SQL.
-            prev = next((x for x in reversed(out) if x.kind != "ws"), None)
             left = _pop_primary(out)
             before = next((x for x in reversed(out) if x.kind != "ws"), None)
             if before is not None and before.kind == "op" \
@@ -712,7 +718,6 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                 raise UnsupportedConstructError(
                     "arithmetic adjacent to '||' is outside the MySQL "
                     "CONCAT subset (precedence would mis-nest)")
-            del prev
             operands = [render(left)]
             k = i
             while k < n and tokens[k].kind == "op" and tokens[k].text == "||":
@@ -736,6 +741,15 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                         and tokens[k].text == "||"):
                     k = k2
                     break
+            # right-side twin of the guard above: '-' binds tighter than
+            # '||', so 'a || b - 1' means a || (b - 1) and a primary-level
+            # rewrite would emit CONCAT(a, b) - 1
+            knext = _next_code(tokens, k)
+            if (knext < n and tokens[knext].kind == "op"
+                    and tokens[knext].text in ("+", "-", "*", "/", "%")):
+                raise UnsupportedConstructError(
+                    "arithmetic adjacent to '||' is outside the MySQL "
+                    "CONCAT subset (precedence would mis-nest)")
             out.append(Tok("word", f"CONCAT({', '.join(operands)})"))
             i = k
             continue

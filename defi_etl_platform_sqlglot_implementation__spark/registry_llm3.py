@@ -878,10 +878,10 @@ def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact substring dedup — maximal cross-document duplicated token spans
 # =========================================================================
 
-@register(
-    "substring_dup_spans",
-    """
-    WITH toks AS (
+# Shared shingle->duplicate->hit CTE chain for the exact-substring pair
+# of gates (span discovery and span clipping) — one definition, two gates,
+# on both engines.
+_DUP_SHINGLE_CTES = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ),
     sh AS (
@@ -892,7 +892,41 @@ def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups AS (
         SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1
     ),
-    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dups USING (s)),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dups USING (s))"""
+
+
+def _dup_shingle_frames(spark: SparkSession, sf_dir: str):
+    """(toks, hits): tokenized documents and the 1-based positions of
+    cross-document duplicated 8-gram windows — the Spark twin of
+    _DUP_SHINGLE_CTES."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("l", F.split("text", " "))
+    sh = (
+        toks.filter(F.size("l") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 7),"
+                    " i -> concat_ws(' ', slice(l, i, 8)))"
+                )
+            ).alias("pos0", "s"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    dups = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s")
+    )
+    return toks, sh.join(dups, "s").select("doc_id", "pos")
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH {_DUP_SHINGLE_CTES},
     isl AS (
         SELECT doc_id, pos,
                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
@@ -921,24 +955,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     as MinHash; a df cap on pathological stopword shingles (the
     max_shingle_df device from operators/dedup.py) bounds reducer
     fan-in. All outputs are integer positions — float-parity class 1."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.withColumn("l", F.split("text", " ")).filter(F.size("l") >= 8)
-    sh = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(l) - 7),"
-                " i -> concat_ws(' ', slice(l, i, 8)))"
-            )
-        ).alias("pos0", "s"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
-    dups = (
-        sh.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("s")
-    )
-    hits = sh.join(dups, "s").select("doc_id", "pos")
+    _, hits = _dup_shingle_frames(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -958,19 +975,8 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_clip_spans",
-    """
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS l FROM documents
-    ),
-    sh AS (
-        SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS s
-        FROM toks, LATERAL unnest(range(1, len(l) - 6)) AS t(i)
-        WHERE len(l) >= 8
-    ),
-    dups AS (
-        SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1
-    ),
-    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dups USING (s)),
+    f"""
+    WITH {_DUP_SHINGLE_CTES},
     covered AS (
         SELECT DISTINCT doc_id, pos + o AS pos
         FROM hits, LATERAL unnest(range(0, 8)) AS u(o)
@@ -1009,28 +1015,7 @@ def curation_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept positions — partition-parallel, no global sort. Docs clipped to
     nothing emit md5('') rather than disappearing (conservation: every
     input doc_id appears exactly once)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.withColumn("l", F.split("text", " "))
-    sh = (
-        toks.filter(F.size("l") >= 8)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, size(l) - 7),"
-                    " i -> concat_ws(' ', slice(l, i, 8)))"
-                )
-            ).alias("pos0", "s"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
-    )
-    dups = (
-        sh.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("s")
-    )
-    hits = sh.join(dups, "s").select("doc_id", "pos")
+    toks, hits = _dup_shingle_frames(spark, sf_dir)
     covered = (
         hits.select(
             "doc_id",

@@ -27,7 +27,7 @@ _GROUP_EXPRS = [
     "instr(event_type, 'c')",
     "FLOOR(value)::BIGINT",
     "event_type || '-tag'",
-    "(user_id % 7)::VARCHAR",
+    "(user_id % 7)::STRING",
     "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')",
     "date_format(date_trunc('day', ts), 'yyyy-MM-dd')",
     "year(ts)",
