@@ -945,3 +945,95 @@ def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_centi"),
         fmt(num * num / varx / vary).alias("r_squared"),
     )
+
+
+# =========================================================================
+# Snapshot diff — keyed table reconciliation (CDC/CDF shape)
+# =========================================================================
+
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    h1 AS (
+        SELECT o_orderkey,
+               md5(concat(o_orderstatus, '|', printf('%.6e', o_totalprice)))
+                   AS row_sig
+        FROM v1
+    ),
+    h2 AS (
+        SELECT o_orderkey,
+               md5(concat(o_orderstatus, '|', printf('%.6e', o_totalprice)))
+                   AS row_sig
+        FROM v2
+    ),
+    d AS (
+        SELECT COALESCE(h1.o_orderkey, h2.o_orderkey) AS o_orderkey,
+               CASE WHEN h1.o_orderkey IS NULL THEN 'added'
+                    WHEN h2.o_orderkey IS NULL THEN 'removed'
+                    WHEN h1.row_sig <> h2.row_sig THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM h1 FULL OUTER JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY change_type
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation — the diff a CDC/change-data-feed
+    consumer computes between two table versions: added (key only in
+    v2), removed (only in v1), changed (both, row signature differs),
+    unchanged. The two versions are derived deterministically from the
+    orders table (v1 drops keys %10==0; v2 drops %11==0 and mutates
+    %7==0), so the classification is fully oracle-checkable. One full
+    outer hash join on the key; row signatures are md5 over canonical
+    column renderings (money rendered %.6e on both engines), computed
+    scan-side so the join carries (key, sig) instead of whole rows —
+    the shape that reconciles two 100 TB snapshots with one shuffle."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = base.filter(F.col("o_orderkey") % 10 != 0)
+    mut = F.col("o_orderkey") % 7 == 0
+    v2 = base.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(mut, F.lit("X")).otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(mut, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+
+    def sig(df: DataFrame, key_alias: str) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias(key_alias),
+            # fmt (printf half-even), NOT format_string: Java's HALF_UP
+            # diverges from DuckDB printf exactly on the decimal ties
+            # 2-decimal money hits constantly (registry float policy)
+            F.md5(
+                F.concat(
+                    F.col("o_orderstatus"), F.lit("|"),
+                    fmt(F.col("o_totalprice")),
+                )
+            ).alias(f"_sig_{key_alias}"),
+        )
+
+    h1, h2 = sig(v1, "k1"), sig(v2, "k2")
+    d = h1.join(h2, h1.k1 == h2.k2, "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("_sig_k1") != F.col("_sig_k2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(F.count("*").cast("long").alias("n"))

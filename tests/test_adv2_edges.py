@@ -157,3 +157,27 @@ class TestExactStats:
             assert abs(float(r.intercept_centi) - intercept) < 1e-4 * max(1, abs(intercept))
             rr = np.corrcoef(g.x, g.y)[0, 1] ** 2
             assert abs(float(r.r_squared) - rr) < 1e-6
+
+
+class TestSnapshotDiff:
+    def test_classification_reconciles(self, spark):
+        import pandas as pd
+
+        from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        out = {r.change_type: r.n
+               for r in QUERIES["orders_snapshot_diff"](spark, sf).collect()}
+        o = pd.read_parquet(f"{sf}/orders.parquet")
+        k = o.o_orderkey
+        v1 = set(k[k % 10 != 0])
+        v2 = set(k[k % 11 != 0])
+        added = v2 - v1
+        removed = v1 - v2
+        both = v1 & v2
+        changed = {x for x in both if x % 7 == 0}
+        assert out.get("added", 0) == len(added)
+        assert out.get("removed", 0) == len(removed)
+        assert out.get("changed", 0) == len(changed)
+        assert out.get("unchanged", 0) == len(both) - len(changed)
+        assert sum(out.values()) == len(v1 | v2)
