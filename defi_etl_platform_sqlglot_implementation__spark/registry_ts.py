@@ -457,3 +457,47 @@ def hourly_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("val", ignorenulls=True).over(w_fill).alias("value_filled"),
         )
     )
+
+
+@register(
+    "user_share_of_type_value",
+    """
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS user_micro
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, user_micro,
+           CAST(round(1e6 * user_micro /
+                SUM(user_micro) OVER (PARTITION BY event_type)) AS BIGINT)
+               AS share_ppm
+    FROM per_user
+    """,
+)
+def user_share_of_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within partition (Oracle's RATIO_TO_REPORT, the
+    BI staple): each user's share of their event type's total value, in
+    parts-per-million. Values micro-quantize per row BEFORE any sum, so
+    the per-user totals and the windowed denominator are order-free
+    integer sums and the ratio is one deterministic double op per row.
+    One shuffle for the groupBy; the window reuses the same partitioning
+    (event_type is a prefix of the grouping key on disk order — Catalyst
+    plans an exchange only if the agg partitioning doesn't carry)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type", "user_id",
+            F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("vm").cast("long").alias("user_micro"))
+    )
+    w = Window.partitionBy("event_type")
+    return per_user.select(
+        "event_type", "user_id", "user_micro",
+        F.round(F.lit(1e6) * F.col("user_micro") / F.sum("user_micro").over(w))
+        .cast("long").alias("share_ppm"),
+    )

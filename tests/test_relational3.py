@@ -250,3 +250,20 @@ class TestLocfFill:
                 assert row.value_filled == v
         # every observed row carries its own hour's last value verbatim
         assert out.observed.any() and (~out.observed).any()
+
+
+class TestShareOfType:
+    def test_shares_sum_to_unity_per_type(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark import registry_ts  # noqa: F401
+
+        out = QUERIES["user_share_of_type_value"](spark, SF).toPandas()
+        for etype, g in out.groupby("event_type"):
+            # per-row ppm rounding: total within len(g) ppm of 1e6
+            assert abs(g.share_ppm.sum() - 1_000_000) <= len(g)
+            assert (g.share_ppm >= 0).all()
+        # user_micro reconciles with raw values
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev["vm"] = (ev.value * 1e6).round().astype("int64")
+        expect = ev.groupby(["event_type", "user_id"]).vm.sum()
+        for _, r in out.iterrows():
+            assert expect[(r.event_type, r.user_id)] == r.user_micro
