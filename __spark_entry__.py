@@ -72,7 +72,7 @@ _PRIORITY = [
     "swap_price_impact", "block_agg_daily", "region_enrichment",
     "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
     "order_price_histogram", "returnflag_metrics_unpivot",
-    "pricing_summary",
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
 ]
 
 
@@ -112,8 +112,8 @@ _DRIVER_GREEN = {
     "rolling_var_minperiods_partitioned", "similarity_ann_ivf_fullprobe",
     "token_entropy", "salted_join_brand_qty", "asof_price_join_forward",
     "pagerank_nation_graph", "contamination_bloom_gated",
-    "curation_pipeline_e2e", "source_mix_rebalance", "shipping_priority",
-    "local_supplier_volume", "dedup_char_jaccard_capped",
+    "curation_pipeline_e2e", "source_mix_rebalance",
+    "dedup_char_jaccard_capped",
     "similarity_ann_pq", "similarity_ann_recall",
     "transfer_volume_hourly_approx_check", "dedup_embedding_cosine_blocked",
     "twap_per_user", "funnel_view_click_purchase", "event_transition_matrix",

@@ -103,6 +103,24 @@ def fmt(c: Column | str) -> Column:
     return _fmt6(col.cast("double"))
 
 
+def cents(c: Column | str) -> Column:
+    """Exact long-cents conversion for 2-decimal money stored as double.
+
+    The true value is an integer number of cents, so ``round(x*100)`` is
+    exact (the FP error of the double representation is orders of magnitude
+    below 0.5 cents for any realistic money value), and the result is a
+    64-bit long — Σcents is an order-free exact integer sum that stays
+    inside whole-stage codegen, unlike a DECIMAL(12,2) accumulator which
+    pays 128-bit arithmetic per row.  Headroom: |x| < ~9e16 dollars per
+    row; Σ per group < 9.2e18 cents (cast the SUM to decimal(38,0) on the
+    way out if a group could exceed that).  DuckDB twin:
+    ``CAST(round(x*100) AS BIGINT)`` (DuckDB sums BIGINT into HUGEINT, so
+    the oracle side never overflows).
+    """
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.round(col * 100).cast("long")
+
+
 # =========================================================================
 # A2/Q5 — hourly transfer-volume aggregate (flagship; etl_pipeline.py:267-282)
 # =========================================================================
@@ -143,54 +161,60 @@ def transfer_volume_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "swap_price_impact",
     """
+    WITH c AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round((l_extendedprice + l_tax) * 100) AS BIGINT) AS vc
+        FROM lineitem
+    )
     SELECT l_partkey AS pool,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-                               AS DOUBLE) / COUNT(*)) AS avg_price,
+           printf('%.6e', CAST(SUM(pc) AS DOUBLE) / 100.0 / COUNT(*))
+               AS avg_price,
            printf('%.6e', sqrt(
-               (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                         * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                  * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                  / COUNT(*))
+               (CAST(SUM(pc * pc) AS DOUBLE) / 10000.0
+                - (CAST(SUM(pc) AS DOUBLE) / 100.0)
+                  * (CAST(SUM(pc) AS DOUBLE) / 100.0) / COUNT(*))
                / (COUNT(*) - 1))) AS price_volatility,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice + l_tax
-                                        AS DECIMAL(12,2))) AS DOUBLE))
-               AS total_volume,
+           printf('%.6e', CAST(SUM(vc) AS DOUBLE) / 100.0) AS total_volume,
            COUNT(*) AS swap_count
-    FROM lineitem
+    FROM c
     GROUP BY 1
     HAVING COUNT(*) > 5
     """,
 )
 def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — price-impact aggregate. Money columns are 2-decimal, so every
-    multi-row aggregate rides an order-free DECIMAL sum (the
-    pricing_summary device): avg = decimal-sum / count, and the sample
-    stddev comes from exact decimal Σd and Σd² folded through ONE double
-    expression — an sf1 stress sweep caught the plain double AVG flipping
-    the 7th %.6e digit (partial-agg reassociation), and exact sums make
-    the result bit-identical at any scale factor and any partitioning."""
+    multi-row aggregate rides an order-free exact LONG-CENTS sum: avg =
+    cent-sum / 100 / count, and the sample stddev comes from exact Σc and
+    Σc² folded through ONE double expression — an sf1 stress sweep caught
+    the plain double AVG flipping the 7th %.6e digit (partial-agg
+    reassociation); integer cent sums make the result bit-identical at
+    any scale factor and any partitioning, at long-add cost instead of
+    the 128-bit DECIMAL accumulation this rode in round 3 (which was the
+    one r3 bench regression, 0.75→1.27 s).  Σc² rides a long multiply
+    (exact below ~$3×10^8 per row) summed into decimal(38,0) so hot keys
+    can never overflow the accumulator."""
     li = t(spark, sf_dir, "lineitem")
-    d = F.col("l_extendedprice").cast("decimal(12,2)")
+    pc = cents("l_extendedprice")
+    vc = cents(F.col("l_extendedprice") + F.col("l_tax"))
     out = (
         li.groupBy(F.col("l_partkey").alias("pool"))
         .agg(
-            F.sum(d).alias("_s1"),
-            F.sum(d * d).alias("_s2"),
-            F.sum((F.col("l_extendedprice") + F.col("l_tax"))
-                  .cast("decimal(12,2)")).alias("_sv"),
+            F.sum(pc).alias("_s1"),
+            F.sum((pc * pc).cast("decimal(38,0)")).alias("_s2"),
+            F.sum(vc).alias("_sv"),
             F.count("*").alias("swap_count"),
         )
         .filter(F.col("swap_count") > 5)
     )
     n = F.col("swap_count")
-    s1 = F.col("_s1").cast("double")
+    s1 = F.col("_s1").cast("double") / 100.0
     return out.select(
         "pool",
         fmt(s1 / n).alias("avg_price"),
-        fmt(F.sqrt((F.col("_s2").cast("double") - s1 * s1 / n) / (n - 1)))
-        .alias("price_volatility"),
-        fmt(F.col("_sv").cast("double")).alias("total_volume"),
+        fmt(F.sqrt((F.col("_s2").cast("double") / 10000.0 - s1 * s1 / n)
+                   / (n - 1))).alias("price_volatility"),
+        fmt(F.col("_sv").cast("double") / 100.0).alias("total_volume"),
         "swap_count",
     )
 
@@ -204,10 +228,10 @@ def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            COUNT(*) AS tx_count,
-           printf('%.6e', CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
-                               AS DOUBLE)) AS total_volume,
-           printf('%.6e', CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
-                               AS DOUBLE) / COUNT(*)) AS avg_price,
+           printf('%.6e', CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) AS total_volume,
+           printf('%.6e', CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0 / COUNT(*)) AS avg_price,
            printf('%.6e', MAX(o_totalprice)) AS max_price,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_count,
            CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count
@@ -217,16 +241,16 @@ def swap_price_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def block_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — per-day multi-agg. o_totalprice is 2-decimal money, so SUM and
-    AVG ride order-free DECIMAL sums (see swap_price_impact) — exact at
-    any SF; MAX needs no protection (no accumulation)."""
+    AVG ride order-free exact long-cents sums (see swap_price_impact) —
+    exact at any SF; MAX needs no protection (no accumulation)."""
     o = t(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    c = cents("o_totalprice")
     return o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
     ).agg(
         F.count("*").alias("tx_count"),
-        fmt(F.sum(dec).cast("double")).alias("total_volume"),
-        fmt(F.sum(dec).cast("double") / F.count("*")).alias("avg_price"),
+        fmt(F.sum(c).cast("double") / 100.0).alias("total_volume"),
+        fmt(F.sum(c).cast("double") / 100.0 / F.count("*")).alias("avg_price"),
         fmt(F.max("o_totalprice")).alias("max_price"),
         F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("filled_count"),
         F.sum(F.col("o_orderpriority").startswith("1").cast("long")).alias("urgent_count"),
@@ -311,7 +335,8 @@ def hour_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_enrichment",
     """
     SELECT r.r_name AS region, COUNT(*) AS customer_count,
-           printf('%.6e', CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)) AS total_acctbal
+           printf('%.6e', CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -328,7 +353,7 @@ def region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("customer_count"),
-            fmt(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")).alias("total_acctbal"),
+            fmt(F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_acctbal"),
         )
     )
 
@@ -932,16 +957,16 @@ def routed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)))
-                               AS DOUBLE)) AS sum_base_price,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
-                                   * (1 - CAST(l_discount AS DECIMAL(5,2))))
-                               AS DOUBLE)) AS sum_disc_price,
+           printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) AS sum_base_price,
+           printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                               AS DOUBLE) / 10000.0) AS sum_disc_price,
            printf('%.6e', SUM(l_quantity) / COUNT(*)) AS avg_qty,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)))
-                               AS DOUBLE) / COUNT(*)) AS avg_price,
-           printf('%.6e', CAST(SUM(CAST(l_discount AS DECIMAL(5,2)))
-                               AS DOUBLE) / COUNT(*)) AS avg_disc,
+           printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0 / COUNT(*)) AS avg_price,
+           printf('%.6e', CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0 / COUNT(*)) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
@@ -950,25 +975,30 @@ def routed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape. Money columns are 2-decimal values stored as
-    doubles; both engines aggregate them as DECIMAL (exact, order-free)
-    and only then cast to double, so the sums are bit-identical at ANY
-    scale factor — no reassociation tail risk (a %.6e 7th-digit flip was
-    observed on the double path at sf0.1). Averages divide the exact sum
-    by the count in double space (same operands → same result)."""
+    doubles; both engines aggregate them as exact long cents (order-free
+    integer sums; see ``cents``) and only then cast to double, so the
+    sums are bit-identical at ANY scale factor — no reassociation tail
+    risk (a %.6e 7th-digit flip was observed on the double path at
+    sf0.1).  price*(1-disc) is exact in centi-cent units: a long×long
+    per-row product summed into decimal(38,0), because this query's
+    groups span the whole table and a BIGINT Σ of ~1e9-scale products
+    would overflow around 1e10 rows.  Averages divide the exact sum by
+    the count in double space (same operands → same result)."""
     li = t(spark, sf_dir, "lineitem")
-    price_d = F.col("l_extendedprice").cast("decimal(15,2)")
-    disc_d = F.col("l_discount").cast("decimal(5,2)")
+    pc = cents("l_extendedprice")
+    dc = cents("l_discount")
     cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            fmt(F.sum(price_d)).alias("sum_base_price"),
-            fmt(F.sum(price_d * (F.lit(1).cast("decimal(5,2)") - disc_d))).alias("sum_disc_price"),
+            fmt(F.sum(pc).cast("double") / 100.0).alias("sum_base_price"),
+            fmt(F.sum((pc * (F.lit(100) - dc)).cast("decimal(38,0)"))
+                .cast("double") / 10000.0).alias("sum_disc_price"),
             fmt(F.sum("l_quantity") / cnt).alias("avg_qty"),
-            fmt(F.sum(price_d).cast("double") / cnt).alias("avg_price"),
-            fmt(F.sum(disc_d).cast("double") / cnt).alias("avg_disc"),
+            fmt(F.sum(pc).cast("double") / 100.0 / cnt).alias("avg_price"),
+            fmt(F.sum(dc).cast("double") / 100.0 / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import fmt, register, t
+from .registry import cents, fmt, register, t
 
 # =========================================================================
 # SCD2 history — gaps-and-islands run collapse (CDC downstream shape)
@@ -171,9 +171,9 @@ def grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.flag AS returnflag,
            printf('%.6e', th.lo) AS p05,
            printf('%.6e', th.hi) AS p95,
-           printf('%.6e', CAST(SUM(CAST(least(greatest(r.x, th.lo), th.hi)
-                                        AS DECIMAL(12,2))) AS DOUBLE)
-                          / COUNT(*)) AS winsorized_mean,
+           printf('%.6e', CAST(SUM(CAST(round(least(greatest(r.x, th.lo), th.hi)
+                                              * 100) AS BIGINT)) AS DOUBLE)
+                          / 100.0 / COUNT(*)) AS winsorized_mean,
            CAST(SUM(CASE WHEN r.x < th.lo OR r.x > th.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clamped
     FROM r JOIN th USING (flag)
@@ -189,7 +189,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row picked by row_number, no interpolation) so the clamp boundary is
     bit-identical cross-engine — an interpolated percentile could differ
     by an ulp and flip boundary rows' clamping. Ranks ride one per-group
-    window sort; the clamped mean rides an order-free DECIMAL money sum
+    window sort; the clamped mean rides an order-free exact long-cents sum
     (clamped money is still 2-decimal), so it is exact at any SF."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -219,9 +219,9 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("flag", "lo", "hi")
         .agg(
-            (F.sum(F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
-                   .cast("decimal(12,2)")).cast("double") / F.count("*"))
-            .alias("_wm"),
+            (F.sum(cents(F.least(F.greatest(F.col("x"), F.col("lo")),
+                             F.col("hi"))))
+             .cast("double") / 100.0 / F.count("*")).alias("_wm"),
             F.sum(
                 F.when((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi")), 1)
                 .otherwise(0)

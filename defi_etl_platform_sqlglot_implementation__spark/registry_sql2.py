@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import fmt, register, t
+from .registry import cents, fmt, register, t
 
 
 # =========================================================================
@@ -44,7 +44,7 @@ from .registry import fmt, register, t
 @register(
     "avg_yearly_small_qty",
     """
-    SELECT printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0) AS avg_yearly
+    SELECT printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#2'
@@ -79,7 +79,7 @@ def avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(limits, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(fmt(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(fmt(F.sum(cents("l_extendedprice")).cast("double") / 100.0 / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -213,7 +213,7 @@ def lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_cust,
-           printf('%.6e', CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)) AS total_bal
+           printf('%.6e', CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total_bal
     FROM customer c
     WHERE c_acctbal > (
             SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -248,7 +248,7 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n_cust"),
-            fmt(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")).alias("total_bal"),
+            fmt(F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_bal"),
         )
     )
 
@@ -382,8 +382,8 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
         SELECT l_returnflag,
                SUM(l_quantity)      AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+               CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, 'sum_qty'   AS metric, printf('%.6e', sum_qty)   AS metric_value FROM agg
@@ -403,10 +403,10 @@ def returnflag_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("double").alias("sum_price"),
-            F.sum(F.col("l_discount").cast("decimal(4,2)"))
-            .cast("double").alias("sum_disc"),
+            (F.sum(cents("l_extendedprice"))
+             .cast("double") / 100.0).alias("sum_price"),
+            (F.sum(cents("l_discount"))
+             .cast("double") / 100.0).alias("sum_disc"),
         )
     )
     return agg.select(
@@ -429,7 +429,7 @@ def returnflag_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(l_linestatus, 'ALL') AS lstat,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
            COUNT(*) AS n_items,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) AS total_price
+           printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -446,7 +446,7 @@ def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_items"),
-            fmt(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")).alias("total_price"),
+            fmt(F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("total_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
@@ -655,7 +655,7 @@ def segment_name_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
            END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           printf('%.6e', CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)) AS bucket_value
+           printf('%.6e', CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS bucket_value
     FROM orders
     GROUP BY 1
     """,
@@ -676,7 +676,7 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            fmt(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")).alias("bucket_value"),
+            fmt(F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("bucket_value"),
         )
     )
 

@@ -27,16 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import fmt, register, t
+from .registry import cents, fmt, register, t
 
 
 @register(
     "shipping_priority",
     """
     SELECT l_orderkey,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
-                                   * (1 - CAST(l_discount AS DECIMAL(5,2))))
-                               AS DOUBLE)) AS revenue,
+           printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                               AS DOUBLE) / 10000.0) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str,
            o_orderpriority
     FROM customer
@@ -64,9 +64,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(fmt(F.sum(F.col("l_extendedprice").cast("decimal(15,2)")
-                  * (F.lit(1).cast("decimal(5,2)")
-                     - F.col("l_discount").cast("decimal(5,2)")))).alias("revenue"))
+        .agg(fmt(F.sum(cents("l_extendedprice")
+                      * (F.lit(100) - cents("l_discount")))
+                .cast("double") / 10000.0).alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
@@ -79,9 +79,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n_name,
-           printf('%.6e', CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
-                                   * (1 - CAST(l_discount AS DECIMAL(5,2))))
-                               AS DOUBLE)) AS revenue,
+           printf('%.6e', CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                               AS DOUBLE) / 10000.0) AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -122,9 +122,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            fmt(F.sum(F.col("l_extendedprice").cast("decimal(15,2)")
-                  * (F.lit(1).cast("decimal(5,2)")
-                     - F.col("l_discount").cast("decimal(5,2)")))).alias("revenue"),
+            fmt(F.sum(cents("l_extendedprice")
+                      * (F.lit(100) - cents("l_discount")))
+                .cast("double") / 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -15,8 +15,8 @@ Scale notes (100 TB plans):
   and one shuffle key prefix; the threshold join is an equi-join on
   partkey; the final supplier reduction is a semi-join.
 
-Float parity: revenue = Σ price·(1−disc) rides exact DECIMAL products
-(2-dec × 2-dec = exact 4-dec) summed as DECIMAL — order-free (the
+Float parity: revenue = Σ price·(1−disc) rides exact integer centi-cent
+products (2-dec × 2-dec = exact 4-dec) summed as BIGINT — order-free (the
 sf1-measured money rule); quantities are integral sums (class 1).
 """
 
@@ -25,16 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import fmt, register, t
+from .registry import cents, fmt, register, t
 
-# exact per-row revenue term: DECIMAL(12,2) * DECIMAL(5,4) -> DECIMAL exact
-_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2))"
-            " * (1 - CAST(l_discount AS DECIMAL(4,2)))")
+# exact per-row revenue term in integer CENTI-CENTS (1e-4 dollars):
+# cents(price) * (100 - cents(disc)) is a long*long product (exact, cheap
+# codegen vs the r3 DECIMAL multiply); Σ stays a 64-bit integer sum with
+# headroom past 1e9 rows per group (revenue/row < ~1.1e9 centi-cents).
+# Callers divide the summed double by 10000.0 to get dollars.
+_REV_SQL = ("(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)))")
 
 
 def _rev_col() -> F.Column:
-    return (F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
 # =========================================================================
@@ -49,7 +52,7 @@ _N1, _N2 = "NATION_3", "NATION_7"
     SELECT cn.n_name AS cust_nation,
            sn.n_name AS supp_nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
-           printf('%.6e', CAST(SUM({_REV_SQL}) AS DOUBLE)) AS revenue,
+           printf('%.6e', CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -94,7 +97,7 @@ def bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
         .agg(
-            fmt(F.sum(_rev_col()).cast("double")).alias("revenue"),
+            fmt(F.sum(_rev_col()).cast("double") / 10000.0).alias("revenue"),
             F.count("*").cast("long").alias("n_items"),
         )
     )
@@ -160,7 +163,7 @@ def part_qty_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx AS (SELECT MAX(total_rev) AS max_rev FROM rev)
     SELECT s.s_name AS supplier_name,
            r.suppkey,
-           printf('%.6e', CAST(r.total_rev AS DOUBLE)) AS total_rev
+           printf('%.6e', CAST(r.total_rev AS DOUBLE) / 10000.0) AS total_rev
     FROM rev r, mx
     JOIN supplier s ON s.s_suppkey = r.suppkey
     WHERE r.total_rev = mx.max_rev
@@ -170,7 +173,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: supplier(s) whose revenue equals the maximum of the
     per-supplier revenue view — the view is computed ONCE and reused for
     both the max (1-row broadcast) and the equality filter. Revenue is
-    an exact DECIMAL sum, so cross-engine max-equality is safe (the
+    an exact integer centi-cents sum, so cross-engine max-equality is safe (the
     double version of this query is a parity landmine: an ulp of
     reassociation and the argmax row set changes)."""
     li = t(spark, sf_dir, "lineitem").select(
@@ -187,7 +190,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_name").alias("supplier_name"),
             "suppkey",
-            fmt(F.col("total_rev").cast("double")).alias("total_rev"),
+            fmt(F.col("total_rev").cast("double") / 10000.0).alias("total_rev"),
         )
     )
 

@@ -16,10 +16,11 @@ swaps in the available columns:
 - Q6  -> ``forecast_revenue_change``: pure scan-filter-agg; the predicate
   set reaches the parquet scan as PushedFilters.
 - Q8  -> ``nation_market_share``: conditional share-of-total — both sums
-  are order-free DECIMAL, divided once at the end (money rule).
+  are order-free integer centi-cents sums, divided once at the end
+  (money rule).
 - Q9  -> ``product_type_profit``: profit per (nation, year).
 - Q10 -> ``returned_item_customers``: top-20 by revenue; ordering is on
-  the exact DECIMAL sum with a c_custkey tiebreak so the selected set is
+  the exact centi-cents sum with a c_custkey tiebreak so the selected set is
   engine-independent.
 - Q12 -> ``linestatus_priority_counts``: CASE-count pivot.
 - Q13 -> ``customer_order_distribution``: left outer + two-level agg
@@ -34,7 +35,7 @@ swaps in the available columns:
 Scale notes (100 TB plans): every dimension side (part, supplier, nation,
 region, the negative-balance supplier list) is broadcast; each query does
 at most one fact-table shuffle on its grouping/join key. Money aggregates
-follow the sf1-measured DECIMAL rule from registry.py (order-free decimal
+follow the sf1-measured money rule from registry.py (order-free integer
 sums, cast to double only at the emission edge).
 """
 
@@ -43,23 +44,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import fmt, register, t
-
-
-def _dec_price() -> F.Column:
-    return F.col("l_extendedprice").cast("decimal(15,2)")
+from .registry import cents, fmt, register, t
 
 
 def _dec_volume() -> F.Column:
-    """l_extendedprice * (1 - l_discount) as exact DECIMAL (scale 4)."""
-    return _dec_price() * (
-        F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)")
-    )
+    """l_extendedprice * (1 - l_discount) as exact integer CENTI-CENTS
+    (1e-4 dollars): long*long per-row product, order-free BIGINT sum —
+    same exactness as the r3 DECIMAL form at 64-bit-add cost.  Callers
+    divide the summed double by 10000.0 for dollars (ratio queries skip
+    the division — it cancels)."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
 _VOLUME_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(15,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(5,2)))"
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
 )
 
 
@@ -185,8 +184,9 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forecast_revenue_change",
     """
     SELECT printf('%.6e',
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
-                      * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000.0
            ) AS revenue_delta,
            COUNT(*) AS n_items
     FROM lineitem
@@ -199,7 +199,7 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 shape: pure predicate + single aggregate — every filter reaches
     the parquet scan (PushedFilters), only 4 columns are read, and the
-    money product aggregates as exact DECIMAL (order-free at any SF)."""
+    money product aggregates as exact integer centi-cents (order-free at any SF)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -209,9 +209,9 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         fmt(
-            F.sum(_dec_price() * F.col("l_discount").cast("decimal(5,2)")).cast(
+            F.sum(cents("l_extendedprice") * cents("l_discount")).cast(
                 "double"
-            )
+            ) / 10000.0
         ).alias("revenue_delta"),
         F.count("*").alias("n_items"),
     )
@@ -313,7 +313,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-           printf('%.6e', CAST(SUM({_VOLUME_SQL}) AS DOUBLE)) AS profit
+           printf('%.6e', CAST(SUM({_VOLUME_SQL}) AS DOUBLE) / 10000.0) AS profit
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -352,7 +352,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(fmt(F.sum(_dec_volume()).cast("double")).alias("profit"))
+        .agg(fmt(F.sum(_dec_volume()).cast("double") / 10000.0).alias("profit"))
     )
 
 
@@ -364,7 +364,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_customers",
     f"""
     SELECT c_custkey, c_name,
-           printf('%.6e', CAST(SUM({_VOLUME_SQL}) AS DOUBLE)) AS revenue,
+           printf('%.6e', CAST(SUM({_VOLUME_SQL}) AS DOUBLE) / 10000.0) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
@@ -381,7 +381,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: customers who returned the most revenue in one quarter.
     The top-20 runs as TakeOrderedAndProject (no global sort materialized);
-    ordering is on the exact DECIMAL revenue with a c_custkey tiebreak so
+    ordering is on the exact integer centi-cents revenue with a c_custkey tiebreak so
     both engines select the identical row set."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -409,7 +409,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # TakeOrderedAndProject (per-partition top-20, no global sort).
         .select(
             "c_custkey", "c_name",
-            fmt(F.col("_rev").cast("double")).alias("revenue"),
+            fmt(F.col("_rev").cast("double") / 10000.0).alias("revenue"),
             "c_acctbal", "n_name", "_rev",
         )
         .orderBy(F.desc("_rev"), F.asc("c_custkey"))
@@ -519,7 +519,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: PROMO parts' percentage of one month's revenue. Part dim
-    broadcast; both sums DECIMAL-exact; one double division at the end."""
+    broadcast; both sums centi-cents-exact; one double division at the end."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -595,7 +595,7 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_bracket_revenue",
     f"""
-    SELECT printf('%.6e', CAST(SUM({_VOLUME_SQL}) AS DOUBLE)) AS revenue,
+    SELECT printf('%.6e', CAST(SUM({_VOLUME_SQL}) AS DOUBLE) / 10000.0) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -642,7 +642,7 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
         .filter(bracket)
         .agg(
-            fmt(F.sum(_dec_volume()).cast("double")).alias("revenue"),
+            fmt(F.sum(_dec_volume()).cast("double") / 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
