@@ -114,25 +114,29 @@ def streaming_block_agg(events: DataFrame, watermark: str = "10 minutes") -> Dat
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
-    topic: str,
     checkpoint_dir: str,
+    topic: str | None = None,
     trigger_seconds: float = 2.0,
 ):
     """writeStream to Kafka with the reference's cadence (poll_interval=2s ->
-    processingTime trigger). Value is the JSON of all columns; key mirrors
-    the reference's block-hash keying where present."""
-    out = df.select(
-        F.coalesce(F.col("tx_hash"), F.lit("")).alias("key")
-        if "tx_hash" in df.columns else F.lit("").alias("key"),
-        F.to_json(F.struct(*df.columns)).alias("value"),
-    )
-    return (
+    processingTime trigger). The (topic, key, value) projection is shared
+    with the broker-less executable twin (kafka_compat.kafka_records —
+    block-hash keys for blocks, block-number keys otherwise, event-type
+    topic routing), so the contract asserted in test_kafka_compat is the
+    one this production sink publishes. A fixed ``topic`` option overrides
+    the routed topic column when a caller pins one."""
+    from .kafka_compat import kafka_records
+
+    out = kafka_records(df)
+    writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
+    if topic is not None:
+        writer = writer.option("topic", topic)
+    return writer
 
 
 def foreach_batch_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
