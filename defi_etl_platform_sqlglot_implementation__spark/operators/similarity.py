@@ -329,6 +329,75 @@ def kmeans_cosine(
     )
 
 
+def kmeans_micro(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Engine-reproducible Lloyd's k-means for IVF/SemDeDup blocking.
+
+    Unlike :func:`kmeans_cosine` (whose per-dimension double mean is
+    partial-aggregation-order dependent, so two runs — or two engines —
+    can diverge by an ulp and flip boundary assignments), every centroid
+    here derives from ORDER-FREE integer sums: components are micro-
+    quantized to ``round(x*scale)`` longs, the per-cluster per-dimension
+    sums are exact BIGINTs, and the centroid component is the single
+    deterministic double ``S / (n * scale)``.  An external SQL engine
+    that unrolls the identical iterations (see registry_llm3's trained
+    SemDeDup oracle) reproduces the centroids — and therefore the
+    assignments — bit-for-bit.
+
+    Exactness bound: |x| * scale * rows_per_cluster must stay below 2^53
+    (at scale=1e6 and unit-normed vectors that is ~9e9 rows per cluster).
+
+    Each iteration = one broadcast assign (argmax cosine, centroid-id
+    tie-break) + one hash aggregate of long sums; centroid state (k x dim)
+    rides in the closure, the corpus never moves.  Returns
+    (centroid_id, embedding) with the centroids after ``iters`` updates;
+    block with ``assign_clusters(embeddings, kmeans_micro(...))``.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"] if dim_row else 0
+    spark = embeddings.sparkSession
+
+    def q(col: Column) -> Column:
+        return F.round(col * scale).cast("long")
+
+    def _round_half_away(v: float) -> int:
+        # Spark's F.round and DuckDB's round() are HALF-AWAY-FROM-ZERO on
+        # doubles; Python's round() is half-even — match the engines.
+        import math
+
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    cents = [
+        (int(r[id_col]),
+         [_round_half_away(float(x) * scale) / scale for x in r[vec_col]])
+        for r in embeddings.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, ["centroid_id", "ce"])
+        assigned = assign_clusters(
+            embeddings,
+            cdf.select(F.col("centroid_id").alias(id_col),
+                       F.col("ce").alias(vec_col)),
+            vec_col, id_col,
+        )
+        sums = assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n"),
+            *[F.sum(q(F.col(vec_col)[i])).alias(f"s{i}") for i in range(dim)],
+        )
+        cents = sorted(
+            (int(r["cluster_id"]),
+             [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)])
+            for r in sums.collect()
+        )
+    return spark.createDataFrame(cents, ["centroid_id", "embedding"])
+
+
 
 # ---------------------------------------------------------------------------
 # Random-hyperplane (sign-random-projection) LSH — banded, exact-verified

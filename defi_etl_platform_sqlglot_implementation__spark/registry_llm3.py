@@ -1141,3 +1141,192 @@ def linear_model_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("margin_micro_sum"),
         )
     )
+
+
+# =========================================================================
+# SemDeDup with TRAINED centroids — engine-reproducible micro-k-means
+# =========================================================================
+#
+# VERDICT r3 #4: the stand-in first-16 centroids produce huge clusters
+# (hard-assignment recall ~19%); training shrinks the max cluster and
+# lifts recall. The blocker for an oracle-exact trained gate is that a
+# double-mean k-means is partial-agg-order dependent — so the trainer
+# here is operators.similarity.kmeans_micro: centroids derive only from
+# ORDER-FREE integer micro-sums and single deterministic double ops,
+# letting DuckDB re-run the identical training as unrolled SQL CTEs and
+# land on bit-identical centroids, assignments, and pair sets.
+
+_KM_DIM = 64
+_KM_K = 16
+_KM_ITERS = 2
+_KM_SCALE = "1000000.0"
+
+
+def _vchain(a: str, b: str) -> str:
+    """64-term left-assoc dot chain over explicit array expressions."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, _KM_DIM + 1)
+    )
+
+
+def _km_assign_cte(name: str, cents: str) -> str:
+    cos = (f"({_vchain('e.embedding', 'c.ce')})"
+           f" / (sqrt({_vchain('e.embedding', 'e.embedding')})"
+           f" * sqrt({_vchain('c.ce', 'c.ce')}))")
+    return f"""{name} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn
+            FROM embeddings e, {cents} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_ctes() -> str:
+    """The unrolled training: init -> (assign, integer-mean)^iters ->
+    final assignment, mirroring kmeans_micro step for step."""
+    s = _KM_SCALE
+    init_list = ", ".join(
+        f"CAST(CAST(round(embedding[{i}] * {s}) AS BIGINT) AS DOUBLE) / {s}"
+        for i in range(1, _KM_DIM + 1)
+    )
+    parts = [f"""tc0 AS (
+        SELECT vec_id AS cid, [{init_list}] AS ce
+        FROM embeddings WHERE vec_id < {_KM_K}
+    )"""]
+    for it in range(1, _KM_ITERS + 1):
+        sums = ", ".join(
+            f"SUM(CAST(round(e.embedding[{i}] * {s}) AS BIGINT)) AS s{i}"
+            for i in range(1, _KM_DIM + 1)
+        )
+        mean_list = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / (n * {s})" for i in range(1, _KM_DIM + 1)
+        )
+        parts.append(_km_assign_cte(f"ta{it}", f"tc{it - 1}"))
+        parts.append(f"""tm{it} AS (
+        SELECT a.cid, COUNT(*) AS n, {sums}
+        FROM ta{it} a JOIN embeddings e USING (vec_id) GROUP BY a.cid
+    )""")
+        parts.append(f"""tc{it} AS MATERIALIZED (SELECT cid, [{mean_list}] AS ce FROM tm{it})""")
+    parts.append(_km_assign_cte("tassigned", f"tc{_KM_ITERS}"))
+    return ",\n    ".join(parts)
+
+
+def _semdedup_trained_pairs_sql() -> str:
+    from .registry_llm import _dot_chain
+
+    cos = (f"({_dot_chain('ea', 'eb')})"
+           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    return f"""
+    WITH {_km_ctes()}
+    SELECT a.cid AS cluster_id, a.vec_id AS d1, b.vec_id AS d2, {cos} AS cosine
+    FROM tassigned a
+    JOIN tassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE {cos} >= 4e-1
+    """
+
+
+def _trained_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import assign_clusters, kmeans_micro
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = kmeans_micro(e, k=_KM_K, iters=_KM_ITERS)
+    return assign_clusters(
+        e,
+        cents.select(F.col("centroid_id").alias("vec_id"), "embedding"),
+    )
+
+
+@register("semdedup_pairs_trained", _semdedup_trained_pairs_sql())
+def semdedup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs blocked by TRAINED micro-k-means clusters. Identical
+    join shape to semdedup_pairs; only the blocking key quality changes —
+    trained centroids balance the partition sizes, which is what bounds
+    the equi-join fan-out (and the 100 TB cost) by the largest cluster."""
+    from .operators.similarity import dot, with_norm
+
+    assigned = _trained_assigned(spark, sf_dir)
+    a = with_norm(
+        assigned.select("cluster_id", F.col("vec_id").alias("d1"),
+                        F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(
+        assigned.select(F.col("cluster_id").alias("_cb"),
+                        F.col("vec_id").alias("d2"),
+                        F.col("embedding").alias("eb")), "eb", "nb")
+    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return (
+        a.join(b, (F.col("cluster_id") == F.col("_cb"))
+               & (F.col("d1") < F.col("d2")))
+        .select("cluster_id", "d1", "d2", cos)
+        .filter(F.col("cosine") >= 4e-1)
+    )
+
+
+def _semdedup_trained_recall_sql() -> str:
+    from .registry_llm import _dot_chain
+
+    cos = (f"({_dot_chain('ea', 'eb')})"
+           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    return f"""
+    WITH {_km_ctes()},
+    true_pairs AS MATERIALIZED (
+        SELECT ea.vec_id AS d1, eb.vec_id AS d2
+        FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        WHERE {cos} >= 4e-1
+    ),
+    found AS MATERIALIZED (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM tassigned a
+        JOIN tassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {cos} >= 4e-1
+    ),
+    csize AS (SELECT cid, COUNT(*) AS n FROM tassigned GROUP BY cid)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found_trained,
+           CAST(round(1e4 * (SELECT COUNT(*) FROM found)
+                          / (SELECT COUNT(*) FROM true_pairs)) AS BIGINT)
+               AS recall_bp_trained,
+           (SELECT CAST(MAX(n) AS BIGINT) FROM csize) AS max_cluster
+    """
+
+
+@register("semdedup_recall_trained", _semdedup_trained_recall_sql())
+def semdedup_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured blocking quality of the TRAINED clusters: recall of the
+    brute-force near-dup pair set (basis points, integer-exact) plus the
+    max cluster size (the quantity that bounds the pair join's fan-out).
+    Companion evidence for semdedup_pairs_trained, same pattern as
+    semdedup_recall for the stand-in centroids (hard recall ~19% there)."""
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    a = with_norm(e.select(F.col("vec_id").alias("d1"),
+                           F.col("embedding").alias("ea")), "ea", "na")
+    b = with_norm(e.select(F.col("vec_id").alias("d2"),
+                           F.col("embedding").alias("eb")), "eb", "nb")
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    true_cnt = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .filter(cos >= 4e-1)
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
+    assigned = _trained_assigned(spark, sf_dir)
+    found_cnt = semdedup_pairs_trained(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_found_trained"))
+    max_cluster = assigned.groupBy("cluster_id").count().agg(
+        F.max("count").cast("long").alias("max_cluster"))
+    out = (
+        true_cnt.crossJoin(found_cnt).crossJoin(max_cluster)
+        .select(
+            "n_true", "n_found_trained",
+            F.round(F.lit(1e4) * F.col("n_found_trained") / F.col("n_true"))
+            .cast("long").alias("recall_bp_trained"),
+            "max_cluster",
+        )
+    )
+    return out

@@ -93,3 +93,52 @@ class TestKMeans:
         assert assigned.count() == e.count()
         n_clusters = assigned.select("cluster_id").distinct().count()
         assert 1 < n_clusters <= 8
+
+
+class TestKmeansMicro:
+    def test_deterministic_across_runs_and_partitionings(self, spark):
+        """kmeans_micro centroids derive from order-free integer sums, so
+        two runs over differently-partitioned input are bit-identical —
+        the property kmeans_cosine (double means) cannot promise, and the
+        one that lets a SQL oracle re-run the training exactly."""
+        from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import (
+            kmeans_micro,
+        )
+
+        e = _emb(spark)
+        a = kmeans_micro(e, k=8, iters=2).collect()
+        b = kmeans_micro(e.repartition(7), k=8, iters=2).collect()
+        assert sorted(r["centroid_id"] for r in a) == sorted(
+            r["centroid_id"] for r in b
+        )
+        va = {r["centroid_id"]: list(r["embedding"]) for r in a}
+        vb = {r["centroid_id"]: list(r["embedding"]) for r in b}
+        assert va == vb  # exact float equality, not approx
+
+    def test_trained_blocking_beats_standin_fanout(self, spark):
+        """Training must not worsen sum(n_c^2) — the SemDeDup pair-join
+        candidate bound — vs the first-k stand-in centroids (at sf0.01
+        the trained hard-assignment recall is 30.5% vs 18.6% stand-in;
+        here we pin the cost side on the tiny corpus)."""
+        from pyspark.sql import functions as F
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import (
+            assign_clusters,
+            kmeans_micro,
+        )
+
+        e = _emb(spark)
+        standin = e.orderBy("vec_id").limit(16)
+        trained = kmeans_micro(e, k=16, iters=2).select(
+            F.col("centroid_id").alias("vec_id"), "embedding"
+        )
+
+        def pair_bound(cents):
+            sizes = [
+                r["count"]
+                for r in assign_clusters(e, cents)
+                .groupBy("cluster_id").count().collect()
+            ]
+            return sum(n * n for n in sizes)
+
+        assert pair_bound(trained) <= pair_bound(standin)
