@@ -28,6 +28,14 @@ the constructs that genuinely differ are translated:
   no approximate-distinct aggregate
 - ``||`` string concatenation → ``CONCAT(...)`` on MySQL (where ``||``
   is logical OR)
+- window ``OVER`` clauses: PARTITION BY / ORDER BY / ROWS frames, with
+  every sort key's IMPLICIT null position (value-based nulls-smallest on
+  Spark/BigQuery/MySQL, nulls-largest on Postgres/Trino/Snowflake,
+  position-based NULLS LAST on DuckDB) resolved to an explicit
+  NULLS FIRST/LAST on emission; MySQL (no NULLS syntax) emits bare when
+  its implied position matches and refuses loudly otherwise.  RANGE
+  numeric offsets, GROUPS frames, IGNORE/RESPECT NULLS, and QUALIFY are
+  loud edges.
 
 Anything outside the subset raises :class:`UnsupportedConstructError`
 instead of emitting silently wrong SQL — a transpiler for a documented
@@ -282,7 +290,9 @@ _CAST_TYPE_MAP: dict[str, dict[str, str]] = {
     "int": {"bigquery": "INT64", "mysql": "SIGNED"},
     "integer": {"bigquery": "INT64", "mysql": "SIGNED"},
     "smallint": {"bigquery": "INT64", "mysql": "SIGNED"},
-    "double": {"bigquery": "FLOAT64"},
+    # postgres spells it DOUBLE PRECISION — bare DOUBLE is a syntax error
+    # there, so the default spelling must never reach a postgres emission
+    "double": {"bigquery": "FLOAT64", "postgres": "DOUBLE PRECISION"},
     "varchar": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR"},
     "char": {"spark": "STRING", "bigquery": "STRING", "mysql": "CHAR"},
     "numeric": {},   # canonicalized to decimal before mapping
@@ -452,6 +462,177 @@ _APPROX_DISTINCT_EMIT = {
 }
 
 
+# --- window OVER clauses ----------------------------------------------------
+#
+# The syntax is near-universal; the trap is the IMPLICIT null position of
+# window ORDER BY, which differs three ways: value-based nulls-smallest
+# (Spark/BigQuery/MySQL: ASC→first), value-based nulls-largest
+# (Postgres/Trino/Snowflake: ASC→last), and position-based
+# (DuckDB: last in BOTH directions).  The rewriter resolves every sort key
+# to an explicit NULLS FIRST/LAST using the SOURCE dialect's implied
+# position, so the emitted query sorts identically everywhere; MySQL (no
+# NULLS syntax) is emitted bare when its implied position already matches
+# and refused loudly when it cannot express the required order.
+_NULL_POS = {
+    "spark": {"asc": "first", "desc": "last"},
+    "bigquery": {"asc": "first", "desc": "last"},
+    "mysql": {"asc": "first", "desc": "last"},
+    "duckdb": {"asc": "last", "desc": "last"},
+    "postgres": {"asc": "last", "desc": "first"},
+    "trino": {"asc": "last", "desc": "first"},
+    "snowflake": {"asc": "last", "desc": "first"},
+}
+
+
+def _split_commas_top(body: list[Tok]) -> list[list[Tok]]:
+    """Split a token span on top-level commas."""
+    parts, cur, depth = [], [], 0
+    for tok in body:
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        if depth == 0 and tok.kind == "op" and tok.text == ",":
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    parts.append(cur)
+    return parts
+
+
+def _rewrite_frame(words: list[str]) -> str:
+    """Validate + canonicalize a window frame clause (lowercased code
+    words in, canonical uppercase out).  ROWS frames allow numeric bounds
+    (portable); RANGE only the unbounded/current forms — RANGE with a
+    numeric or INTERVAL offset has per-dialect type rules and is outside
+    the subset, as is GROUPS (absent on BigQuery/MySQL)."""
+    kind = words[0]
+    if kind == "groups":
+        raise UnsupportedConstructError(
+            "GROUPS frames are outside the subset (no BigQuery/MySQL form)")
+
+    def bound(ws: list[str]) -> str:
+        if ws == ["unbounded", "preceding"]:
+            return "UNBOUNDED PRECEDING"
+        if ws == ["unbounded", "following"]:
+            return "UNBOUNDED FOLLOWING"
+        if ws == ["current", "row"]:
+            return "CURRENT ROW"
+        if len(ws) == 2 and ws[0].replace(".", "").isdigit() \
+                and ws[1] in ("preceding", "following"):
+            if kind == "range":
+                raise UnsupportedConstructError(
+                    "RANGE frames with numeric offsets are outside the "
+                    "subset (per-dialect type rules); use ROWS")
+            return f"{ws[0]} {ws[1].upper()}"
+        raise UnsupportedConstructError(
+            f"window frame bound {' '.join(ws)!r} is outside the subset")
+
+    rest = words[1:]
+    if rest and rest[0] == "between":
+        try:
+            and_i = rest.index("and")
+        except ValueError:
+            raise UnsupportedConstructError("window frame BETWEEN without AND")
+        return (f"{kind.upper()} BETWEEN {bound(rest[1:and_i])}"
+                f" AND {bound(rest[and_i + 1:])}")
+    # shorthand: <kind> <start-bound>  ==  BETWEEN <start> AND CURRENT ROW
+    return f"{kind.upper()} BETWEEN {bound(rest)} AND CURRENT ROW"
+
+
+def _rewrite_over(body: list[Tok], source: str, target: str) -> str:
+    code = [(k, tok) for k, tok in enumerate(body) if tok.kind != "ws"]
+    if not code:
+        return "OVER ()"
+    # top-level segment markers
+    marks: list[tuple[str, int]] = []   # (segment, code-index)
+    depth = 0
+    for ci, (k, tok) in enumerate(code):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.kind == "word":
+            low = tok.text.lower()
+            if low in ("partition", "order"):
+                nxt = code[ci + 1][1] if ci + 1 < len(code) else None
+                if nxt is not None and nxt.is_word("by"):
+                    marks.append((low, ci))
+            elif low in ("rows", "range", "groups"):
+                marks.append(("frame", ci))
+    expected = {"partition": 0, "order": 1, "frame": 2}
+    if [m for m, _ in marks] != sorted(
+            (m for m, _ in marks), key=expected.__getitem__) \
+            or len({m for m, _ in marks}) != len(marks) \
+            or (marks and marks[0][1] != 0):
+        raise UnsupportedConstructError(
+            "window specification outside the subset (named windows / "
+            "out-of-order clauses)")
+
+    def seg(idx: int) -> list[Tok]:
+        start_k = body.index(code[marks[idx][1]][1])
+        end_k = (body.index(code[marks[idx + 1][1]][1])
+                 if idx + 1 < len(marks) else len(body))
+        return body[start_k:end_k]
+
+    parts: list[str] = []
+    for idx, (name, _ci) in enumerate(marks):
+        toks = seg(idx)
+        codes = [x for x in toks if x.kind != "ws"]
+        if name == "partition":
+            exprs = _split_commas_top(_drop_leading_words(toks, 2))
+            rendered = [render(_rewrite(_strip_ws(e), source, target))
+                        for e in exprs]
+            parts.append("PARTITION BY " + ", ".join(rendered))
+        elif name == "order":
+            items = _split_commas_top(_drop_leading_words(toks, 2))
+            rendered_items = []
+            for item in items:
+                it = _strip_ws(item)
+                direction = "asc"
+                nulls: str | None = None
+                # strip trailing [NULLS FIRST|LAST] then [ASC|DESC]
+                if len(it) >= 2 and it[-2].is_word("nulls") \
+                        and it[-1].is_word("first", "last"):
+                    nulls = it[-1].text.lower()
+                    it = _strip_ws(it[:-2])
+                if it and it[-1].is_word("asc", "desc"):
+                    direction = it[-1].text.lower()
+                    it = _strip_ws(it[:-1])
+                if not it:
+                    raise UnsupportedConstructError(
+                        "empty window ORDER BY expression")
+                pos = nulls or _NULL_POS[source][direction]
+                expr_sql = render(_rewrite(it, source, target))
+                if target == "mysql":
+                    if pos != _NULL_POS["mysql"][direction]:
+                        raise UnsupportedConstructError(
+                            f"MySQL cannot express NULLS {pos.upper()} for "
+                            f"{direction.upper()} window ordering (no NULLS "
+                            "FIRST/LAST syntax)")
+                    rendered_items.append(f"{expr_sql} {direction.upper()}")
+                else:
+                    rendered_items.append(
+                        f"{expr_sql} {direction.upper()} NULLS {pos.upper()}")
+            parts.append("ORDER BY " + ", ".join(rendered_items))
+        else:
+            words = [x.text.lower() for x in codes]
+            parts.append(_rewrite_frame(words))
+    return "OVER (" + " ".join(parts) + ")"
+
+
+def _drop_leading_words(toks: list[Tok], n_words: int) -> list[Tok]:
+    """Drop the first ``n_words`` non-ws tokens (segment keywords)."""
+    seen = 0
+    for k, tok in enumerate(toks):
+        if tok.kind != "ws":
+            seen += 1
+            if seen == n_words:
+                return toks[k + 1:]
+    return []
+
+
 def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -532,6 +713,33 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             raise UnsupportedConstructError(
                 "INTERVAL form not in the subset near: "
                 + render(tokens[i:i + 6]))
+
+        # --- window OVER clause -----------------------------------------
+        if t.is_word("over"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                out.append(Tok("word",
+                               _rewrite_over(tokens[j + 1:close],
+                                             source, target)))
+                i = close + 1
+                continue
+            out.append(t)   # bare identifier named over
+            i += 1
+            continue
+        if t.is_word("qualify"):
+            raise UnsupportedConstructError(
+                "QUALIFY is outside the subset (no Spark/Postgres/MySQL "
+                "form); filter in an outer query")
+        if t.is_word("ignore", "respect"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].is_word("nulls"):
+                raise UnsupportedConstructError(
+                    "IGNORE/RESPECT NULLS is outside the subset "
+                    "(absent on Postgres/MySQL)")
+            out.append(t)
+            i += 1
+            continue
 
         # --- DATE_TRUNC / TIMESTAMP_TRUNC ------------------------------
         if t.is_word("date_trunc", "timestamp_trunc"):

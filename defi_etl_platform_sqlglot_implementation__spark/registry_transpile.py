@@ -119,3 +119,28 @@ def transpiled_position_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     transpiled DuckDB emission as the oracle, so an argument-order or
     type-mapping bug breaks the hash."""
     return _run_spark_text(spark, sf_dir, _POSITION_SQL_SPARK)
+
+
+_RANK_OVER_SQL_SPARK = """
+    SELECT event_type AS `type`,
+           event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS value_rank,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS run_cents
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+"""
+
+
+@register("transpiled_rank_over", transpile(_RANK_OVER_SQL_SPARK, "duckdb"))
+def transpiled_rank_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth transpiler gate covering the round-4 subset widening: window
+    OVER clauses.  The Spark text leans on Spark's IMPLICIT null ordering
+    (ASC -> NULLS FIRST) and an explicit ROWS frame; the transpiled DuckDB
+    oracle must carry explicit NULLS markers because DuckDB's implicit
+    position (NULLS LAST both directions) differs — run_cents is an
+    integral windowed sum with a unique (ts, event_id) ordering so the
+    frame contents, and therefore the hash, are engine-exact."""
+    return _run_spark_text(spark, sf_dir, _RANK_OVER_SQL_SPARK)

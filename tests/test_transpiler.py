@@ -40,6 +40,23 @@ CORPUS = [
     # year()/month() field extraction maps through the EXTRACT family
     """SELECT year(ts) AS y, month(ts) AS m, COUNT(*) AS n
        FROM events GROUP BY 1, 2""",
+    # window OVER: rank with unique tiebreak (null-position normalization)
+    """SELECT event_id,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id) AS rn
+       FROM events WHERE event_type = 'purchase'""",
+    # window OVER: running integral sum with an explicit ROWS frame
+    """SELECT user_id, event_id,
+              SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS run_cents
+       FROM events WHERE user_id div 5 = 1""",
+    # window OVER: lag with explicit offset+default
+    """SELECT user_id, event_id,
+              CAST(FLOOR(value) AS BIGINT)
+              - lag(CAST(FLOOR(value) AS BIGINT), 1, 0) OVER (
+                    PARTITION BY user_id ORDER BY event_id) AS delta
+       FROM events WHERE user_id div 5 = 2""",
 ]
 
 
@@ -258,3 +275,56 @@ def test_duckdb_to_spark_executable_roundtrip(spark):
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got.astype(object), want.astype(object),
                                   check_dtype=False)
+
+
+class TestWindowOverClauses:
+    def test_null_position_normalized_per_source(self):
+        """Spark ASC implies NULLS FIRST; DuckDB implies NULLS LAST in
+        both directions; Postgres DESC implies NULLS FIRST — the rewriter
+        resolves the source's implicit position to an explicit marker."""
+        sql = "SELECT rank() OVER (ORDER BY x) FROM t"
+        assert "ASC NULLS FIRST" in transpile(sql, "duckdb", source="spark")
+        assert "ASC NULLS LAST" in transpile(sql, "spark", source="duckdb")
+        desc = "SELECT rank() OVER (ORDER BY x DESC) FROM t"
+        assert "DESC NULLS FIRST" in transpile(desc, "spark", source="postgres")
+        assert "DESC NULLS LAST" in transpile(desc, "duckdb", source="spark")
+        # explicit markers always win over the implied position
+        expl = "SELECT rank() OVER (ORDER BY x DESC NULLS FIRST) FROM t"
+        assert "DESC NULLS FIRST" in transpile(expl, "duckdb", source="spark")
+
+    def test_mysql_emission_bare_or_loud(self):
+        # spark ASC -> nulls first == mysql implied: emitted bare
+        sql = "SELECT rank() OVER (ORDER BY x) FROM t"
+        out = transpile(sql, "mysql", source="spark")
+        assert "NULLS" not in out and "ORDER BY x ASC" in out
+        # duckdb ASC -> nulls last != mysql implied: refused loudly
+        with pytest.raises(UnsupportedConstructError):
+            transpile(sql, "mysql", source="duckdb")
+
+    def test_frame_validation(self):
+        ok = ("SELECT SUM(x) OVER (ORDER BY y"
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+        assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" \
+            in transpile(ok, "duckdb")
+        shorthand = "SELECT SUM(x) OVER (ORDER BY y ROWS 3 PRECEDING) FROM t"
+        assert "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW" \
+            in transpile(shorthand, "duckdb")
+        for bad in (
+            "SELECT SUM(x) OVER (ORDER BY y RANGE BETWEEN 5 PRECEDING"
+            " AND CURRENT ROW) FROM t",            # numeric RANGE offset
+            "SELECT SUM(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) FROM t",            # GROUPS frames
+            "SELECT lag(x) IGNORE NULLS OVER (ORDER BY y) FROM t",
+            "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY y) = 1",
+        ):
+            with pytest.raises(UnsupportedConstructError):
+                transpile(bad, "duckdb")
+
+    def test_inner_expressions_rewritten(self):
+        sql = ("SELECT rank() OVER (PARTITION BY date_trunc('day', ts)"
+               " ORDER BY x::bigint) FROM t")
+        out = transpile(sql, "bigquery")
+        assert "TIMESTAMP_TRUNC" in out and "CAST(x AS INT64)" in out
+
+    def test_bare_over_identifier_passes_through(self):
+        assert transpile("SELECT over FROM t", "duckdb") == "SELECT over FROM t"
