@@ -181,10 +181,33 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
+# Auto-cap guard for the brute-force Jaccard paths: above this corpus size
+# the O(df^2) self-join is never run uncapped unless the caller explicitly
+# declares the oracle path. The df cap matches the sf1-stress-proven
+# dedup_char_jaccard_capped configuration (39.5 s at 50k docs).
+AUTO_CAP_MIN_DOCS = 20_000
+AUTO_CAP_DF = 64
+
+
+def _resolve_df_cap(docs: DataFrame, explicit_cap: int | None,
+                    oracle: bool) -> int | None:
+    """Size-aware default for the document-frequency cap: explicit caps
+    and declared oracle runs pass through; otherwise corpora above
+    AUTO_CAP_MIN_DOCS get AUTO_CAP_DF so a forgotten parameter can never
+    launch an uncapped quadratic self-join at scale. The size probe is a
+    ``limit(N+1).count()`` — bounded work even on a 100 TB corpus."""
+    if explicit_cap is not None or oracle:
+        return explicit_cap
+    if docs.limit(AUTO_CAP_MIN_DOCS + 1).count() > AUTO_CAP_MIN_DOCS:
+        return AUTO_CAP_DF
+    return None
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         cache_shingles: bool = False,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        oracle: bool = False) -> DataFrame:
     """Brute-force near-dup pairs with exact Jaccard >= threshold.
 
     The shingle table feeds three plan branches (two self-join sides +
@@ -197,9 +220,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     so one stopword phrase can dominate the whole job. Capping document
     frequency drops those shingles BEFORE the self-join (and from the
     Jaccard denominators — the capped metric is Jaccard over the
-    discriminative shingle set). Exact (uncapped) semantics remain the
-    default and are what the DuckDB oracle checks.
+    discriminative shingle set). Corpora above ``AUTO_CAP_MIN_DOCS`` are
+    auto-capped at ``AUTO_CAP_DF`` unless the caller passes
+    ``oracle=True`` — exact uncapped semantics are an explicit opt-in
+    (the DuckDB oracle gates declare it), never the silent default at
+    scale.
     """
+    max_shingle_df = _resolve_df_cap(docs, max_shingle_df, oracle)
     sh = shingle_table(docs, text_col, id_col, n)
     if max_shingle_df is not None:
         df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
@@ -338,7 +365,8 @@ def char_shingles(text_col: str, n: int = 5) -> "Column":
 
 def char_jaccard_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 5,
                        text_col: str = "text", id_col: str = "doc_id",
-                       max_chargram_df: int | None = None) -> DataFrame:
+                       max_chargram_df: int | None = None,
+                       oracle: bool = False) -> DataFrame:
     """Brute-force near-dup pairs on character n-gram Jaccard — same
     self-join shape as :func:`ngram_jaccard_pairs` with char shingles.
 
@@ -348,7 +376,10 @@ def char_jaccard_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 5,
     prefix every token still shares most interior 5-grams — ~100× pair
     blow-up measured), so the uncapped brute path is strictly an oracle
     path. Capping drops over-common grams before the self-join and from
-    the Jaccard denominators (Jaccard over the discriminative gram set)."""
+    the Jaccard denominators (Jaccard over the discriminative gram set).
+    Above ``AUTO_CAP_MIN_DOCS`` documents the cap defaults to
+    ``AUTO_CAP_DF`` unless ``oracle=True`` is passed explicitly."""
+    max_chargram_df = _resolve_df_cap(docs, max_chargram_df, oracle)
     sh = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(char_shingles(text_col, n)).alias("s"),

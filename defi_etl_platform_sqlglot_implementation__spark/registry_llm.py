@@ -77,7 +77,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5,
+                               oracle=True)
 
 
 # MinHash-LSH with exact-Jaccard verification: at threshold 0.5 every
@@ -158,7 +159,8 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 5-gram Jaccard near-dup pairs (tokenization-robust)."""
     from .operators.dedup import char_jaccard_pairs
 
-    return char_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.7, n=5)
+    return char_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.7,
+                              n=5, oracle=True)
 
 
 _CHAR_DF_CAP = 64
