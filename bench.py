@@ -17,7 +17,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BENCH_QUERIES = [
+# The r02-era stable core: totals over THIS list are comparable round over
+# round (BENCH JSON emits it as shared_subtotal); additions below only
+# grow the full total.
+SHARED_QUERIES = [
     "pricing_summary",
     "transfer_volume_hourly",
     "swap_price_impact",
@@ -36,10 +39,12 @@ BENCH_QUERIES = [
     "bm25_search",
     "scd2_history",
     "ewma_user_value",
+]
+
+BENCH_QUERIES = SHARED_QUERIES + [
     # session-2 additions: one representative per new family (TPC-H wave 4,
     # hybrid retrieval, media dedup, SemDeDup, CMS sketch, blocked fuzzy,
-    # z-order). Totals are therefore NOT comparable to BENCH_r02's 15-query
-    # or the early-r03 18-query set without subtracting these.
+    # z-order).
     "returned_item_customers",
     "hybrid_search_rrf",
     "image_ahash_pairs",
@@ -156,6 +161,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # round-over-round comparable core (the r02-era 18-query set incl.
+        # ETL); the full total grows whenever coverage grows, this doesn't
+        "shared_subtotal": round(
+            sum(timings[q] for q in SHARED_QUERIES) + dt, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -123,3 +123,55 @@ def test_global_scalar_reuse_shapes(spark):
         scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln
                  and "lineitem" in ln]
         assert scans, name
+
+
+# -------------------------------------------------------------------------
+# Session-2 heavyweight shape pins (VERDICT r3 #10): the most expensive
+# bench queries must keep their blocked/banded join shapes — a future edit
+# that reintroduces an all-pairs join or an unexpected extra shuffle fails
+# here, not in a 100 TB run.
+# -------------------------------------------------------------------------
+
+def _count(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_fuzzy_customer_pairs_is_blocked_not_allpairs(spark):
+    plan = _executed(spark, "fuzzy_customer_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # interleaved-digit blocking = equi hash/broadcast joins only
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 1
+
+
+def test_semdedup_pairs_blocks_on_cluster_id(spark):
+    plan = _executed(spark, "semdedup_pairs")
+    # The only nested-loop joins allowed are the two centroid attaches
+    # (corpus x k broadcast, k constant — bounded fan-out by design);
+    # the PAIR join itself must be an equi-join on cluster_id.
+    assert _count(plan, "BroadcastNestedLoopJoin BuildRight")         == _count(plan, "BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin [cluster_id" in plan         or "BroadcastHashJoin [cluster_id" in plan         or "ShuffledHashJoin [cluster_id" in plan
+    # centroid attach + argmax + pair join: bounded shuffle count
+    assert _count(plan, "Exchange") <= 8, plan.count("Exchange")
+
+
+def test_semdedup_pairs_trained_blocks_on_cluster_id(spark):
+    plan = _executed(spark, "semdedup_pairs_trained")
+    assert _count(plan, "BroadcastNestedLoopJoin BuildRight")         == _count(plan, "BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin [cluster_id" in plan         or "BroadcastHashJoin [cluster_id" in plan         or "ShuffledHashJoin [cluster_id" in plan
+
+
+def test_image_ahash_pairs_banded_join(spark):
+    plan = _executed(spark, "image_ahash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # pigeonhole band join is an equi-join on the band value
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 1
+
+
+def test_token_freq_cms_no_fact_shuffle_explosion(spark):
+    plan = _executed(spark, "token_freq_cms")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
