@@ -96,7 +96,15 @@ def train_bpe(
 
     The greedy left-to-right merge semantics match the reference BPE:
     on [a, a, a] with merge (a, a), the first pair merges and the third
-    symbol survives alone."""
+    symbol survives alone.
+
+    Contract: the returned frame is PERSISTED (it is re-hit by any
+    downstream aggregation, e.g. vocab extraction); the caller owns the
+    ``unpersist()`` (bpe_vocab in registry_llm does).  Symbols are
+    Unicode code points: Spark 4's ``split(word, '')`` splits surrogate
+    pairs as single code points, matching the pure-Python reference
+    ``list(w)`` — pinned by test_bpe's non-BMP test so an engine
+    regression to UTF-16-unit splitting would be caught."""
     seqs = _initial_sequences(word_frequencies(docs, text_col))
     # the word table is small (vocab-cardinality) and hit n_merges times
     seqs = seqs.persist()

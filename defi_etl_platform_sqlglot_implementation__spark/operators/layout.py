@@ -129,43 +129,66 @@ def write_partitioned(
     target_mb: float = 128,
     sample_rows: int = 10_000,
 ) -> int:
-    """Partitioned parquet write with size-targeted files: estimate
-    bytes/row from a bounded sample written through the same codec, then
-    repartition so each partition-directory's files land near
-    ``target_mb``. Returns the file count planned per partition value.
+    """Partitioned parquet write with size-targeted files: measure
+    bytes/row by actually parquet-encoding a bounded sample (same codec
+    as the write — no compression-ratio guessing), size each partition
+    value's file count from its OWN row count, and range-repartition on
+    (partition value, salt) so distinct (value, salt) groups land in
+    distinct tasks instead of hash-colliding into one.  Returns the
+    maximum file count planned for any partition value.
 
-    At 100 TB the failure mode this prevents is one executor-count-sized
-    file spray per directory (tiny files x thousands of partitions)."""
+    At 100 TB the failure modes this prevents are (a) one
+    executor-count-sized file spray per directory (tiny files x thousands
+    of partitions) and (b) a skewed value's directory written as one
+    multi-GB file because the per-value count was derived from the global
+    average."""
     n_rows = df.count()
     if n_rows == 0:
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
         return 1
-    # bytes/row estimate from an Arrow-encoded bounded sample (parquet
-    # compresses, but the ordering of magnitudes survives; exactness is
-    # not required to pick a file count)
+    # bytes/row from an ACTUAL parquet+snappy encoding of the sample —
+    # the same bytes the real write produces, not a memory-repr guess
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     sample = df.limit(min(sample_rows, n_rows)).toPandas()
-    approx_row_bytes = max(
-        1, int(sample.memory_usage(deep=True).sum() // max(1, len(sample)) // 3)
-    )  # /3: parquet+snappy typically compresses memory repr ~3x on this data
-    n_part_values = df.select(*partition_cols).distinct().count()
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(sample, preserve_index=False), buf,
+                   compression="snappy")
+    approx_row_bytes = max(1, buf.getbuffer().nbytes // max(1, len(sample)))
     rows_per_file = max(1, int(target_mb * 1024 * 1024) // approx_row_bytes)
-    files_per_part = max(1, math.ceil(n_rows / max(1, n_part_values)
-                                      / rows_per_file))
-    # repartitioning on the partition columns ALONE would put every row of
-    # a partition value into one task -> exactly one file per directory no
-    # matter the target; a deterministic salt spreads each value across
-    # files_per_part tasks so the size target can actually bite
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_part)).alias("_fsalt")
+    # per-VALUE file counts (skew-aware: a hot value gets more files)
+    per_value = (
+        df.groupBy(*partition_cols)
+        .agg(F.count("*").alias("_pv_rows"))
+        .select(
+            *partition_cols,
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_pv_rows") / F.lit(rows_per_file)),
+            ).cast("int").alias("_pv_files"),
+        )
+    )
+    plan = per_value.agg(
+        F.sum("_pv_files").alias("_total"), F.max("_pv_files").alias("_max")
+    ).collect()[0]
+    # salt each row modulo ITS value's file count, then range-partition on
+    # (value, salt): ranges keep distinct (value, salt) groups in distinct
+    # tasks (hash repartition can collide two groups into one task and
+    # leave another empty, doubling file sizes)
+    salt = F.pmod(F.xxhash64(*df.columns), F.col("_pv_files")).alias("_fsalt")
     (
-        df.withColumn("_fsalt", salt)
-        .repartition(files_per_part * max(1, n_part_values),
-                     *partition_cols, "_fsalt")
-        .drop("_fsalt")
+        df.join(F.broadcast(per_value), partition_cols)
+        .withColumn("_fsalt", salt)
+        .repartitionByRange(int(plan["_total"]), *partition_cols, "_fsalt")
+        .drop("_fsalt", "_pv_files")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    return files_per_part
+    return int(plan["_max"])
 
 
 def compact_small_files(
@@ -187,9 +210,23 @@ def compact_small_files(
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)  # a stale tmp would make move() nest inside it
     df.coalesce(n_after).write.mode("overwrite").parquet(tmp)
     # swap: the compacted copy replaces the original directory (on object
-    # storage this is the commit-protocol step; locally a rename)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # storage this is the commit-protocol step; locally two renames).
+    # Ordering matters for crash-safety: the original is renamed ASIDE
+    # first, so at no point is `path` deleted with the replacement only
+    # in a tmp sibling — a crash leaves either the original (recoverable
+    # at `path__old`) or the committed compacted copy, never nothing.
+    old = path.rstrip("/") + "__old"
+    if Path(old).exists():
+        shutil.rmtree(old)
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(old, path)  # roll back
+        raise
+    shutil.rmtree(old)
     return n_before, n_after

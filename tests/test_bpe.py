@@ -84,3 +84,24 @@ def test_merge_stops_when_no_pairs_remain(spark):
     # then singleton symbols -> training must stop early, not loop
     assert 0 < len(merges) < 50
     seqs.unpersist()
+
+
+def test_non_bmp_symbols_split_as_code_points(spark):
+    """Spark 4's split(word, '') is code-point safe (a surrogate pair is
+    ONE symbol), matching the pure-Python reference list(w). Pinned so an
+    engine regression to UTF-16-unit splitting (which would emit unpaired
+    surrogate halves as symbols) is caught here, not in production."""
+    from defi_etl_platform_sqlglot_implementation__spark.operators.bpe import (
+        _initial_sequences,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab \N{GRINNING FACE}\N{GRINNING FACE}c")], ["doc_id", "text"]
+    )
+    seqs = {r["word"]: list(r["seq"])
+            for r in _initial_sequences(word_frequencies(docs)).collect()}
+    assert seqs["ab"] == ["a", "b", "</w>"]
+    assert seqs["\N{GRINNING FACE}\N{GRINNING FACE}c"] == [
+        "\N{GRINNING FACE}", "\N{GRINNING FACE}", "c", "</w>"
+    ]  # == list(w) + ['</w>'] in Python terms
