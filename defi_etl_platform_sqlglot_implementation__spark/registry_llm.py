@@ -966,9 +966,14 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     block — the stress-runnable form of the brute path above. The equi-key
     on the blocking column turns the unbounded inequality join (a
     broadcast-nested-loop at scale — measured stuck at sf1) into a hash
-    join whose fan-out is bounded by the largest block; in production the
-    blocking key is the IVF cluster assignment (plus neighboring probes
-    for cross-block recall), exactly the shape similarity_ann_ivf ships."""
+    join whose fan-out is bounded by the largest block.  Label blocking is
+    COARSE (the r3 sf1 run produced ~20M candidates / 193 s); the
+    production path at scale is the TRAINED cluster blocking shipped as
+    semdedup_pairs_trained (kmeans_micro centroids, max-cluster-bounded
+    fan-out, recall measured by semdedup_recall_trained) — profiling
+    showed the per-pair dot chain is NOT the cost (zip_with and an
+    unrolled 64-term chain are within noise at 200k pairs); candidate
+    count is, so blocking quality is the whole game."""
     from .operators.similarity import dot, with_norm
 
     e = t(spark, sf_dir, "embeddings")
