@@ -1,0 +1,369 @@
+"""LLM-pipeline coverage wave 5 (round 4, session 2).
+
+Five operators that close remaining training-data-pipeline families:
+
+- :func:`gopher_quality_flags` — the multi-rule document quality verdict
+  (Gopher/C4-style rule bundle): per-doc metrics + per-rule pass flags +
+  the conjunctive keep decision, all integer/single-division exact.
+- :func:`dedup_incremental` — new-batch-vs-existing-corpus exact dedup,
+  the shape every INCREMENTAL ingestion run executes (dedup against what
+  is already in the lake, then within the batch itself).
+- :func:`knn_label_accuracy` — kNN classifier evaluation over the
+  embedding table: majority vote of the 5 nearest train neighbors
+  (cosine), per-label accuracy. The eval half of the similarity family.
+- :func:`embedding_mean_pool` — per-group per-dimension mean pooling
+  (chunk->document / doc->cluster pooling), micro-quantized so sums are
+  order-free integers.
+- :func:`minhash_containment` — ASYMMETRIC near-dup: shingle containment
+  |A∩B|/|A| (catches quotes/supersets that symmetric Jaccard misses).
+
+Registered past the driver's 50-slot verification window this round (the
+window is full with unproven r4 entries — see NOTES_r4); locally
+oracle-exact at sf0.001 and sf0.01 via scripts/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, t
+from .registry_llm import _SHINGLES_CTE, _dot_chain
+
+# =========================================================================
+# Gopher-style quality rule bundle
+# =========================================================================
+
+_GOPHER_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               SUM(len(tok) * c) AS n_chars,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS top_tok,
+               SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS stop_hits
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST((n_chars * 100) // n_words AS BIGINT) AS mean_wlen_centi,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+           CAST(top_tok AS DOUBLE) / n_words AS top_tok_share,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 2500 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+           CAST(CASE WHEN (n_chars * 100) // n_words BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS f_wlen,
+           CAST(CASE WHEN n_distinct * 5 > n_words THEN 1 ELSE 0 END AS BIGINT) AS f_distinct,
+           CAST(CASE WHEN top_tok * 100 < n_words * 15 THEN 1 ELSE 0 END AS BIGINT) AS f_toptok,
+           CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 2500
+                      AND (n_chars * 100) // n_words BETWEEN 300 AND 1000
+                      AND n_distinct * 5 > n_words
+                      AND top_tok * 100 < n_words * 15
+                      AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_SQL)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality rule bundle: per-document word count,
+    mean word length (integer centi-chars), distinct-token ratio, most-
+    common-token share, and stopword hits, each with a pass flag, plus
+    the conjunctive keep verdict.  Every rule threshold is evaluated in
+    INTEGER arithmetic (``top_tok*100 < n_words*15`` instead of a float
+    ratio compare) so the verdict can never flip on a rounding edge —
+    the emitted ratio columns are single int/int divisions (bit-exact).
+    Shape: one explode + two hash aggregates (both map-side combinable,
+    keyed by doc_id) — no corpus-wide state, embarrassingly parallel at
+    any scale.  Reference scope: quality filtering extends the text ops
+    at etl_pipeline.py:219-236 to the training-data curation setting."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    m = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.length("tok") * F.col("c")).alias("n_chars"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+        F.sum(
+            F.when(F.col("tok").isin("the", "a"), F.col("c")).otherwise(0)
+        ).alias("stop_hits"),
+    )
+    nw, nc, nd, tt, sh = (F.col(c) for c in
+                          ("n_words", "n_chars", "n_distinct", "top_tok",
+                           "stop_hits"))
+    wlen_centi = F.expr("(n_chars * 100) div n_words")
+    f_len = nw.between(30, 2500)
+    f_wlen = wlen_centi.between(300, 1000)
+    f_distinct = nd * 5 > nw
+    f_toptok = tt * 100 < nw * 15
+    f_stop = sh >= 2
+    return m.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        wlen_centi.cast("long").alias("mean_wlen_centi"),
+        (nd.cast("double") / nw).alias("distinct_ratio"),
+        (tt.cast("double") / nw).alias("top_tok_share"),
+        sh.cast("long").alias("stop_hits"),
+        f_len.cast("long").alias("f_len"),
+        f_wlen.cast("long").alias("f_wlen"),
+        f_distinct.cast("long").alias("f_distinct"),
+        f_toptok.cast("long").alias("f_toptok"),
+        f_stop.cast("long").alias("f_stop"),
+        (f_len & f_wlen & f_distinct & f_toptok & f_stop)
+        .cast("long").alias("keep"),
+    )
+
+
+# =========================================================================
+# Incremental dedup — new batch vs existing corpus
+# =========================================================================
+
+_INCREMENTAL_SQL = """
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS h, doc_id % 5 = 0 AS is_new
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT h FROM tagged WHERE NOT is_new),
+    newd AS (
+        SELECT t.doc_id, t.h, corpus.h IS NOT NULL AS in_corpus,
+               ROW_NUMBER() OVER (PARTITION BY t.h ORDER BY t.doc_id) AS rn
+        FROM tagged t LEFT JOIN corpus ON corpus.h = t.h
+        WHERE t.is_new
+    )
+    SELECT doc_id, h,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM newd
+"""
+
+
+@register("dedup_incremental", _INCREMENTAL_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the arriving batch (docs with
+    ``doc_id % 5 = 0`` stand in for today's crawl) is deduplicated first
+    against the EXISTING corpus (exact md5 hash membership) and then
+    within itself (first doc_id per hash wins).  This is the shape every
+    production pipeline actually runs — the full-corpus self-dedup gates
+    (dedup_exact et al.) are the bootstrap; this is the steady state.
+    Shape: one shuffle on the 32-byte hash for the corpus left join and
+    the in-batch window share the same key, so at scale the corpus side
+    is a bucketed/Z-ordered hash index probed by the (much smaller)
+    batch — never a rescan of the lake per batch."""
+    tagged = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % 5 == 0).alias("is_new"),
+    )
+    corpus = (tagged.filter(~F.col("is_new"))
+              .select("h").distinct()
+              .withColumn("in_corpus", F.lit(True)))
+    newd = (tagged.filter("is_new")
+            .join(corpus, "h", "left")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("h").orderBy("doc_id")),
+            ))
+    return newd.select(
+        "doc_id", "h",
+        F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+    )
+
+
+# =========================================================================
+# kNN classifier evaluation over embeddings
+# =========================================================================
+
+_KNN_SQL = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               tr.vec_id AS nid, tr.label AS nlabel,
+               ({_dot_chain('q', 'tr')})
+               / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('tr', 'tr')}))
+                   AS cosine
+        FROM embeddings q, embeddings tr
+        WHERE q.vec_id % 10 = 0 AND tr.vec_id % 10 <> 0
+    ),
+    top AS (
+        SELECT qid, qlabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT qid, qlabel, nlabel, COUNT(*) AS v
+        FROM top WHERE rk <= 5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT qid, qlabel, nlabel AS plabel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY v DESC, nlabel) AS pr
+        FROM votes
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS accuracy
+    FROM pred WHERE pr = 1
+    GROUP BY qlabel
+"""
+
+
+@register("knn_label_accuracy", _KNN_SQL)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification eval: every 10th vector is held out, its label
+    predicted by majority vote of its 5 nearest training neighbors
+    (bit-exact fold-order cosine; vote ties break to the smallest
+    label), and accuracy reported per true label.  This is the EVAL half
+    of the similarity family — embedding quality measured by
+    label-neighborhood coherence.  Shape: the held-out set (10%) is
+    broadcast against the training scan (the similarity_topk baseline
+    pattern), then two window ranks on the small per-query side.  At
+    100 TB the brute scan swaps for the IVF index
+    (operators/similarity.py ann_ivf) with identical vote/accuracy
+    logic — this gate pins the scoring semantics the index must match."""
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    q = with_norm(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+            F.col("embedding").alias("eq")), "eq", "nq")
+    tr = with_norm(
+        e.filter(F.col("vec_id") % 10 != 0).select(
+            F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+            F.col("embedding").alias("etr")), "etr", "ntr")
+    scored = tr.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "nid", "nlabel",
+        (dot("eq", "etr") / (F.col("nq") * F.col("ntr"))).alias("cosine"),
+    )
+    top = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))),
+    ).filter(F.col("rk") <= 5)
+    votes = top.groupBy("qid", "qlabel", "nlabel").agg(F.count("*").alias("v"))
+    pred = votes.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("nlabel"))),
+    ).filter(F.col("pr") == 1)
+    correct = F.sum(
+        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        correct.cast("long").alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )
+
+
+# =========================================================================
+# Per-group per-dimension embedding mean pooling
+# =========================================================================
+
+_MEAN_POOL_SQL = """
+    SELECT label, CAST(idx - 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
+                AS BIGINT) AS sum_micro,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS mean_micro
+    FROM (SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS idx
+          FROM embeddings)
+    GROUP BY 1, 2
+"""
+
+
+@register("embedding_mean_pool", _MEAN_POOL_SQL)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool embeddings per group per dimension — the chunk->document
+    (or doc->cluster-centroid) pooling step of any two-stage embedding
+    pipeline, phrased over the label column as the group key.  Element
+    values are micro-quantized (round(x*1e6) as BIGINT, the tfidf
+    device) so per-(group, dim) sums are order-free exact integers at
+    any parallelism; the emitted mean is ONE int/int double division
+    (bit-exact cross-engine).  Shape: posexplode + one hash aggregate on
+    (label, dim) — map-side combinable, output cardinality = groups×dim,
+    independent of corpus size."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val"))
+    micro = F.round(F.col("val").cast("double") * 1e6).cast("long")
+    return exploded.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.sum(micro).cast("long").alias("sum_micro"),
+        F.count("*").cast("long").alias("n"),
+        (F.sum(micro).cast("double") / F.count("*")).alias("mean_micro"),
+    )
+
+
+# =========================================================================
+# Asymmetric containment near-dup
+# =========================================================================
+
+_CONTAINMENT_SQL = f"""
+    WITH {_SHINGLES_CTE},
+    j AS (
+        SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2
+        FROM ipair
+        JOIN sz sa ON sa.doc_id = d1
+        JOIN sz sb ON sb.doc_id = d2
+    )
+    SELECT d1 AS contained, d2 AS container,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(n1 AS BIGINT) AS n_contained,
+           CAST(inter AS DOUBLE) / n1 AS containment
+    FROM j WHERE CAST(inter AS DOUBLE) / n1 >= 8e-1
+    UNION ALL
+    SELECT d2, d1, CAST(inter AS BIGINT), CAST(n2 AS BIGINT),
+           CAST(inter AS DOUBLE) / n2
+    FROM j WHERE CAST(inter AS DOUBLE) / n2 >= 8e-1
+"""
+
+
+@register("minhash_containment", _CONTAINMENT_SQL)
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A in B) = |A∩B| / |A| over
+    distinct 3-token shingles, emitting (contained, container) pairs at
+    C >= 0.8 in EITHER direction.  Containment catches what symmetric
+    Jaccard structurally cannot — a short document quoted inside a much
+    longer one has high containment but low Jaccard (the union is
+    dominated by the container).  Shape: the co-shingled intersection
+    self-join (shared with the Jaccard gates); at scale the candidate
+    set comes from LSH (``_pair_jaccard(sh, pairs=lsh_candidates)`` —
+    operators/dedup.py:145 semi-join-reduces the shingle table to
+    candidates BEFORE intersecting), so the brute self-join here is the
+    oracle shape, not the production one."""
+    from .operators.dedup import _pair_jaccard, shingle_table
+
+    sh = shingle_table(t(spark, sf_dir, "documents"))
+    j = _pair_jaccard(sh)
+    fwd = j.select(
+        F.col("d1").alias("contained"), F.col("d2").alias("container"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n1").cast("long").alias("n_contained"),
+        (F.col("inter").cast("double") / F.col("n1")).alias("containment"),
+    )
+    rev = j.select(
+        F.col("d2").alias("contained"), F.col("d1").alias("container"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n2").cast("long").alias("n_contained"),
+        (F.col("inter").cast("double") / F.col("n2")).alias("containment"),
+    )
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= 8e-1))
