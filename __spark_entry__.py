@@ -129,7 +129,9 @@ _DRIVER_GREEN = {
     "scd2_history", "grouping_sets_metrics",
     # rows-only by design (no oracle possible): keep at the tail — their
     # *_check / *_recall companions carry the value evidence.
-    "similarity_ann_ivf", "transfer_volume_hourly_approx", "bpe_vocab",
+    # (bpe_vocab left this set in r4 session 2: its training loop now has
+    # an exact unrolled-CTE DuckDB oracle, so it re-runs as "new".)
+    "similarity_ann_ivf", "transfer_volume_hourly_approx",
 }
 
 

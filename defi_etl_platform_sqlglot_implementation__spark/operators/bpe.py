@@ -128,6 +128,74 @@ def train_bpe(
     return merges, seqs
 
 
+def encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply a TRAINED merge list to (possibly new) words — the tokenizer
+    application step.  Merges are applied sequentially in rank order with
+    the same greedy left-to-right codegen fold as training, so every
+    training word reproduces its training segmentation exactly, and
+    unseen words segment deterministically (unseen characters survive as
+    single-char symbols).  Row-local: the fold chain is n_merges nested
+    whole-stage-codegen ``aggregate`` lambdas — no shuffle, no Python."""
+    seqs = _initial_sequences(words)
+    for m in merges:
+        seqs = seqs.withColumn("seq", F.expr(_merge_expr(m[0], m[1])))
+    return seqs
+
+
+def duckdb_train_ctes(n_merges: int, corpus_pred: str = "TRUE") -> str:
+    """DuckDB CTE chain replicating ``train_bpe`` EXACTLY — the driver
+    loop unrolled as ``n_merges`` CTE stages (the kmeans_micro device
+    that made trained SemDeDup oracle-checkable).  Every stage holds the
+    symbol sequence as a chr(1)-joined string and re-applies the greedy
+    left-to-right merge as a ``list_reduce`` string fold whose CASE
+    reproduces the Spark ``_merge_expr`` accumulator semantics
+    (tail-token equality, merged token becomes the new tail, scan
+    resumes after it).  All counts are integers and the argmax tie-break
+    (n DESC, a ASC, b ASC) is byte-order on ASCII symbols, so the CTE
+    chain lands on the bit-identical merge sequence on any engine.
+
+    Exposes CTEs ``w0`` (word, freq), ``s0..s{n}`` (word, freq, s) and
+    ``m1..m{n}`` (a, b) for the caller's final SELECT.  Assumes symbols
+    never contain chr(1) (true for any corpus without control chars —
+    the '</w>' marker included).
+    """
+    sep = "chr(1)"
+    parts = [f"""
+    w0 AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE {corpus_pred})
+        WHERE word <> '' GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, freq,
+               array_to_string(
+                   list_concat(string_split(word, ''), ['</w>']), {sep}) AS s
+        FROM w0
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    p{k} AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, SUM(freq) AS n
+        FROM (SELECT freq, string_split(s, {sep}) AS toks,
+                     unnest(range(1, len(string_split(s, {sep})))) AS i
+              FROM s{k - 1})
+        GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT a, b FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+    s{k} AS MATERIALIZED (
+        SELECT word, freq,
+               list_reduce(string_split(s, {sep}), (acc, x) ->
+                   CASE WHEN x = m.b
+                             AND (acc = m.a
+                                  OR ends_with(acc, {sep} || m.a))
+                        THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+                        ELSE acc || {sep} || x END) AS s
+        FROM s{k - 1}, m{k} m
+    )""")
+    return ",".join(parts)
+
+
 def vocab_from_sequences(seqs: DataFrame) -> DataFrame:
     """(symbol, n_words, total_freq) — the learned subword vocabulary."""
     return (

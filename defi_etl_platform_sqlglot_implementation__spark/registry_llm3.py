@@ -1049,17 +1049,32 @@ def curation_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_vocab")  # rows-only: iterative merge training has no
-                        # single-statement SQL twin; correctness evidence
-                        # is tests/test_bpe.py's pure-Python reference
-                        # (identical merge sequence, vocab, segmentations)
+def _bpe_vocab_sql() -> str:
+    from .operators.bpe import duckdb_train_ctes
+
+    return f"""
+    WITH {duckdb_train_ctes(6)}
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS total_freq
+    FROM (SELECT freq, unnest(string_split(s, chr(1))) AS symbol FROM s6)
+    GROUP BY 1
+    """
+
+
+@register("bpe_vocab", _bpe_vocab_sql())
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE subword vocabulary after 6 merges over the document
     corpus (operators/bpe.py): (symbol, n_words, total_freq). Iterative
     and eager by nature — one bounded shuffle over the word-frequency
     table per merge, driver state one row per iteration (the kmeans
-    contract). Registered rows-only; the merge algebra is pinned against
-    a reference implementation in pytest instead of a DuckDB oracle."""
+    contract).  Was rows-only through r4 session 1; now EXACT — the
+    oracle unrolls the 6 training iterations as DuckDB CTE stages
+    (operators/bpe.py duckdb_train_ctes, the kmeans_micro device), each
+    re-deriving the argmax merge and re-applying the greedy fold, so
+    both engines land on the identical merge sequence and vocabulary.
+    The pure-Python reference in tests/test_bpe.py remains as the
+    third, independent implementation."""
     from .operators.bpe import train_bpe, vocab_from_sequences
 
     docs = t(spark, sf_dir, "documents")

@@ -16,6 +16,12 @@ Five operators that close remaining training-data-pipeline families:
   order-free integers.
 - :func:`minhash_containment` — ASYMMETRIC near-dup: shingle containment
   |A∩B|/|A| (catches quotes/supersets that symmetric Jaccard misses).
+- :func:`bpe_encode_segments` — tokenizer APPLICATION: a BPE vocabulary
+  trained on the 80% corpus partition encodes every document (held-out
+  docs included), per-doc subword counts + an order-exact segmentation
+  hash.  EXACT oracle: the training loop unrolls as DuckDB CTE stages
+  (operators/bpe.py duckdb_train_ctes) and the encode fold re-applies
+  each learned merge to the full word table.
 
 Registered past the driver's 50-slot verification window this round (the
 window is full with unproven r4 entries — see NOTES_r4); locally
@@ -367,3 +373,96 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (fwd.unionByName(rev)
             .filter(F.col("containment") >= 8e-1))
+
+
+# =========================================================================
+# BPE tokenizer application — encode the corpus with a trained vocabulary
+# =========================================================================
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    from .operators.bpe import duckdb_train_ctes
+
+    enc = []
+    for k in range(1, n_merges + 1):
+        enc.append(f"""
+    e{k} AS MATERIALIZED (
+        SELECT word,
+               list_reduce(string_split(s, chr(1)), (acc, x) ->
+                   CASE WHEN x = m.b
+                             AND (acc = m.a
+                                  OR ends_with(acc, chr(1) || m.a))
+                        THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+                        ELSE acc || chr(1) || x END) AS s
+        FROM e{k - 1}, m{k} m
+    )""")
+    return f"""
+    WITH {duckdb_train_ctes(n_merges, corpus_pred="doc_id % 5 <> 0")},
+    aw AS (
+        SELECT DISTINCT word
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    ),
+    e0 AS MATERIALIZED (
+        SELECT word,
+               array_to_string(
+                   list_concat(string_split(word, ''), ['</w>']), chr(1)) AS s
+        FROM aw
+    ),{",".join(enc)},
+    tokpos AS (
+        SELECT doc_id, i AS pos, toks[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+              FROM documents)
+        WHERE toks[i] <> ''
+    ),
+    seg AS (SELECT doc_id, pos, e.s FROM tokpos JOIN e{n_merges} e USING (word))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(s, chr(1)))) AS BIGINT) AS n_subwords,
+           md5(string_agg(s, chr(2) ORDER BY pos)) AS seg_hash
+    FROM seg GROUP BY 1
+    """
+
+
+@register("bpe_encode_segments", _bpe_encode_sql())
+def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: a BPE vocabulary trained on
+    the 80% corpus partition (doc_id % 5 != 0, 6 merges) encodes EVERY
+    document — including the held-out 20%, where unseen words segment
+    deterministically through the same greedy fold.  Output per doc:
+    word count, subword count, and an md5 over the position-ordered full
+    segmentation (subwords chr(1)-joined, words chr(2)-joined) — a
+    single hash that pins every symbol boundary of every document.
+
+    Scale shape: training touches only the Zipf-bounded word-frequency
+    table (operators/bpe.py); encoding is a DISTINCT-word table pushed
+    through the row-local merge fold chain and broadcast-joined back to
+    the positional token explode — the corpus is read once, no Python,
+    and the only wide state is the word table.  The oracle unrolls
+    training AND encoding as DuckDB CTE stages over the same data."""
+    from .operators.bpe import encode_words, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges, seqs = train_bpe(
+        docs.filter(F.col("doc_id") % 5 != 0), n_merges=6)
+    seqs.unpersist()
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "").distinct())
+    enc = encode_words(words, merges).select(
+        "word", F.array_join("seq", "\x01").alias("s"))
+    tok = (docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    seg = tok.join(F.broadcast(enc), "word")
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda x: x["s"],
+        ),
+        "\x02",
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.size(F.split("s", "\x01"))).cast("long").alias("n_subwords"),
+        F.md5(ordered).alias("seg_hash"),
+    )

@@ -105,3 +105,35 @@ def test_non_bmp_symbols_split_as_code_points(spark):
     assert seqs["\N{GRINNING FACE}\N{GRINNING FACE}c"] == [
         "\N{GRINNING FACE}", "\N{GRINNING FACE}", "c", "</w>"
     ]  # == list(w) + ['</w>'] in Python terms
+
+
+def test_encode_words_matches_reference_application(spark):
+    """encode_words applied to a word table containing UNSEEN words must
+    equal the reference greedy application of the trained merge list."""
+    from defi_etl_platform_sqlglot_implementation__spark.operators.bpe import (
+        encode_words,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    merges, seqs = train_bpe(docs, n_merges=6)
+    seqs.unpersist()
+
+    # held-out words: some share subword structure, some have unseen chars
+    new_words = ["tablet", "scanner", "zzz", "xqj", "merge", "windowless"]
+    words = spark.createDataFrame([(w,) for w in new_words], ["word"])
+    got = {r.word: list(r.seq) for r in encode_words(words, merges).collect()}
+
+    for w in new_words:
+        seq = list(w) + ["</w>"]
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        assert got[w] == seq, w
