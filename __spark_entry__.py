@@ -127,11 +127,13 @@ _DRIVER_GREEN = {
     "semdedup_pairs", "semdedup_recall", "token_freq_cms",
     "substring_dup_spans", "curation_clip_spans", "linear_model_confusion",
     "scd2_history", "grouping_sets_metrics",
-    # rows-only by design (no oracle possible): keep at the tail — their
-    # *_check / *_recall companions carry the value evidence.
-    # (bpe_vocab left this set in r4 session 2: its training loop now has
-    # an exact unrolled-CTE DuckDB oracle, so it re-runs as "new".)
-    "similarity_ann_ivf", "transfer_volume_hourly_approx",
+    # rows-only by design (no oracle possible): keep at the tail — the
+    # *_check companion carries the value evidence.  (bpe_vocab and
+    # similarity_ann_ivf left this set in r4 session 2: both gained
+    # exact DuckDB oracles — unrolled-CTE BPE training, full IVF
+    # pipeline replication — so they re-run as "new".  Only the HLL
+    # sketch query remains genuinely engine-specific.)
+    "transfer_volume_hourly_approx",
 }
 
 

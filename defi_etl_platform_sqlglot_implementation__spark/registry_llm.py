@@ -308,8 +308,68 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_pairs(e, rademacher_planes(4, 4, DIM), threshold=0.4)
 
 
-@register("similarity_ann_ivf")  # approximate by construction: rows-only check
+def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of the FULL IVF pipeline at the production nprobe:
+    centroid table (first n_centroids by id), corpus argmax assignment,
+    per-query probe routing, candidate search, final top-k — every
+    cosine the bit-exact 64-term fold, every argmax tie-broken on id.
+    The operator is approximate BY ALGORITHM (nprobe < n_centroids drops
+    recall), but its output on a fixed corpus is fully deterministic, so
+    the pruned search itself gets a hash-exact gate (the ann_pq
+    precedent: approximation in the algorithm, not in any engine
+    nondeterminism)."""
+    def cos(a: str, b: str) -> str:
+        return (f"({_dot_chain(a, b)}) / "
+                f"(sqrt({_dot_chain(a, a)}) * sqrt({_dot_chain(b, b)}))")
+
+    return f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding
+               FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+    q AS (SELECT vec_id AS query_id, embedding
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (
+        SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos('e', 'c')} DESC, c.centroid_id) AS rn
+            FROM embeddings e, c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id AS cluster_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos('q', 'c')} DESC, c.centroid_id) AS rn
+            FROM q, c
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {cos('q', 'a')} AS cosine
+        FROM probes p
+        JOIN asg a ON a.cluster_id = p.cluster_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_ann_ivf", _ivf_oracle_sql())
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the production nprobe=4.  Was rows-only through r4
+    session 1 ("approximate by construction"); now EXACT — on a fixed
+    corpus the pruned search is fully deterministic, and the oracle
+    replicates assignment, probe routing, and candidate top-k CTE by
+    CTE (see _ivf_oracle_sql).  similarity_ann_recall still reports the
+    recall the pruning trades away; similarity_ann_ivf_fullprobe still
+    proves the machinery exact at nprobe=n_centroids."""
     from .operators.similarity import ann_ivf
 
     e = t(spark, sf_dir, "embeddings")
