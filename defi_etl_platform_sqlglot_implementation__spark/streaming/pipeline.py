@@ -111,6 +111,30 @@ def streaming_block_agg(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_type", "block_number", "log_index"),
+    ts_col: str = "event_time",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """At-least-once -> effectively-once: drop redeliveries of the same
+    event key within the watermark horizon.
+
+    The Kafka sink (and the reference's acks=all producer it mirrors —
+    kafka_producer.py:84-112) is at-least-once, so downstream consumers
+    see duplicates after a crash-replay.  ``dropDuplicatesWithinWatermark``
+    is the streaming-native fix: state holds each key only for ``delay``
+    of EVENT time, then expires — bounded state at any throughput, unlike
+    a bare ``dropDuplicates`` on a stream, which retains every key ever
+    seen and OOMs a 100 TB/day pipeline.  Redeliveries later than the
+    watermark are not deduplicated (they are late data; the watermark
+    already governs their fate in downstream aggregations)."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,

@@ -180,3 +180,53 @@ class TestBronzeQuarantine:
         assert bronze.filter("event_type = 'transaction'").count() == 2
         assert rejects.count() == 1
         assert rejects.collect()[0]["raw_value"] == "not json"
+
+
+class TestStreamDedup:
+    """dedup_stream: redeliveries within the watermark horizon are dropped
+    (bounded state), producing the batch-distinct result."""
+
+    def test_redelivered_events_collapse_to_batch_distinct(self, spark, tmp_path):
+        from defi_etl_platform_sqlglot_implementation__spark.streaming.pipeline import (
+            dedup_stream,
+        )
+
+        msgs = _msgs(20)
+        # batch 0: originals; batch 1: 10 redeliveries + 10 new events
+        _write_messages(tmp_path, msgs, "batch0.txt")
+        _write_messages(
+            tmp_path,
+            msgs[:10] + [
+                make_transfer_message(
+                    "ERC-20",
+                    block_number=19_100_000 + i,
+                    block_timestamp=BASE_TS + i * 120,
+                    amount=(i + 1) * 10**18,
+                )
+                for i in range(10)
+            ],
+            "batch1.txt",
+        )
+
+        raw = spark.readStream.text(str(tmp_path / "input"))
+        events = stream_events(raw)
+        deduped = dedup_stream(
+            events, keys=("event_type", "block_number"), delay="2 hours")
+        q = (
+            deduped.select("event_type", "block_number")
+            .writeStream.format("memory").queryName("dedup_stream_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT event_type, block_number FROM dedup_stream_test"
+            ).collect()
+        finally:
+            q.stop()
+
+        keys = [(r.event_type, r.block_number) for r in got]
+        assert len(keys) == len(set(keys)), "redelivery survived dedup"
+        assert len(keys) == 30  # 20 originals + 10 genuinely new
