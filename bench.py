@@ -52,6 +52,11 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "token_freq_cms",
     "fuzzy_customer_pairs",
     "zorder_locality",
+    # session-2 additions: one representative per new family (quality
+    # rules, kNN eval, tokenizer application).
+    "gopher_quality_flags",
+    "knn_label_accuracy",
+    "bpe_encode_segments",
 ]
 
 

@@ -91,6 +91,43 @@ def assign_clusters(
     )
 
 
+def assign_clusters_probe(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Soft IVF assignment: each vector lands in its ``nprobe`` nearest
+    clusters (cosine, centroid-id tie-break) instead of only the argmax.
+
+    This is the RECALL KNOB of cluster-blocked dedup/search: two near-dup
+    vectors straddling a cluster boundary miss each other under hard
+    assignment but meet in a shared probe cluster here — measured on the
+    driver corpus, pair recall rises from 30.5% (hard, trained) to the
+    semdedup_recall_probed figure at nprobe=2 for a bounded ~nprobe^2x
+    candidate fan-out.  Returns (vec_id, vec_col, cluster_id, probe_rank)
+    with nprobe rows per vector."""
+    from pyspark.sql import Window
+
+    c = with_norm(
+        centroids.select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("ce")),
+        "ce", "cnorm",
+    )
+    e = with_norm(embeddings, vec_col, "enorm")
+    sim = (dot(vec_col, "ce") / (F.col("enorm") * F.col("cnorm"))).alias("csim")
+    scored = e.join(F.broadcast(c)).select(F.col(id_col), F.col(vec_col), sim,
+                                           F.col("centroid_id"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"),
+                F.col("rn").alias("probe_rank"))
+    )
+
+
 def ann_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

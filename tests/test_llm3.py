@@ -81,3 +81,25 @@ def test_inverted_index_postings_sorted_capped(spark):
         assert ids == sorted(ids)
         assert len(ids) == min(r.df, m._POSTINGS_CAP)
         assert len(set(ids)) == len(ids)
+
+
+def test_probed_blocking_dominates_hard_assignment(spark):
+    """nprobe=2 soft assignment must find a SUPERSET of the hard-assigned
+    pairs (every hard co-membership is also a probe co-membership), and
+    its measured recall must be at least the hard recall."""
+    from defi_etl_platform_sqlglot_implementation__spark.registry_llm3 import (
+        semdedup_pairs_probed,
+        semdedup_pairs_trained,
+        semdedup_recall_probed,
+        semdedup_recall_trained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hard = {(r.d1, r.d2) for r in semdedup_pairs_trained(spark, sf).collect()}
+    probed = {(r.d1, r.d2) for r in semdedup_pairs_probed(spark, sf).collect()}
+    assert hard <= probed
+    rp = semdedup_recall_probed(spark, sf).collect()[0]
+    rt = semdedup_recall_trained(spark, sf).collect()[0]
+    assert rp.n_true == rt.n_true
+    assert rp.recall_bp_probed >= rt.recall_bp_trained
+    assert rp.n_candidates <= rp.n_true + (500 * 499) // 2
