@@ -136,16 +136,20 @@ def ann_ivf(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's nprobe closest clusters.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id —
-    deterministic without an iterative k-means (which a 100 TB build would
-    run once offline and broadcast).
+    Default centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic without an iterative k-means.  Pass ``centroids``
+    (id_col, vec_col) to route through a TRAINED codebook instead (e.g.
+    ``kmeans_micro`` — the offline index build a 100 TB deployment runs
+    once and broadcasts); assignment, probing, and ranking are identical.
     """
     from pyspark.sql import Window
 
-    centroids = embeddings.orderBy(id_col).limit(n_centroids)
+    if centroids is None:
+        centroids = embeddings.orderBy(id_col).limit(n_centroids)
     assigned = assign_clusters(embeddings, centroids, vec_col, id_col)
 
     c = with_norm(

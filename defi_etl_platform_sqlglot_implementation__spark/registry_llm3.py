@@ -1513,3 +1513,76 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# =========================================================================
+# IVF search over the TRAINED codebook
+# =========================================================================
+
+def _ivf_trained_sql(nprobe: int = 4, k: int = 10) -> str:
+    from .registry_llm import _dot_chain
+
+    def vcos(a_arr: str, b_arr: str) -> str:
+        return (f"({_vchain(a_arr, b_arr)}) / "
+                f"(sqrt({_vchain(a_arr, a_arr)})"
+                f" * sqrt({_vchain(b_arr, b_arr)}))")
+
+    qcos = (f"({_dot_chain('q', 'a')}) / "
+            f"(sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('a', 'a')}))")
+    return f"""
+    WITH {_km_ctes()},
+    q AS (SELECT vec_id AS query_id, embedding
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (
+        SELECT vec_id, embedding, cid AS cluster_id FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {vcos('e.embedding', 'c.ce')} DESC, c.cid)
+                       AS rn
+            FROM embeddings e, tc{_KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid AS cluster_id FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {vcos('q.embedding', 'c.ce')} DESC, c.cid)
+                       AS rn
+            FROM q, tc{_KM_ITERS} c
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {qcos} AS cosine
+        FROM probes p
+        JOIN asg a ON a.cluster_id = p.cluster_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_ann_ivf_trained", _ivf_trained_sql())
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN routed through the TRAINED micro-k-means codebook instead
+    of the first-16 stand-in — the offline index build a production
+    deployment runs once and broadcasts.  Same assignment/probe/rank
+    machinery (operators/similarity.ann_ivf with explicit centroids),
+    same exact full-pipeline oracle shape as similarity_ann_ivf, with
+    the unrolled training CTEs supplying the codebook.  Together the
+    stand-in and trained gates pin that search quality is a property of
+    the codebook, not the router."""
+    from .operators.similarity import ann_ivf, kmeans_micro
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = kmeans_micro(e, k=_KM_K, iters=_KM_ITERS).select(
+        F.col("centroid_id").alias("vec_id"), "embedding")
+    return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10, nprobe=4,
+                   centroids=cents)
