@@ -79,6 +79,18 @@ def eip55_checksum(s: pd.Series) -> pd.Series:
     if len(s) and s.dropna().str.len().eq(42).all():
         from .keccak_batch import eip55_checksum_batch
 
+        # dictionary-encode the Arrow batch first: keccak only the UNIQUE
+        # addresses, then map back.  Row-local (no shuffle, works inside
+        # any executor batch at any scale); pays one pd.unique() pass and
+        # wins whenever addresses repeat within a batch — hot
+        # contracts/wallets dominate real transfer streams, so per-batch
+        # repetition is the norm, not a synthetic-data artifact.
+        uniq = pd.Index(s.dropna().unique())
+        if len(uniq) < len(s):
+            mapped = pd.Series(
+                eip55_checksum_batch(uniq.to_series().reset_index(drop=True))
+                .to_numpy(), index=uniq)
+            return s.map(mapped)
         return eip55_checksum_batch(s)
     return s.map(lambda a: None if a is None else _checksum(a))
 
