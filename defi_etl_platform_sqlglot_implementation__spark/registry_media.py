@@ -167,3 +167,86 @@ def audio_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = audio_fingerprint_signatures(t(spark, sf_dir, "documents"))
     return audio_fingerprint_pairs(sigs)
+
+
+_RESIZE_SQL = f"""
+    WITH {_BASES_SQL},
+    dims AS (
+        SELECT doc_id, base,
+               8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        FROM bases
+    ),
+    grid AS (
+        SELECT doc_id, base, w, h, dy, dx,
+               ((dy * h) // 4) * w + ((dx * w) // 4) AS i
+        FROM dims,
+             generate_series(0, 3) AS gdy(dy),
+             generate_series(0, 3) AS gdx(dx)
+    ),
+    px AS (
+        SELECT doc_id, w, h, dy, dx,
+               (base*(2*i+1) + 7*i*i) % 256 AS r,
+               (3*((base*(2*i+1) + 7*i*i) % 256) + 17) % 256 AS g,
+               (5*((base*(2*i+1) + 7*i*i) % 256) + 29) % 256 AS b
+        FROM grid
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+           CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           md5(string_agg(r || ',' || g || ',' || b, ','
+                          ORDER BY dy, dx)) AS resized_md5
+    FROM px
+    GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_resize_real", _RESIZE_SQL)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-gated pixel-exact: per document build an
+    actual variable-size 24-bit BMP (8+doc_id%5 x 8+doc_id%3 — the size
+    spread exercises every row-padding case), decode it through the
+    production bmp_rgb_array, nearest-neighbor resize to 4x4
+    (operators/multimodal.resize_bmp_images), and emit exact channel
+    sums + an md5 over the canonical resized buffer.  The oracle
+    recomputes the resized pixels ARITHMETICALLY (floor source mapping
+    on a generate_series grid), so a regression anywhere in build ->
+    padded-BGR-bottom-up decode -> resample -> canonicalize flips the
+    hash."""
+    from pyspark.sql import functions as F
+
+    from .operators.media_dedup import _media_base
+    from .operators.multimodal import build_bmp, resize_bmp_images
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 8 + doc_id % 3
+                ys, xs = np.mgrid[0:h, 0:w]
+                ii = ys * w + xs
+                base = _media_base(doc_id)
+                g = (base * (2 * ii + 1) + 7 * ii * ii) % 256
+                px = np.stack(
+                    [g, (3 * g + 17) % 256, (5 * g + 29) % 256], axis=-1
+                ).astype(np.uint8)
+                out["doc_id"].append(doc_id)
+                out["content"].append(build_bmp(px))
+            yield pd.DataFrame(out)
+
+    media = (t(spark, sf_dir, "documents").select("doc_id")
+             .mapInPandas(gen, "doc_id long, content binary"))
+    rz = resize_bmp_images(media, out_w=4, out_h=4)
+    return rz.select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h",
+        "sum_r", "sum_g", "sum_b",
+        F.md5("pixels_csv").alias("resized_md5"),
+    )
