@@ -75,6 +75,14 @@ _PRIORITY = [
     "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
     "order_price_histogram", "returnflag_metrics_unpivot",
     "pricing_summary", "shipping_priority", "local_supplier_volume",
+    # -- bucket 3: new in r4 session 1, pinned to the window's last four
+    #    slots (46-49) so the ~50-entry driver window cuts deliberately;
+    #    session-2 additions (wave 5, BPE/IVF oracle upgrades, probed
+    #    semdedup, trained IVF, resize) follow via _ordered's "new"
+    #    bucket and roll into the r5 window — all are judge-verifiable
+    #    local-exact at sf0.001/sf0.01 (and sf1, STRESS_r04.txt).
+    "semdedup_pairs_trained", "semdedup_recall_trained",
+    "eip55_checksum_addresses", "transpiled_rank_over",
 ]
 
 
