@@ -466,3 +466,150 @@ def bpe_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("s", "\x01"))).cast("long").alias("n_subwords"),
         F.md5(ordered).alias("seg_hash"),
     )
+
+
+# =========================================================================
+# Curation pipeline v2 — the wave-5 ops COMPOSED end-to-end
+# =========================================================================
+
+def _shingles_cte_over(src: str) -> str:
+    """The _SHINGLES_CTE machinery parameterized over its source relation
+    (the original is pinned to ``documents``; composition needs it over
+    the quality-filtered subset)."""
+    return f"""
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, len(string_split(text, ' ')) - 2) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s
+        FROM {src}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ipair AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )"""
+
+
+_PIPELINE_V2_SQL = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    m AS (
+        SELECT doc_id, SUM(c) AS n_words, SUM(len(tok) * c) AS n_chars,
+               COUNT(*) AS n_distinct, MAX(c) AS top_tok,
+               SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS stop_hits
+        FROM tc GROUP BY 1
+    ),
+    quality AS (
+        SELECT doc_id, n_words FROM m
+        WHERE n_words BETWEEN 30 AND 2500
+          AND (n_chars * 100) // n_words BETWEEN 300 AND 1000
+          AND n_distinct * 5 > n_words
+          AND top_tok * 100 < n_words * 15
+          AND stop_hits >= 2
+    ),
+    qdocs AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        JOIN quality USING (doc_id)
+    ),
+    {_shingles_cte_over('qdocs')},
+    pairs AS (
+        SELECT d1, d2 FROM ipair
+        JOIN sz sa ON sa.doc_id = d1
+        JOIN sz sb ON sb.doc_id = d2
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
+    ),
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    ),
+    cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           FROM reach GROUP BY src),
+    lab AS (
+        SELECT q.doc_id, q.source,
+               COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+               length(q.text) AS n_chars, quality.n_words
+        FROM qdocs q
+        LEFT JOIN cc USING (doc_id)
+        JOIN quality USING (doc_id)
+    ),
+    canon AS (
+        SELECT doc_id, source, n_words,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM lab
+    ),
+    per_doc AS (
+        SELECT d.source,
+               CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_q,
+               CASE WHEN c.rk = 1 THEN 1 ELSE 0 END AS is_canon,
+               CASE WHEN c.rk = 1 THEN c.n_words ELSE 0 END AS kept_tokens
+        FROM documents d
+        LEFT JOIN quality q ON q.doc_id = d.doc_id
+        LEFT JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_q) AS BIGINT) AS n_quality,
+           CAST(SUM(is_canon) AS BIGINT) AS n_canonical,
+           CAST(SUM(kept_tokens) AS BIGINT) AS tokens_kept
+    FROM per_doc GROUP BY source
+"""
+
+
+@register("curation_pipeline_v2", _PIPELINE_V2_SQL)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session's operators COMPOSED into the pipeline a training-data
+    team actually ships: Gopher-style quality gate (conjunctive integer
+    rules) -> MinHash-LSH near-dup detection on the SURVIVORS ->
+    connected components -> keep-longest-canonical -> per-source
+    document and token yield.  Every stage reuses the independently
+    oracle-gated operator (gopher_quality_flags, minhash_lsh_pairs,
+    connected_components, dedup_keep_canonical's argmax), and the
+    composed oracle replays the whole chain declaratively — evidence
+    the operators COMPOSE, not just pass in isolation.  Ordering
+    matters at scale: the quality filter runs FIRST so the quadratic-ish
+    dedup machinery sees only survivors — on real corpora the cheap
+    row-local rules drop 30-60% of documents before any shuffle."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    keep = gopher_quality_flags(spark, sf_dir).filter(F.col("keep") == 1) \
+        .select("doc_id", "n_words")
+    filtered = docs.join(keep, "doc_id")
+    pairs = minhash_lsh_pairs(filtered, threshold=0.5).select("d1", "d2")
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    lab = (
+        filtered.select("doc_id", "source", "n_words",
+                        F.length("text").alias("n_chars"))
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    canon = lab.withColumn("rk", F.row_number().over(w))
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(canon.select("doc_id",
+                           F.lit(1).alias("is_q"),
+                           (F.col("rk") == 1).cast("int").alias("is_canon"),
+                           F.when(F.col("rk") == 1, F.col("n_words"))
+                           .otherwise(0).alias("kept_tokens")),
+              "doc_id", "left")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.coalesce("is_q", F.lit(0))).cast("long").alias("n_quality"),
+        F.sum(F.coalesce("is_canon", F.lit(0))).cast("long")
+        .alias("n_canonical"),
+        F.sum(F.coalesce("kept_tokens", F.lit(0))).cast("long")
+        .alias("tokens_kept"),
+    )
