@@ -153,3 +153,62 @@ class TestJpegWalkerProperties:
         assert row["kind"] == "jpeg"
         assert (row["width"], row["height"]) == (exp_w, exp_h), \
             f"bytes={b.hex()}"
+
+
+class TestQualityRuleProperties:
+    """Wave-5 gopher rules vs a pure-Python reimplementation on random
+    word soups — one batched Spark action over the generated corpus."""
+
+    def test_gopher_flags_match_python_on_random_corpus(self, spark):
+        import random
+
+        from defi_etl_platform_sqlglot_implementation__spark.registry_llm5 import (
+            gopher_quality_flags,
+        )
+
+        rng = random.Random(7)
+        vocab = ["the", "a", "spark", "table", "x", "zzzzzzzzzzzz",
+                 "merge", "q", "windowless", "bb"]
+        texts = [
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(1, 80)))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        df.write.mode("overwrite").parquet("/tmp/gopher_prop/documents.parquet")
+        rows = {r.doc_id: r for r in
+                gopher_quality_flags(spark, "/tmp/gopher_prop").collect()}
+
+        from collections import Counter
+
+        for i, text in enumerate(texts):
+            toks = text.split(" ")
+            c = Counter(toks)
+            n, nd = len(toks), len(c)
+            nchars, top = sum(map(len, toks)), max(c.values())
+            stop = c["the"] + c["a"]
+            r = rows[i]
+            assert r.n_words == n and r.stop_hits == stop
+            assert r.mean_wlen_centi == (nchars * 100) // n
+            keep = (30 <= n <= 2500
+                    and 300 <= (nchars * 100) // n <= 1000
+                    and nd * 5 > n and top * 100 < n * 15 and stop >= 2)
+            assert r.keep == int(keep), (i, text)
+
+    def test_containment_is_one_for_shingle_subsets(self, spark):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            _pair_jaccard,
+            shingle_table,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(0, base), (1, base + " iota kappa lambda mu nu xi")],
+            "doc_id long, text string")
+        j = _pair_jaccard(shingle_table(docs)).collect()
+        assert len(j) == 1
+        r = j[0]
+        # doc 0's shingles all appear in doc 1 -> containment(0 in 1) = 1
+        assert r.inter == r.n1
+        assert r.inter < r.n2
