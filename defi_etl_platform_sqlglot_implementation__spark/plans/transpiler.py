@@ -36,6 +36,13 @@ the constructs that genuinely differ are translated:
   its implied position matches and refuses loudly otherwise.  RANGE
   numeric offsets, GROUPS frames, IGNORE/RESPECT NULLS, and QUALIFY are
   loud edges.
+- the ordered string-aggregation family STRING_AGG(e, sep ORDER BY ...)
+  (postgres/duckdb/bigquery) ↔ LISTAGG(e, sep) WITHIN GROUP (ORDER BY
+  ...) (spark/snowflake/trino) ↔ GROUP_CONCAT(e ORDER BY ... SEPARATOR
+  sep) (mysql), with the within-group sort keys' null positions
+  normalized like window ORDER BY; unordered and DISTINCT forms are
+  loud edges (nondeterministic / per-dialect semantics), as is a
+  non-literal separator on the MySQL target.
 
 Anything outside the subset raises :class:`UnsupportedConstructError`
 instead of emitting silently wrong SQL — a transpiler for a documented
@@ -541,6 +548,63 @@ def _rewrite_frame(words: list[str]) -> str:
     return f"{kind.upper()} BETWEEN {bound(rest)} AND CURRENT ROW"
 
 
+def _find_top_level_word(span: list[Tok], word: str) -> int | None:
+    """Index of the first top-level (paren-depth-0) occurrence of a code
+    word in a token span, or None."""
+    depth = 0
+    for k, tok in enumerate(span):
+        if tok.kind == "op" and tok.text == "(":
+            depth += 1
+        elif tok.kind == "op" and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_word(word):
+            return k
+    return None
+
+
+def _render_order_items(items: list[list[Tok]], source: str,
+                        target: str) -> list[str]:
+    """Render sort-key items (window OVER or within-aggregate ORDER BY)
+    with every IMPLICIT null position resolved to the SOURCE dialect's
+    semantics and emitted explicitly; MySQL (no NULLS syntax) emits bare
+    only when its implied position already matches."""
+    rendered_items = []
+    for item in items:
+        it = _strip_ws(item)
+        direction = "asc"
+        nulls: str | None = None
+        # strip trailing [NULLS FIRST|LAST] then [ASC|DESC], skipping the
+        # interior ws tokens _strip_ws leaves in place (indexing it[-2]
+        # directly would land on whitespace and silently miss an EXPLICIT
+        # NULLS marker — the emitted SQL then carried BOTH the original
+        # and a synthesized direction, which is invalid)
+        code = [k for k, x in enumerate(it) if x.kind != "ws"]
+        if len(code) >= 2 and it[code[-2]].is_word("nulls") \
+                and it[code[-1]].is_word("first", "last"):
+            nulls = it[code[-1]].text.lower()
+            it = _strip_ws(it[:code[-2]])
+            code = [k for k, x in enumerate(it) if x.kind != "ws"]
+        if code and it[code[-1]].is_word("asc", "desc"):
+            direction = it[code[-1]].text.lower()
+            it = _strip_ws(it[:code[-1]])
+        if not it:
+            raise UnsupportedConstructError(
+                "empty ORDER BY expression")
+        pos = nulls or _NULL_POS[source][direction]
+        expr_sql = render(_rewrite(it, source, target))
+        if target == "mysql":
+            if pos != _NULL_POS["mysql"][direction]:
+                raise UnsupportedConstructError(
+                    f"MySQL cannot express NULLS {pos.upper()} for "
+                    f"{direction.upper()} ordering (no NULLS "
+                    "FIRST/LAST syntax)")
+            rendered_items.append(f"{expr_sql} {direction.upper()}")
+        else:
+            rendered_items.append(
+                f"{expr_sql} {direction.upper()} NULLS {pos.upper()}")
+    return rendered_items
+
+
 def _rewrite_over(body: list[Tok], source: str, target: str) -> str:
     code = [(k, tok) for k, tok in enumerate(body) if tok.kind != "ws"]
     if not code:
@@ -587,35 +651,8 @@ def _rewrite_over(body: list[Tok], source: str, target: str) -> str:
             parts.append("PARTITION BY " + ", ".join(rendered))
         elif name == "order":
             items = _split_commas_top(_drop_leading_words(toks, 2))
-            rendered_items = []
-            for item in items:
-                it = _strip_ws(item)
-                direction = "asc"
-                nulls: str | None = None
-                # strip trailing [NULLS FIRST|LAST] then [ASC|DESC]
-                if len(it) >= 2 and it[-2].is_word("nulls") \
-                        and it[-1].is_word("first", "last"):
-                    nulls = it[-1].text.lower()
-                    it = _strip_ws(it[:-2])
-                if it and it[-1].is_word("asc", "desc"):
-                    direction = it[-1].text.lower()
-                    it = _strip_ws(it[:-1])
-                if not it:
-                    raise UnsupportedConstructError(
-                        "empty window ORDER BY expression")
-                pos = nulls or _NULL_POS[source][direction]
-                expr_sql = render(_rewrite(it, source, target))
-                if target == "mysql":
-                    if pos != _NULL_POS["mysql"][direction]:
-                        raise UnsupportedConstructError(
-                            f"MySQL cannot express NULLS {pos.upper()} for "
-                            f"{direction.upper()} window ordering (no NULLS "
-                            "FIRST/LAST syntax)")
-                    rendered_items.append(f"{expr_sql} {direction.upper()}")
-                else:
-                    rendered_items.append(
-                        f"{expr_sql} {direction.upper()} NULLS {pos.upper()}")
-            parts.append("ORDER BY " + ", ".join(rendered_items))
+            parts.append("ORDER BY " + ", ".join(
+                _render_order_items(items, source, target)))
         else:
             words = [x.text.lower() for x in codes]
             parts.append(_rewrite_frame(words))
@@ -876,6 +913,113 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                 i = close + 1
                 continue
             out.append(t)   # bare identifier named instr/strpos
+            i += 1
+            continue
+
+        # --- ordered string-aggregation family --------------------------
+        # STRING_AGG(e, sep ORDER BY ...) (postgres/duckdb/bigquery) ↔
+        # LISTAGG(e, sep) WITHIN GROUP (ORDER BY ...) (spark/snowflake/
+        # trino) ↔ GROUP_CONCAT(e ORDER BY ... SEPARATOR sep) (mysql).
+        # The within-group ordering is REQUIRED (unordered concatenation
+        # is nondeterministic — silently different results per engine),
+        # goes through the same null-position normalization as window
+        # ORDER BY, and DISTINCT is a loud edge (per-dialect interaction
+        # with ORDER BY differs).
+        if t.is_word("string_agg", "listagg", "group_concat"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                fname = t.text.lower()
+                inner = tokens[j + 1:close]
+                first_code = next((x for x in inner if x.kind != "ws"), None)
+                if first_code is not None and first_code.is_word("distinct"):
+                    raise UnsupportedConstructError(
+                        "DISTINCT string aggregation is outside the subset "
+                        "(per-dialect DISTINCT/ORDER BY interaction)")
+                consume_to = close + 1
+                order_span: list[Tok] | None = None
+                if fname == "group_concat":
+                    ob = _find_top_level_word(inner, "order")
+                    sp = _find_top_level_word(inner, "separator")
+                    if ob is None or sp is None or sp < ob:
+                        raise UnsupportedConstructError(
+                            "GROUP_CONCAT outside the subset (need "
+                            "ORDER BY ... SEPARATOR 'sep')")
+                    expr_span = inner[:ob]
+                    by = _next_code(inner, ob + 1)
+                    if by >= len(inner) or not inner[by].is_word("by"):
+                        raise UnsupportedConstructError(
+                            "GROUP_CONCAT ORDER without BY")
+                    order_span = inner[by + 1:sp]
+                    sep_span = _strip_ws(inner[sp + 1:])
+                elif fname == "string_agg":
+                    ob = _find_top_level_word(inner, "order")
+                    if ob is None:
+                        raise UnsupportedConstructError(
+                            "unordered STRING_AGG is outside the subset "
+                            "(nondeterministic concatenation order)")
+                    by = _next_code(inner, ob + 1)
+                    if by >= len(inner) or not inner[by].is_word("by"):
+                        raise UnsupportedConstructError(
+                            "STRING_AGG ORDER without BY")
+                    head = _split_commas_top(_strip_ws(inner[:ob]))
+                    if len(head) != 2:
+                        raise UnsupportedConstructError(
+                            "STRING_AGG arity != 2 is outside the subset")
+                    expr_span, sep_span = head
+                    order_span = inner[by + 1:]
+                else:  # listagg
+                    head = _split_commas_top(inner)
+                    if len(head) != 2:
+                        raise UnsupportedConstructError(
+                            "LISTAGG arity != 2 is outside the subset")
+                    expr_span, sep_span = head
+                    k1 = _next_code(tokens, close + 1)
+                    k2 = _next_code(tokens, k1 + 1) if k1 < n else n
+                    if not (k1 < n and tokens[k1].is_word("within")
+                            and k2 < n and tokens[k2].is_word("group")):
+                        raise UnsupportedConstructError(
+                            "LISTAGG without WITHIN GROUP (ORDER BY ...) "
+                            "is outside the subset (nondeterministic)")
+                    p = _next_code(tokens, k2 + 1)
+                    if not (p < n and tokens[p].kind == "op"
+                            and tokens[p].text == "("):
+                        raise UnsupportedConstructError(
+                            "WITHIN GROUP without (ORDER BY ...)")
+                    pclose = _match_paren(tokens, p)
+                    g = tokens[p + 1:pclose]
+                    gob = _find_top_level_word(g, "order")
+                    gby = _next_code(g, gob + 1) if gob is not None else None
+                    if gob is None or gby >= len(g) or not g[gby].is_word("by"):
+                        raise UnsupportedConstructError(
+                            "WITHIN GROUP body must be ORDER BY ...")
+                    order_span = g[gby + 1:]
+                    consume_to = pclose + 1
+                e_sql = render(_rewrite(_strip_ws(expr_span), source, target))
+                sep_toks = _strip_ws(sep_span)
+                sep_sql = render(_rewrite(sep_toks, source, target))
+                order_sql = ", ".join(_render_order_items(
+                    _split_commas_top(_strip_ws(order_span)), source, target))
+                if target == "mysql":
+                    if not (len(sep_toks) == 1 and sep_toks[0].kind == "str"):
+                        raise UnsupportedConstructError(
+                            "MySQL SEPARATOR requires a string literal "
+                            "separator")
+                    emitted = (f"GROUP_CONCAT({e_sql} ORDER BY {order_sql}"
+                               f" SEPARATOR {sep_sql})")
+                elif target in ("spark", "snowflake", "trino"):
+                    emitted = (f"LISTAGG({e_sql}, {sep_sql}) WITHIN GROUP "
+                               f"(ORDER BY {order_sql})")
+                elif target in ("duckdb", "postgres", "bigquery"):
+                    emitted = (f"STRING_AGG({e_sql}, {sep_sql} "
+                               f"ORDER BY {order_sql})")
+                else:
+                    raise UnsupportedConstructError(
+                        f"no string-aggregation form for {target!r}")
+                out.append(Tok("word", emitted))
+                i = consume_to
+                continue
+            out.append(t)
             i += 1
             continue
 

@@ -144,3 +144,28 @@ def transpiled_rank_over(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral windowed sum with a unique (ts, event_id) ordering so the
     frame contents, and therefore the hash, are engine-exact."""
     return _run_spark_text(spark, sf_dir, _RANK_OVER_SQL_SPARK)
+
+
+_LISTAGG_SQL_SPARK = """
+    SELECT user_id % 10 AS user_mod,
+           LISTAGG(event_type, '|') WITHIN GROUP (
+               ORDER BY event_type, event_id) AS type_chain,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_id % 37 = 0
+    GROUP BY 1
+"""
+
+
+@register("transpiled_listagg", transpile(_LISTAGG_SQL_SPARK, "duckdb"))
+def transpiled_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth transpiler gate covering the round-4 session-2 widening: the
+    ordered string-aggregation family.  The Spark text uses LISTAGG ...
+    WITHIN GROUP; the transpiled DuckDB oracle must re-shape it to
+    STRING_AGG(expr, sep ORDER BY ...) with the sort keys' implicit null
+    positions made explicit (same normalization as window ORDER BY —
+    the keys here are non-null, so both engines agree and the
+    concatenated strings hash-match exactly).  MySQL emission re-shapes
+    again to GROUP_CONCAT ... SEPARATOR; unordered/DISTINCT forms are
+    loud edges, pinned in test_transpiler."""
+    return _run_spark_text(spark, sf_dir, _LISTAGG_SQL_SPARK)

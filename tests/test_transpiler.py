@@ -328,3 +328,84 @@ class TestWindowOverClauses:
 
     def test_bare_over_identifier_passes_through(self):
         assert transpile("SELECT over FROM t", "duckdb") == "SELECT over FROM t"
+
+
+class TestStringAggFamily:
+    """Round-4 session-2 widening: STRING_AGG ↔ LISTAGG ↔ GROUP_CONCAT."""
+
+    Q = ("SELECT g, LISTAGG(s, ',') WITHIN GROUP (ORDER BY s) AS agg "
+         "FROM v GROUP BY g")
+
+    def test_per_target_emissions(self):
+        out = {d: transpile(self.Q, d) for d in
+               ("duckdb", "postgres", "bigquery", "mysql", "snowflake",
+                "trino")}
+        for d in ("duckdb", "postgres", "bigquery"):
+            assert "STRING_AGG(s, ',' ORDER BY s ASC NULLS FIRST)" in out[d]
+        for d in ("snowflake", "trino"):
+            assert ("LISTAGG(s, ',') WITHIN GROUP "
+                    "(ORDER BY s ASC NULLS FIRST)") in out[d]
+        assert "GROUP_CONCAT(s ORDER BY s ASC SEPARATOR ',')" in out["mysql"]
+
+    def test_reverse_directions(self):
+        got = transpile("SELECT STRING_AGG(s, ',' ORDER BY s DESC) FROM v",
+                        "spark", source="postgres")
+        # postgres DESC implies NULLS FIRST — carried explicitly to Spark
+        assert ("LISTAGG(s, ',') WITHIN GROUP "
+                "(ORDER BY s DESC NULLS FIRST)") in got
+        got = transpile(
+            "SELECT GROUP_CONCAT(s ORDER BY s SEPARATOR ';') FROM v",
+            "duckdb", source="mysql")
+        assert "STRING_AGG(s, ';' ORDER BY s ASC NULLS FIRST)" in got
+
+    def test_loud_edges(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+        )
+
+        with pytest.raises(UnsupportedConstructError):   # unordered
+            transpile("SELECT STRING_AGG(s, ',') FROM v", "duckdb",
+                      source="postgres")
+        with pytest.raises(UnsupportedConstructError):   # no WITHIN GROUP
+            transpile("SELECT LISTAGG(s, ',') FROM v", "duckdb")
+        with pytest.raises(UnsupportedConstructError):   # DISTINCT
+            transpile("SELECT STRING_AGG(DISTINCT s, ',' ORDER BY s) FROM v",
+                      "duckdb", source="postgres")
+        with pytest.raises(UnsupportedConstructError):   # non-literal sep
+            transpile("SELECT LISTAGG(s, sep_col) WITHIN GROUP (ORDER BY s) "
+                      "FROM v", "mysql")
+        with pytest.raises(UnsupportedConstructError):   # mysql NULLS gap
+            transpile("SELECT LISTAGG(s, ',') WITHIN GROUP "
+                      "(ORDER BY s NULLS LAST) FROM v", "mysql")
+
+    def test_executed_equivalence_both_directions(self, spark):
+        import duckdb
+
+        spark.createDataFrame(
+            [(i % 3, "s%d" % (i % 5)) for i in range(40)],
+            "g int, s string").createOrReplaceTempView("v")
+        want = [(r.g, r.agg) for r in sorted(
+            spark.sql(self.Q).collect(), key=lambda r: r.g)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE v AS SELECT (i % 3)::INT AS g, "
+                    "'s' || (i % 5) AS s FROM range(40) t(i)")
+        got = con.execute(
+            transpile(self.Q, "duckdb") + " ORDER BY g").fetchall()
+        assert [(g, a) for g, a, _ in
+                [(r[0], r[1], None) for r in got]] == want
+
+    def test_explicit_nulls_marker_is_consumed_not_duplicated(self):
+        """Regression (found adding this family): explicit NULLS markers
+        in ORDER BY items were missed behind interior whitespace tokens,
+        so emission carried both the original marker and a synthesized
+        direction — invalid SQL like 'x DESC NULLS FIRST ASC NULLS
+        FIRST'."""
+        out = transpile(
+            "SELECT rank() OVER (ORDER BY x DESC NULLS FIRST) FROM t",
+            "duckdb")
+        assert out.count("NULLS") == 1 and out.count("DESC") == 1
+        out = transpile(
+            "SELECT rank() OVER (ORDER BY x NULLS LAST) FROM t", "duckdb")
+        assert "ASC NULLS LAST" in out and out.count("NULLS") == 1
