@@ -65,3 +65,44 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint()
     return scores
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Single-source(-set) BFS over a directed edge list: (node, dist)
+    for every node reachable from ``sources`` (dist 0), following
+    ``edges`` (src, dst) columns.
+
+    The third classic next to connected components and PageRank —
+    frontier expansion: each round is ONE equi-join (frontier ⋈ edges on
+    src) + a distinct + an anti-join against the settled set, i.e. two
+    bounded shuffles keyed on node id, the shape that runs on
+    billion-edge graphs (GraphX/Pregel's iteration, expressed as
+    DataFrames so Catalyst handles partitioning).  The frontier is
+    ``localCheckpoint``-ed per round: lineage stays constant-depth and
+    the empty-frontier driver test is the only per-round action.
+    Unreachable nodes are absent from the output (match semantics of the
+    recursive-CTE oracle)."""
+    dist = sources.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    for d in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").cast("long").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(d).cast("long"))).localCheckpoint()
+        frontier = nxt
+    return dist

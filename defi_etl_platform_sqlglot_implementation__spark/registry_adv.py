@@ -282,3 +282,51 @@ def pagerank_nation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = ["QUERIES", "ORACLES"]
 
+
+
+_BFS_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS s, su.s_nationkey AS d
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+    ),
+    walk(n, hops) AS (
+        SELECT 0, 0
+        UNION
+        SELECT e.d, w.hops + 1
+        FROM walk w JOIN edges e ON e.s = w.n
+        WHERE w.hops < 30
+    )
+    SELECT CAST(n AS BIGINT) AS node, CAST(MIN(hops) AS BIGINT) AS dist
+    FROM walk GROUP BY n
+"""
+
+
+@register("bfs_trade_distance", _BFS_SQL)
+def bfs_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from nation 0 over the directed customer-nation ->
+    supplier-nation trade graph — the frontier-expansion classic beside
+    connected components and PageRank.  Spark runs the iterative
+    one-join-per-round loop (operators/graph.bfs_levels: settled-set
+    anti-join, localCheckpoint-truncated lineage); the oracle is the
+    declarative recursive-CTE fixpoint with MIN(hops) collapsing the
+    (node, hops) walk set — the dedup_clusters proof strategy applied to
+    shortest paths.  Integer-only output, hash-exact."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(su, l["l_suppkey"] == su["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    from .operators.graph import bfs_levels
+
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return bfs_levels(edges, sources)

@@ -49,3 +49,34 @@ class TestPageRank:
         a = self._run(spark, edges, iterations=6)
         b = self._run(spark, edges, iterations=6, checkpoint_every=2)
         assert all(abs(a[n] - b[n]) < 1e-12 for n in a)
+
+
+def test_bfs_levels_matches_python_reference(spark):
+    """bfs_levels vs a dict-based BFS on a random directed graph with
+    cycles, unreachable nodes, and multiple shortest paths."""
+    import random
+    from collections import deque
+
+    from defi_etl_platform_sqlglot_implementation__spark.operators.graph import (
+        bfs_levels,
+    )
+
+    rng = random.Random(11)
+    n_nodes = 40
+    edges = {(rng.randrange(n_nodes), rng.randrange(n_nodes))
+             for _ in range(90)}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want, q = {0: 0}, deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_levels(edf, sdf).collect()}
+    assert got == want
