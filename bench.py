@@ -53,10 +53,11 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "fuzzy_customer_pairs",
     "zorder_locality",
     # session-2 additions: one representative per new family (quality
-    # rules, kNN eval, tokenizer application).
+    # rules, kNN eval, tokenizer application, composed curation).
     "gopher_quality_flags",
     "knn_label_accuracy",
     "bpe_encode_segments",
+    "curation_pipeline_v2",
 ]
 
 
