@@ -107,14 +107,24 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        # Spark-written tables are DIRECTORIES of part files; DuckDB needs
-        # the glob form for those (single-file driver testdata is unchanged)
-        path = f"{args.sf}/{t}.parquet"
-        if Path(path).is_dir():
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    def fresh_con():
+        # a FRESH connection per oracle: DuckDB working memory (hash
+        # tables, recursive-CTE state, string heaps) accumulates across
+        # queries on a shared connection and a long sweep next to a
+        # Spark JVM eventually dies with OutOfMemoryException on queries
+        # that pass in isolation — observed on the 178-query sweep.
+        # Views are cheap to re-create; the parquet page cache is the
+        # OS's, not the connection's, so re-connecting costs ~ms.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        for t in TABLES:
+            # Spark-written tables are DIRECTORIES of part files; DuckDB
+            # needs the glob form (single-file driver testdata unchanged)
+            path = f"{args.sf}/{t}.parquet"
+            if Path(path).is_dir():
+                path = f"{path}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        return c
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
@@ -135,7 +145,9 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
+            con = fresh_con()
             odf = con.execute(oracles[name]).fetchdf()
+            con.close()
         except Exception as exc:
             print(f"FAIL  {name}: oracle raised {type(exc).__name__}: {exc}")
             n_fail += 1
