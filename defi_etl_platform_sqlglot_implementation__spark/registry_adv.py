@@ -330,3 +330,54 @@ def bfs_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
     return bfs_levels(edges, sources)
+
+
+_EVOLVED_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_lang,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_source,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+               AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
+               AS BIGINT) AS n_langs
+    FROM documents
+"""
+
+
+@register("schema_evolution_read", _EVOLVED_SQL)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read, executed for real: the corpus is written as
+    two parquet GENERATIONS with different physical schemas (gen 0:
+    doc_id/text/source; gen 1: doc_id/text/lang/n_chars — the
+    add-a-column / drop-a-column evolution every long-lived lake table
+    accumulates), then read back through ``mergeSchema`` so absent
+    columns surface as NULLs.  The aggregate profiles exactly the
+    null-fill behavior (per-column non-null counts, sums over the
+    evolved column), and the oracle recomputes it arithmetically from
+    the unsplit table — a wrong merge (column misalignment, dropped
+    generation, type clash) breaks the hash.  At 100 TB this is the S8
+    backfill-scan reality: bronze written over months never has ONE
+    schema, and the reader, not the writer, reconciles."""
+    import re as _re
+
+    docs = t(spark, sf_dir, "documents")
+    base = _re.sub(r"\W", "_", sf_dir)
+    path = f"/tmp/spark_graft_evolved_{base}"
+    (docs.filter(F.col("doc_id") % 2 == 0)
+     .select("doc_id", "text", "source")
+     .write.mode("overwrite").parquet(f"{path}/gen0"))
+    (docs.filter(F.col("doc_id") % 2 == 1)
+     .select("doc_id", "text", "lang", "n_chars")
+     .write.mode("overwrite").parquet(f"{path}/gen1"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{path}/gen0", f"{path}/gen1"))
+    return merged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("lang").cast("long").alias("n_lang"),
+        F.count("source").cast("long").alias("n_source"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).cast("long")
+        .alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
