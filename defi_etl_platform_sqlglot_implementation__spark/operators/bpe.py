@@ -153,6 +153,10 @@ def duckdb_train_ctes(n_merges: int, corpus_pred: str = "TRUE") -> str:
     resumes after it).  All counts are integers and the argmax tie-break
     (n DESC, a ASC, b ASC) is byte-order on ASCII symbols, so the CTE
     chain lands on the bit-identical merge sequence on any engine.
+    When the pair supply runs out before ``n_merges`` (degenerate
+    corpora), ``m{{k}}`` is empty — the LEFT JOIN keeps every word with
+    its sequence unchanged, matching ``train_bpe``'s early loop break
+    (an inner cross join would silently wipe the table instead).
 
     Exposes CTEs ``w0`` (word, freq), ``s0..s{n}`` (word, freq, s) and
     ``m1..m{n}`` (a, b) for the caller's final SELECT.  Assumes symbols
@@ -185,13 +189,14 @@ def duckdb_train_ctes(n_merges: int, corpus_pred: str = "TRUE") -> str:
     m{k} AS (SELECT a, b FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
     s{k} AS MATERIALIZED (
         SELECT word, freq,
+               CASE WHEN m.a IS NULL THEN s ELSE
                list_reduce(string_split(s, {sep}), (acc, x) ->
                    CASE WHEN x = m.b
                              AND (acc = m.a
                                   OR ends_with(acc, {sep} || m.a))
                         THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
-                        ELSE acc || {sep} || x END) AS s
-        FROM s{k - 1}, m{k} m
+                        ELSE acc || {sep} || x END) END AS s
+        FROM s{k - 1} LEFT JOIN m{k} m ON TRUE
     )""")
     return ",".join(parts)
 

@@ -237,6 +237,45 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_shingle_df: int | None = None,
+                      oracle: bool = False) -> DataFrame:
+    """Asymmetric containment pairs |A∩B| / |A| >= threshold, both
+    directions, over distinct n-token shingles — catches a short document
+    quoted inside a longer one, which symmetric Jaccard structurally
+    cannot (the union is dominated by the container).
+
+    Same quadratic-core guard contract as :func:`ngram_jaccard_pairs`:
+    the co-shingled intersection self-join is O(df²) per shingle, so the
+    document-frequency cap resolves through :func:`_resolve_df_cap` —
+    corpora above ``AUTO_CAP_MIN_DOCS`` auto-cap unless the caller
+    declares ``oracle=True`` (the DuckDB gate does).  At scale feed LSH
+    candidates through ``_pair_jaccard(sh, pairs=...)`` instead.
+    Output: (contained, container, inter, n_contained, containment).
+    """
+    max_shingle_df = _resolve_df_cap(docs, max_shingle_df, oracle)
+    sh = shingle_table(docs, text_col, id_col, n)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        keep = df_counts.filter(F.col("_df") <= max_shingle_df).select("s")
+        sh = sh.join(keep, "s")
+    j = _pair_jaccard(sh)
+    fwd = j.select(
+        F.col("d1").alias("contained"), F.col("d2").alias("container"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n1").cast("long").alias("n_contained"),
+        (F.col("inter").cast("double") / F.col("n1")).alias("containment"),
+    )
+    rev = j.select(
+        F.col("d2").alias("contained"), F.col("d1").alias("container"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n2").cast("long").alias("n_contained"),
+        (F.col("inter").cast("double") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     arr: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, arr_col: str = "sharr"
 ) -> DataFrame:

@@ -563,11 +563,15 @@ def _find_top_level_word(span: list[Tok], word: str) -> int | None:
 
 
 def _render_order_items(items: list[list[Tok]], source: str,
-                        target: str) -> list[str]:
+                        target: str,
+                        bare_targets: tuple[str, ...] = ("mysql",)) -> list[str]:
     """Render sort-key items (window OVER or within-aggregate ORDER BY)
     with every IMPLICIT null position resolved to the SOURCE dialect's
-    semantics and emitted explicitly; MySQL (no NULLS syntax) emits bare
-    only when its implied position already matches."""
+    semantics and emitted explicitly.  ``bare_targets`` are dialects
+    whose grammar for THIS ordering context has no NULLS FIRST/LAST
+    (MySQL everywhere; BigQuery only inside aggregate ORDER BY — its
+    window ORDER BY does accept NULLS): they emit bare when their
+    implied position already matches and refuse loudly otherwise."""
     rendered_items = []
     for item in items:
         it = _strip_ws(item)
@@ -592,12 +596,12 @@ def _render_order_items(items: list[list[Tok]], source: str,
                 "empty ORDER BY expression")
         pos = nulls or _NULL_POS[source][direction]
         expr_sql = render(_rewrite(it, source, target))
-        if target == "mysql":
-            if pos != _NULL_POS["mysql"][direction]:
+        if target in bare_targets:
+            if pos != _NULL_POS[target][direction]:
                 raise UnsupportedConstructError(
-                    f"MySQL cannot express NULLS {pos.upper()} for "
-                    f"{direction.upper()} ordering (no NULLS "
-                    "FIRST/LAST syntax)")
+                    f"{target} cannot express NULLS {pos.upper()} for "
+                    f"{direction.upper()} ordering in this context (no "
+                    "NULLS FIRST/LAST syntax)")
             rendered_items.append(f"{expr_sql} {direction.upper()}")
         else:
             rendered_items.append(
@@ -946,6 +950,10 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                             "GROUP_CONCAT outside the subset (need "
                             "ORDER BY ... SEPARATOR 'sep')")
                     expr_span = inner[:ob]
+                    if len(_split_commas_top(_strip_ws(expr_span))) != 1:
+                        raise UnsupportedConstructError(
+                            "GROUP_CONCAT over multiple expressions is "
+                            "outside the subset (target arity differs)")
                     by = _next_code(inner, ob + 1)
                     if by >= len(inner) or not inner[by].is_word("by"):
                         raise UnsupportedConstructError(
@@ -998,8 +1006,13 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                 e_sql = render(_rewrite(_strip_ws(expr_span), source, target))
                 sep_toks = _strip_ws(sep_span)
                 sep_sql = render(_rewrite(sep_toks, source, target))
+                # BigQuery's AGGREGATE ORDER BY grammar has no NULLS
+                # FIRST/LAST (unlike its window ORDER BY) — treat it like
+                # MySQL here: bare when the implied position matches,
+                # loud otherwise, never invalid SQL.
                 order_sql = ", ".join(_render_order_items(
-                    _split_commas_top(_strip_ws(order_span)), source, target))
+                    _split_commas_top(_strip_ws(order_span)), source, target,
+                    bare_targets=("mysql", "bigquery")))
                 if target == "mysql":
                     if not (len(sep_toks) == 1 and sep_toks[0].kind == "str"):
                         raise UnsupportedConstructError(

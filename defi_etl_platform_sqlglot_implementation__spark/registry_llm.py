@@ -553,8 +553,9 @@ def similarity_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     A hash mismatch here would mean the IVF pipeline (centroid
     assignment, probe routing, per-cluster search, merge/rank) loses or
     mis-scores a neighbor. The production nprobe < n_centroids setting
-    trades exactly the recall this gate pins down, and stays covered by
-    the rows-only `similarity_ann_ivf`."""
+    trades exactly the recall this gate pins down; since r4 session 2
+    `similarity_ann_ivf` is itself EXACT (full-pipeline oracle), so the
+    pruned path carries hash evidence of its own."""
     from .operators.similarity import ann_ivf
 
     e = t(spark, sf_dir, "embeddings")

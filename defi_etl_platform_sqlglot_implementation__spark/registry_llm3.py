@@ -1359,7 +1359,7 @@ def _km_assign_probe_cte(name: str, cents: str, nprobe: int) -> str:
         SELECT vec_id, cid FROM (
             SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
                 PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn
-            FROM embeddings e, tc{_KM_ITERS} c
+            FROM embeddings e, {cents} c
         ) WHERE rn <= {nprobe}
     )"""
 
@@ -1490,6 +1490,12 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 4e-1)
         .agg(F.count("*").cast("long").alias("n_true"))
     )
+    # ONE probed assignment feeds both counts (review fix: calling
+    # semdedup_pairs_probed here re-ran kmeans_micro and rebuilt the
+    # identical candidate set — the two most expensive stages — twice;
+    # and the old cand.persist() was never released. localCheckpoint
+    # materializes the candidate pairs once, lineage-truncated, with no
+    # persistent cache pin).
     assigned = _probe_assigned(spark, sf_dir)
     cand = (
         assigned.select("cluster_id", F.col("vec_id").alias("d1"))
@@ -1498,10 +1504,13 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.col("cluster_id") == F.col("_cb"))
               & (F.col("d1") < F.col("d2")))
         .select("d1", "d2").distinct()
+        .localCheckpoint()
     )
-    cand = cand.persist()
-    found_cnt = semdedup_pairs_probed(spark, sf_dir).agg(
-        F.count("*").cast("long").alias("n_found_probed"))
+    found_cnt = (
+        cand.join(a, "d1").join(b, "d2")
+        .filter(cos >= 4e-1)
+        .agg(F.count("*").cast("long").alias("n_found_probed"))
+    )
     cand_cnt = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     out = (
         true_cnt.crossJoin(found_cnt).crossJoin(cand_cnt)

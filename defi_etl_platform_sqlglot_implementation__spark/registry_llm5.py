@@ -354,25 +354,15 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set comes from LSH (``_pair_jaccard(sh, pairs=lsh_candidates)`` —
     operators/dedup.py:145 semi-join-reduces the shingle table to
     candidates BEFORE intersecting), so the brute self-join here is the
-    oracle shape, not the production one."""
-    from .operators.dedup import _pair_jaccard, shingle_table
+    DECLARED oracle shape (``oracle=True`` opts out of the
+    ``_resolve_df_cap`` auto-cap, the same contract as the Jaccard
+    gates — a non-oracle caller above 20k docs gets capped
+    automatically; review fix — the gate previously reached past the
+    guard via the private ``_pair_jaccard``)."""
+    from .operators.dedup import containment_pairs
 
-    sh = shingle_table(t(spark, sf_dir, "documents"))
-    j = _pair_jaccard(sh)
-    fwd = j.select(
-        F.col("d1").alias("contained"), F.col("d2").alias("container"),
-        F.col("inter").cast("long").alias("inter"),
-        F.col("n1").cast("long").alias("n_contained"),
-        (F.col("inter").cast("double") / F.col("n1")).alias("containment"),
-    )
-    rev = j.select(
-        F.col("d2").alias("contained"), F.col("d1").alias("container"),
-        F.col("inter").cast("long").alias("inter"),
-        F.col("n2").cast("long").alias("n_contained"),
-        (F.col("inter").cast("double") / F.col("n2")).alias("containment"),
-    )
-    return (fwd.unionByName(rev)
-            .filter(F.col("containment") >= 8e-1))
+    return containment_pairs(t(spark, sf_dir, "documents"),
+                             threshold=0.8, oracle=True)
 
 
 # =========================================================================
@@ -387,13 +377,14 @@ def _bpe_encode_sql(n_merges: int = 6) -> str:
         enc.append(f"""
     e{k} AS MATERIALIZED (
         SELECT word,
+               CASE WHEN m.a IS NULL THEN s ELSE
                list_reduce(string_split(s, chr(1)), (acc, x) ->
                    CASE WHEN x = m.b
                              AND (acc = m.a
                                   OR ends_with(acc, chr(1) || m.a))
                         THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
-                        ELSE acc || chr(1) || x END) AS s
-        FROM e{k - 1}, m{k} m
+                        ELSE acc || chr(1) || x END) END AS s
+        FROM e{k - 1} LEFT JOIN m{k} m ON TRUE
     )""")
     return f"""
     WITH {duckdb_train_ctes(n_merges, corpus_pred="doc_id % 5 <> 0")},
@@ -575,7 +566,14 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated operator (gopher_quality_flags, minhash_lsh_pairs,
     connected_components, dedup_keep_canonical's argmax), and the
     composed oracle replays the whole chain declaratively — evidence
-    the operators COMPOSE, not just pass in isolation.  Ordering
+    the operators COMPOSE, not just pass in isolation.  The oracle's
+    pair set is EXACT Jaccard while Spark's comes from verified
+    MinHash-LSH — the same equivalence argument as dedup_minhash_lsh
+    and dedup_keep_canonical (b=16/r=2 misses a j>=0.5 pair with
+    p<=1e-2 only right AT the threshold; the corpus' planted near-dups
+    sit at j>=0.97 where p~1e-20), so the gates agree unless a corpus
+    plants a near-threshold pair — a property of the test corpus,
+    pinned once here rather than re-derived per gate.  Ordering
     matters at scale: the quality filter runs FIRST so the quadratic-ish
     dedup machinery sees only survivors — on real corpora the cheap
     row-local rules drop 30-60% of documents before any shuffle."""

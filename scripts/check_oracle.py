@@ -144,14 +144,19 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
+        con = None
         try:
             con = fresh_con()
             odf = con.execute(oracles[name]).fetchdf()
-            con.close()
         except Exception as exc:
             print(f"FAIL  {name}: oracle raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        finally:
+            # close on BOTH paths: a failing oracle must not keep its
+            # working memory alive across the next query's Spark run
+            if con is not None:
+                con.close()
         r = compare(sdf, odf)
         dt = time.time() - t0
         if r["value_match"]:

@@ -137,3 +137,34 @@ def test_encode_words_matches_reference_application(spark):
                     i += 1
             seq = out
         assert got[w] == seq, w
+
+
+def test_duckdb_ctes_match_on_exhausted_merge_supply(spark):
+    """Degenerate corpus whose pair supply runs out before n_merges: the
+    oracle's LEFT JOIN must keep sequences unchanged past exhaustion,
+    matching train_bpe's early loop break (an inner cross join against
+    the empty merge CTE would wipe the table — regression from review)."""
+    import duckdb
+    import pandas as pd
+
+    from defi_etl_platform_sqlglot_implementation__spark.operators.bpe import (
+        duckdb_train_ctes,
+    )
+
+    docs = spark.createDataFrame([(0, "aa aa aa")], "doc_id long, text string")
+    merges, seqs = train_bpe(docs, n_merges=6)
+    assert len(merges) < 6  # supply genuinely exhausts
+    vocab = {(r.symbol, r.n_words, r.total_freq)
+             for r in vocab_from_sequences(seqs).collect()}
+    seqs.unpersist()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [0],
+                                            "text": ["aa aa aa"]}))
+    duck = set(map(tuple, con.sql(f"""
+        WITH {duckdb_train_ctes(6)}
+        SELECT symbol, CAST(COUNT(*) AS BIGINT), CAST(SUM(freq) AS BIGINT)
+        FROM (SELECT freq, unnest(string_split(s, chr(1))) AS symbol
+              FROM s6)
+        GROUP BY 1""").fetchall()))
+    assert duck == vocab

@@ -340,8 +340,12 @@ class TestStringAggFamily:
         out = {d: transpile(self.Q, d) for d in
                ("duckdb", "postgres", "bigquery", "mysql", "snowflake",
                 "trino")}
-        for d in ("duckdb", "postgres", "bigquery"):
+        for d in ("duckdb", "postgres"):
             assert "STRING_AGG(s, ',' ORDER BY s ASC NULLS FIRST)" in out[d]
+        # BigQuery's AGGREGATE ORDER BY grammar has no NULLS syntax —
+        # spark ASC implies NULLS FIRST, which matches BigQuery's own
+        # implied position, so it emits bare (and stays valid SQL)
+        assert "STRING_AGG(s, ',' ORDER BY s ASC)" in out["bigquery"]
         for d in ("snowflake", "trino"):
             assert ("LISTAGG(s, ',') WITHIN GROUP "
                     "(ORDER BY s ASC NULLS FIRST)") in out[d]
@@ -379,6 +383,12 @@ class TestStringAggFamily:
         with pytest.raises(UnsupportedConstructError):   # mysql NULLS gap
             transpile("SELECT LISTAGG(s, ',') WITHIN GROUP "
                       "(ORDER BY s NULLS LAST) FROM v", "mysql")
+        with pytest.raises(UnsupportedConstructError):   # bigquery agg gap
+            transpile("SELECT STRING_AGG(s, ',' ORDER BY s) FROM v",
+                      "bigquery", source="postgres")
+        with pytest.raises(UnsupportedConstructError):   # group_concat arity
+            transpile("SELECT GROUP_CONCAT(a, b ORDER BY i SEPARATOR ' ') "
+                      "FROM v", "duckdb", source="mysql")
 
     def test_executed_equivalence_both_directions(self, spark):
         import duckdb
