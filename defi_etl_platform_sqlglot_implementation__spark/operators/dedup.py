@@ -133,6 +133,16 @@ def _spread(docs: DataFrame, id_col: str,
     return docs.repartition(n, F.col(id_col))
 
 
+def _drop_common_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` BEFORE
+    any intersection self-join — the one shared implementation of the
+    quadratic-core guard (a shingle in d docs contributes O(d²) join
+    rows), so a future change to the cap semantics lands everywhere."""
+    keep = (sh.groupBy("s").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("s"))
+    return sh.join(keep, "s")
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct-shingle table."""
@@ -229,9 +239,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     max_shingle_df = _resolve_df_cap(docs, max_shingle_df, oracle)
     sh = shingle_table(docs, text_col, id_col, n)
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
-        keep = df_counts.filter(F.col("_df") <= max_shingle_df).select("s")
-        sh = sh.join(keep, "s")
+        sh = _drop_common_shingles(sh, max_shingle_df)
     if cache_shingles:
         sh = sh.persist()
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
@@ -257,9 +265,7 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
     max_shingle_df = _resolve_df_cap(docs, max_shingle_df, oracle)
     sh = shingle_table(docs, text_col, id_col, n)
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
-        keep = df_counts.filter(F.col("_df") <= max_shingle_df).select("s")
-        sh = sh.join(keep, "s")
+        sh = _drop_common_shingles(sh, max_shingle_df)
     j = _pair_jaccard(sh)
     fwd = j.select(
         F.col("d1").alias("contained"), F.col("d2").alias("container"),
@@ -424,9 +430,7 @@ def char_jaccard_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 5,
         F.explode(char_shingles(text_col, n)).alias("s"),
     )
     if max_chargram_df is not None:
-        df_counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
-        keep = df_counts.filter(F.col("_df") <= max_chargram_df).select("s")
-        sh = sh.join(keep, "s")
+        sh = _drop_common_shingles(sh, max_chargram_df)
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 

@@ -594,6 +594,15 @@ def _render_order_items(items: list[list[Tok]], source: str,
         if not it:
             raise UnsupportedConstructError(
                 "empty ORDER BY expression")
+        # a clause keyword surviving at top level inside a sort-key item
+        # means the span grabbed trailing syntax this subset does not
+        # model (e.g. BigQuery's STRING_AGG ... ORDER BY a LIMIT 3) —
+        # rendering it verbatim would emit malformed SQL on every target
+        for kw in ("limit", "separator", "order", "group", "having"):
+            if _find_top_level_word(it, kw) is not None:
+                raise UnsupportedConstructError(
+                    f"'{kw.upper()}' inside an ORDER BY item is outside "
+                    "the subset")
         pos = nulls or _NULL_POS[source][direction]
         expr_sql = render(_rewrite(it, source, target))
         if target in bare_targets:

@@ -334,12 +334,12 @@ def bfs_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVOLVED_SQL = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
-               AS n_lang,
-           CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
-               AS n_source,
-           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
-               AS BIGINT) AS sum_chars,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 AND lang IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_lang,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 0 AND source IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_source,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN COALESCE(n_chars, 0)
+                    ELSE 0 END) AS BIGINT) AS sum_chars,
            CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
                AS BIGINT) AS n_langs
     FROM documents
@@ -360,11 +360,14 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, type clash) breaks the hash.  At 100 TB this is the S8
     backfill-scan reality: bronze written over months never has ONE
     schema, and the reader, not the writer, reconciles."""
-    import re as _re
+    import tempfile
 
     docs = t(spark, sf_dir, "documents")
-    base = _re.sub(r"\W", "_", sf_dir)
-    path = f"/tmp/spark_graft_evolved_{base}"
+    # per-invocation tempdir: a fixed path keyed on sf_dir races when two
+    # processes (bench + oracle check) hit the same scale factor — one
+    # side's mode('overwrite') deletes part files mid-scan of the other's
+    # mergeSchema read (review fix)
+    path = tempfile.mkdtemp(prefix="spark_graft_evolved_")
     (docs.filter(F.col("doc_id") % 2 == 0)
      .select("doc_id", "text", "source")
      .write.mode("overwrite").parquet(f"{path}/gen0"))

@@ -1185,16 +1185,22 @@ def _vchain(a: str, b: str) -> str:
     )
 
 
-def _km_assign_cte(name: str, cents: str) -> str:
+def _km_assign_cte(name: str, cents: str, nprobe: int = 1) -> str:
+    """Assignment CTE: each vector's ``nprobe`` nearest centroids from
+    ``cents`` (hard argmax at the default 1; soft multi-probe above).
+    ONE builder for both forms so the bit-exact cosine chain and the
+    centroid-id tie-break — the things a cross-engine gate lives or
+    dies on — exist exactly once."""
     cos = (f"({_vchain('e.embedding', 'c.ce')})"
            f" / (sqrt({_vchain('e.embedding', 'e.embedding')})"
            f" * sqrt({_vchain('c.ce', 'c.ce')}))")
+    cond = "rn = 1" if nprobe == 1 else f"rn <= {nprobe}"
     return f"""{name} AS MATERIALIZED (
         SELECT vec_id, cid FROM (
             SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
                 PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn
             FROM embeddings e, {cents} c
-        ) WHERE rn = 1
+        ) WHERE {cond}
     )"""
 
 
@@ -1352,16 +1358,8 @@ def semdedup_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def _km_assign_probe_cte(name: str, cents: str, nprobe: int) -> str:
-    cos = (f"({_vchain('e.embedding', 'c.ce')})"
-           f" / (sqrt({_vchain('e.embedding', 'e.embedding')})"
-           f" * sqrt({_vchain('c.ce', 'c.ce')}))")
-    return f"""{name} AS MATERIALIZED (
-        SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
-                PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn
-            FROM embeddings e, {cents} c
-        ) WHERE rn <= {nprobe}
-    )"""
+    """Thin alias over :func:`_km_assign_cte` kept for call-site clarity."""
+    return _km_assign_cte(name, cents, nprobe=nprobe)
 
 
 _SD_NPROBE = 2
@@ -1413,7 +1411,11 @@ def semdedup_pairs_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what nprobe=2 buys over hard assignment)."""
     from .operators.similarity import dot, with_norm
 
-    assigned = _probe_assigned(spark, sf_dir)
+    # materialize the probed assignment before the self-join: both join
+    # sides read it, and without the checkpoint the kmeans cross-join +
+    # per-vector window subplan would execute once per side (review fix —
+    # the same double-work the recall gate's localCheckpoint removes)
+    assigned = _probe_assigned(spark, sf_dir).localCheckpoint()
     cand = (
         assigned.select("cluster_id", F.col("vec_id").alias("d1"))
         .join(assigned.select(F.col("cluster_id").alias("_cb"),

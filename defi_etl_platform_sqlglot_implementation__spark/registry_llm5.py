@@ -42,7 +42,10 @@ from .registry_llm import _SHINGLES_CTE, _dot_chain
 
 _GOPHER_SQL = """
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
     ),
     tc AS (
         SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
@@ -90,9 +93,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by doc_id) — no corpus-wide state, embarrassingly parallel at
     any scale.  Reference scope: quality filtering extends the text ops
     at etl_pipeline.py:219-236 to the training-data curation setting."""
-    toks = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
+    toks = (t(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            # empty tokens from doubled/trailing spaces are not words —
+            # the same filter every tokenizing operator applies
+            # (word_frequencies, token shards); counting them would
+            # deflate mean word length and flip near-threshold verdicts
+            .filter(F.col("tok") != ""))
     tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     m = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
@@ -485,7 +492,10 @@ def _shingles_cte_over(src: str) -> str:
 
 _PIPELINE_V2_SQL = f"""
     WITH RECURSIVE toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
     ),
     tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
     m AS (

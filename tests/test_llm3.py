@@ -102,4 +102,8 @@ def test_probed_blocking_dominates_hard_assignment(spark):
     rt = semdedup_recall_trained(spark, sf).collect()[0]
     assert rp.n_true == rt.n_true
     assert rp.recall_bp_probed >= rt.recall_bp_trained
-    assert rp.n_candidates <= rp.n_true + (500 * 499) // 2
+    # the blocking must actually PRUNE: strictly fewer candidates than
+    # all-pairs (a regression to full fan-out fails here), and every
+    # found pair was a candidate
+    assert rp.n_candidates < (500 * 499) // 2
+    assert rp.n_candidates >= rp.n_found_probed

@@ -172,7 +172,10 @@ class TestQualityRuleProperties:
         texts = [
             " ".join(rng.choice(vocab)
                      for _ in range(rng.randrange(1, 80)))
-            for _ in range(200)
+            # every third doc gets a doubled space: empty split tokens
+            # must NOT count as words (review regression pin)
+            + ("  tail" if i % 3 == 0 else "")
+            for i in range(200)
         ]
         df = spark.createDataFrame(
             list(enumerate(texts)), "doc_id long, text string")
@@ -183,7 +186,7 @@ class TestQualityRuleProperties:
         from collections import Counter
 
         for i, text in enumerate(texts):
-            toks = text.split(" ")
+            toks = [w for w in text.split(" ") if w]
             c = Counter(toks)
             n, nd = len(toks), len(c)
             nchars, top = sum(map(len, toks)), max(c.values())
