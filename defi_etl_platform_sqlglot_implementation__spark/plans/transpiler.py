@@ -526,7 +526,7 @@ def _rewrite_frame(words: list[str]) -> str:
             return "UNBOUNDED FOLLOWING"
         if ws == ["current", "row"]:
             return "CURRENT ROW"
-        if len(ws) == 2 and ws[0].replace(".", "").isdigit() \
+        if len(ws) == 2 and ws[0].isdigit() \
                 and ws[1] in ("preceding", "following"):
             if kind == "range":
                 raise UnsupportedConstructError(
@@ -642,14 +642,22 @@ def _rewrite_over(body: list[Tok], source: str, target: str) -> str:
     if [m for m, _ in marks] != sorted(
             (m for m, _ in marks), key=expected.__getitem__) \
             or len({m for m, _ in marks}) != len(marks) \
-            or (marks and marks[0][1] != 0):
+            or marks[0][1] != 0 if marks else bool(code):
+        # a non-empty OVER body with NO recognized segment (or leading
+        # junk) is a named-window reference like OVER (w) — silently
+        # emitting OVER () would drop the partition/order spec and
+        # produce wrong values on every target
         raise UnsupportedConstructError(
             "window specification outside the subset (named windows / "
             "out-of-order clauses)")
 
     def seg(idx: int) -> list[Tok]:
-        start_k = body.index(code[marks[idx][1]][1])
-        end_k = (body.index(code[marks[idx + 1][1]][1])
+        # use the STORED body positions: Tok is a value-equality
+        # dataclass, so body.index(tok) would find an earlier token with
+        # identical (kind, text) — e.g. a column named 'rows' inside the
+        # ORDER BY expression — and slice the wrong span
+        start_k = code[marks[idx][1]][0]
+        end_k = (code[marks[idx + 1][1]][0]
                  if idx + 1 < len(marks) else len(body))
         return body[start_k:end_k]
 

@@ -107,13 +107,15 @@ def cents(c: Column | str) -> Column:
     """Exact long-cents conversion for 2-decimal money stored as double.
 
     The true value is an integer number of cents, so ``round(x*100)`` is
-    exact (the FP error of the double representation is orders of magnitude
-    below 0.5 cents for any realistic money value), and the result is a
-    64-bit long — Σcents is an order-free exact integer sum that stays
-    inside whole-stage codegen, unlike a DECIMAL(12,2) accumulator which
-    pays 128-bit arithmetic per row.  Headroom: |x| < ~9e16 dollars per
-    row; Σ per group < 9.2e18 cents (cast the SUM to decimal(38,0) on the
-    way out if a group could exceed that).  DuckDB twin:
+    exact while ``x*100`` sits below 2**53 — i.e. |x| < ~9e13 dollars per
+    row (beyond that the double spacing at x*100 exceeds 1 and the stored
+    value can already be off by whole cents BEFORE round() runs; raw-unit
+    token amounts must be decimalized first, never fed here).  The result
+    is a 64-bit long — Σcents is an order-free exact integer sum that
+    stays inside whole-stage codegen, unlike a DECIMAL(12,2) accumulator
+    which pays 128-bit arithmetic per row.  Σ per group must stay below
+    9.2e18 cents (cast the SUM to decimal(38,0) on the way out if a group
+    could exceed that).  DuckDB twin:
     ``CAST(round(x*100) AS BIGINT)`` (DuckDB sums BIGINT into HUGEINT, so
     the oracle side never overflows).
     """

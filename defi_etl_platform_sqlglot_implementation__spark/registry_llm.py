@@ -35,6 +35,31 @@ _SHINGLES_CTE = """
     )
 """
 
+# exact-Jaccard near-dup pairs (threshold 0.5) + symmetric closure +
+# transitive reach over the _SHINGLES_CTE relations — ONE definition of
+# the cluster-membership oracle, shared by dedup_clusters,
+# dedup_keep_canonical, and the composed curation pipeline so a
+# threshold or closure change cannot make them silently disagree.
+_CC_REACH_CTE = """
+    pairs AS (
+        SELECT d1, d2
+        FROM ipair
+        JOIN sz sa ON sa.doc_id = d1
+        JOIN sz sb ON sb.doc_id = d2
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
+    ),
+    sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    )
+"""
+
 _JACCARD_SQL = f"""
     WITH {_SHINGLES_CTE}
     SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, t
-from .registry_llm import _SHINGLES_CTE
+from .registry_llm import _CC_REACH_CTE, _SHINGLES_CTE
 
 
 def _with_4gram_shingles(docs: DataFrame) -> DataFrame:
@@ -245,23 +245,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    pairs AS (
-        SELECT d1, d2
-        FROM ipair
-        JOIN sz sa ON sa.doc_id = d1
-        JOIN sz sb ON sb.doc_id = d2
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
-    ),
-    sym AS (
-        SELECT d1 AS a, d2 AS b FROM pairs
-        UNION
-        SELECT d2 AS a, d1 AS b FROM pairs
-    ),
-    reach(src, dst) AS (
-        SELECT DISTINCT a, a FROM sym
-        UNION
-        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
-    )
+    {_CC_REACH_CTE}
     SELECT src AS doc_id,
            CAST(MIN(dst) AS BIGINT) AS cluster_id,
            CAST(CASE WHEN MIN(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS is_canonical

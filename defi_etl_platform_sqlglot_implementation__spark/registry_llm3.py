@@ -1336,9 +1336,21 @@ def semdedup_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 4e-1)
         .agg(F.count("*").cast("long").alias("n_true"))
     )
-    assigned = _trained_assigned(spark, sf_dir)
-    found_cnt = semdedup_pairs_trained(spark, sf_dir).agg(
-        F.count("*").cast("long").alias("n_found_trained"))
+    # ONE training run feeds the found-pair count AND the cluster-size
+    # stat (review fix: calling semdedup_pairs_trained here re-ran the
+    # whole kmeans_micro training for bit-identical centroids); the
+    # checkpoint materializes the assignment once for its three readers
+    assigned = _trained_assigned(spark, sf_dir).localCheckpoint()
+    found_cnt = (
+        assigned.select("cluster_id", F.col("vec_id").alias("d1"))
+        .join(assigned.select(F.col("cluster_id").alias("_cb"),
+                              F.col("vec_id").alias("d2")),
+              (F.col("cluster_id") == F.col("_cb"))
+              & (F.col("d1") < F.col("d2")))
+        .join(a, "d1").join(b, "d2")
+        .filter(cos >= 4e-1)
+        .agg(F.count("*").cast("long").alias("n_found_trained"))
+    )
     max_cluster = assigned.groupBy("cluster_id").count().agg(
         F.max("count").cast("long").alias("max_cluster"))
     out = (

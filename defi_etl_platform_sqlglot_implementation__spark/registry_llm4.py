@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, t
-from .registry_llm import _SHINGLES_CTE
+from .registry_llm import _CC_REACH_CTE, _SHINGLES_CTE
 
 # =========================================================================
 # Keep-canonical: dedup clusters -> per-doc keep/drop decision
@@ -33,23 +33,7 @@ from .registry_llm import _SHINGLES_CTE
 
 _KEEP_CANONICAL_SQL = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    pairs AS (
-        SELECT d1, d2
-        FROM ipair
-        JOIN sz sa ON sa.doc_id = d1
-        JOIN sz sb ON sb.doc_id = d2
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
-    ),
-    sym AS (
-        SELECT d1 AS a, d2 AS b FROM pairs
-        UNION
-        SELECT d2 AS a, d1 AS b FROM pairs
-    ),
-    reach(src, dst) AS (
-        SELECT DISTINCT a, a FROM sym
-        UNION
-        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
-    ),
+    {_CC_REACH_CTE},
     cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
            FROM reach GROUP BY src),
     lab AS (

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, t
-from .registry_llm import _SHINGLES_CTE, _dot_chain
+from .registry_llm import _CC_REACH_CTE, _SHINGLES_CTE, _dot_chain
 
 # =========================================================================
 # Gopher-style quality rule bundle
@@ -517,21 +517,7 @@ _PIPELINE_V2_SQL = f"""
         JOIN quality USING (doc_id)
     ),
     {_shingles_cte_over('qdocs')},
-    pairs AS (
-        SELECT d1, d2 FROM ipair
-        JOIN sz sa ON sa.doc_id = d1
-        JOIN sz sb ON sb.doc_id = d2
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 5e-1
-    ),
-    sym AS (
-        SELECT d1 AS a, d2 AS b FROM pairs
-        UNION SELECT d2, d1 FROM pairs
-    ),
-    reach(src, dst) AS (
-        SELECT DISTINCT a, a FROM sym
-        UNION
-        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
-    ),
+    {_CC_REACH_CTE},
     cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
            FROM reach GROUP BY src),
     lab AS (

@@ -107,9 +107,17 @@ def kafka_records(df: DataFrame) -> DataFrame:
     sites: block events are keyed by the block hash
     (kafka_producer.py:181 ``key=block["hash"].hex()``); every other
     event type uses the default ``str(event.block_number)`` key."""
+    from pyspark.sql.types import StructType as _StructType
+
     cols = set(df.columns)
+    payload_type = (df.schema["payload"].dataType
+                    if "payload" in cols else None)
+    # a non-struct payload column (raw JSON string, map) has no fields —
+    # fall through to the block_number key instead of crashing on
+    # .fieldNames() (review fix)
     if {"event_type", "payload", "block_number"} <= cols and \
-            "hash" in df.schema["payload"].dataType.fieldNames():
+            isinstance(payload_type, _StructType) and \
+            "hash" in payload_type.fieldNames():
         key = F.when(
             F.col("event_type") == "block",
             F.coalesce(F.col("payload.hash"),

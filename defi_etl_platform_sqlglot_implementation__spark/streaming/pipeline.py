@@ -139,6 +139,7 @@ def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
     checkpoint_dir: str,
+    *,
     topic: str | None = None,
     trigger_seconds: float = 2.0,
 ):
