@@ -1543,6 +1543,12 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def _ivf_trained_sql(nprobe: int = 4, k: int = 10) -> str:
+    # NOTE: shape-twin of registry_llm._ivf_oracle_sql with the trained
+    # tc{iters} codebook instead of the first-16 corpus rows. The
+    # bit-exactness-critical pieces (cosine fold order, id tie-breaks)
+    # are NOT duplicated — they come from the shared _dot_chain/_vchain
+    # generators; only the CTE plumbing differs. If the pipeline SHAPE
+    # changes (probe routing, rank rule), change both.
     from .registry_llm import _dot_chain
 
     def vcos(a_arr: str, b_arr: str) -> str:
