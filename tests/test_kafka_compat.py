@@ -160,3 +160,19 @@ def test_kafka_records_matches_batch_projection(spark):
     assert {r["topic"] for r in rows} == {
         TOPIC_BLOCKS, TOPIC_TRANSACTIONS, TOPIC_LOGS, TOPIC_TOKEN_TRANSFERS
     }
+
+
+def test_kafka_records_tolerates_non_struct_payload(spark):
+    """A frame whose payload column is a raw string (not yet parsed into
+    the union struct) must route through the block_number key, not crash
+    on .fieldNames() (review regression)."""
+    from defi_etl_platform_sqlglot_implementation__spark.streaming.kafka_compat import (
+        kafka_records,
+    )
+
+    df = spark.createDataFrame(
+        [("block", 7, '{"raw": true}')],
+        "event_type string, block_number long, payload string")
+    rows = kafka_records(df).collect()
+    assert rows[0].key == "7"
+    assert rows[0].topic

@@ -419,3 +419,43 @@ class TestStringAggFamily:
         out = transpile(
             "SELECT rank() OVER (ORDER BY x NULLS LAST) FROM t", "duckdb")
         assert "ASC NULLS LAST" in out and out.count("NULLS") == 1
+
+
+class TestSessionOneReviewRegressions:
+    """Pins for the session-1 review fixes (third pass)."""
+
+    def test_named_window_reference_is_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+        )
+
+        # OVER (w) must refuse loudly, not silently become OVER ()
+        with pytest.raises(UnsupportedConstructError):
+            transpile("SELECT SUM(x) OVER (w) FROM t "
+                      "WINDOW w AS (PARTITION BY g)", "duckdb")
+        # the empty spec stays fine
+        assert "OVER ()" in transpile("SELECT rank() OVER () FROM t",
+                                      "duckdb")
+
+    def test_fractional_rows_bound_is_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+        )
+
+        with pytest.raises(UnsupportedConstructError):
+            transpile("SELECT SUM(x) OVER (ORDER BY y ROWS 3.5 PRECEDING) "
+                      "FROM t", "duckdb")
+
+    def test_segment_slicing_ignores_identical_earlier_tokens(self):
+        # a column literally named 'rows' inside the ORDER BY expression
+        # must not be mistaken for the frame keyword (Tok value-equality
+        # body.index bug)
+        out = transpile(
+            "SELECT SUM(x) OVER (ORDER BY coalesce(y, rows) "
+            "rows 2 PRECEDING) FROM t", "duckdb")
+        assert "coalesce(y, rows)" in out
+        assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in out
