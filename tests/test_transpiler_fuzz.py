@@ -40,6 +40,12 @@ _AGG_EXPRS = [
     "SUM(CAST(FLOOR(value) AS BIGINT))",
     "MIN(event_id)",
     "MAX(event_id)",
+    # ordered string aggregation (r4 session-2 family): unique event_id
+    # in the sort key makes the concatenation deterministic, so the
+    # string is exact cross-engine
+    "LISTAGG(event_type, '|') WITHIN GROUP (ORDER BY event_type, event_id)",
+    "LISTAGG((user_id % 5)::STRING, ',') WITHIN GROUP "
+    "(ORDER BY event_id DESC)",
 ]
 _PREDICATES = [
     "event_type <> 'view'",
