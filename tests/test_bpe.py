@@ -168,3 +168,42 @@ def test_duckdb_ctes_match_on_exhausted_merge_supply(spark):
               FROM s6)
         GROUP BY 1""").fetchall()))
     assert duck == vocab
+
+
+def test_duckdb_train_ctes_fuzz_vs_reference():
+    """Hypothesis: random tiny corpora from a 3-letter alphabet (maximal
+    merge collisions — overlapping pairs, ties, early exhaustion) must
+    produce the identical merge result through the unrolled DuckDB CTE
+    chain as the pure-Python reference. No Spark in the loop, so this
+    pins the ORACLE construction (string fold semantics, argmax
+    tie-break, exhaustion handling) independently."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from defi_etl_platform_sqlglot_implementation__spark.operators.bpe import (
+        duckdb_train_ctes,
+    )
+
+    word = st.text(alphabet="aab", min_size=1, max_size=5)
+
+    @settings(max_examples=25, deadline=None)
+    @given(words=st.lists(word, min_size=1, max_size=6))
+    def run(words):
+        text = " ".join(words)
+        wf = {}
+        for w in words:
+            wf[w] = wf.get(w, 0) + 1
+        ref_merges, ref_seqs = _reference_bpe(wf, n_merges=4)
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"doc_id": [0],
+                                                "text": [text]}))
+        rows = con.sql(f"""
+            WITH {duckdb_train_ctes(4)}
+            SELECT word, s FROM s4""").fetchall()
+        got = {w: s.split("\x01") for w, s in rows}
+        assert got == ref_seqs, (text, ref_merges)
+
+    run()
