@@ -384,3 +384,79 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+_RECIP_SQL = """
+    WITH edges AS MATERIALIZED (
+        SELECT s, d, vol_cents FROM (
+            SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+                   SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS vol_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier su ON su.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ) WHERE s <> d
+    )
+    SELECT a.s AS nation_a, a.d AS nation_b,
+           CAST(a.vol_cents AS BIGINT) AS vol_ab,
+           CAST(b.vol_cents AS BIGINT) AS vol_ba,
+           CAST(CASE WHEN least(a.vol_cents, b.vol_cents) * 100
+                      >= greatest(a.vol_cents, b.vol_cents) * 80
+                THEN 1 ELSE 0 END AS BIGINT) AS symmetric_flag
+    FROM edges a
+    JOIN edges b ON b.s = a.d AND b.d = a.s AND a.s < b.s
+"""
+
+
+@register("reciprocal_trade_pairs", _RECIP_SQL)
+def reciprocal_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wash-trade-style circular-flow detector: nation pairs trading in
+    BOTH directions, flagged when the two directed volumes are within
+    20% of each other (suspicious symmetry — the aggregate-level
+    heuristic used to surface reciprocal/wash flows in DeFi transfer
+    graphs, phrased over the customer-nation -> supplier-nation trade
+    edges).  Volumes are exact long-cents sums (the r4 money rule), the
+    symmetry test is pure integer arithmetic (min*100 >= max*80), and
+    the reciprocal join is ONE self-equi-join of the aggregated edge
+    list on the reversed key — edge-list cardinality, never raw orders.
+    At 100 TB the same two-phase shape holds: aggregate the transfer
+    graph first (map-side combinable), detect cycles on the reduced
+    edges."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    from .registry import cents
+
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(su, l["l_suppkey"] == su["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("s"),
+                 F.col("s_nationkey").alias("d"))
+        .agg(F.sum(cents("l_extendedprice")).alias("vol_cents"))
+        # the s<>d predicate goes AFTER aggregation on BOTH engines:
+        # a row-level inequality between the two dimension tables lures
+        # DuckDB's join-order optimizer into a near-cross customer x
+        # supplier join (measured 17 GB spill at sf1); on 625 aggregated
+        # pairs it is free and semantically identical (diagonal groups
+        # are simply dropped)
+        .filter(F.col("s") != F.col("d"))
+    )
+    a = edges.select(F.col("s").alias("nation_a"),
+                     F.col("d").alias("nation_b"),
+                     F.col("vol_cents").alias("vol_ab"))
+    b = edges.select(F.col("d").alias("nation_a"),
+                     F.col("s").alias("nation_b"),
+                     F.col("vol_cents").alias("vol_ba"))
+    sym = (F.least("vol_ab", "vol_ba") * 100
+           >= F.greatest("vol_ab", "vol_ba") * 80)
+    return (
+        a.join(b, ["nation_a", "nation_b"])
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .select("nation_a", "nation_b", "vol_ab", "vol_ba",
+                sym.cast("long").alias("symmetric_flag"))
+    )
