@@ -594,15 +594,24 @@ def _render_order_items(items: list[list[Tok]], source: str,
         if not it:
             raise UnsupportedConstructError(
                 "empty ORDER BY expression")
-        # a clause keyword surviving at top level inside a sort-key item
-        # means the span grabbed trailing syntax this subset does not
-        # model (e.g. BigQuery's STRING_AGG ... ORDER BY a LIMIT 3) —
-        # rendering it verbatim would emit malformed SQL on every target
+        # a clause keyword surviving at top level AFTER the start of a
+        # sort-key item means the span grabbed trailing syntax this
+        # subset does not model (e.g. BigQuery's STRING_AGG ... ORDER BY
+        # a LIMIT 3) — rendering it verbatim would emit malformed SQL on
+        # every target.  A bare column NAMED like a keyword stays legal:
+        # at item start, or qualified (preceded by '.'), it is an
+        # ordinary identifier.
         for kw in ("limit", "separator", "order", "group", "having"):
-            if _find_top_level_word(it, kw) is not None:
-                raise UnsupportedConstructError(
-                    f"'{kw.upper()}' inside an ORDER BY item is outside "
-                    "the subset")
+            k = _find_top_level_word(it, kw)
+            if k is None:
+                continue
+            prev = next((x for x in reversed(it[:k])
+                         if x.kind != "ws"), None)
+            if prev is None or (prev.kind == "op" and prev.text == "."):
+                continue
+            raise UnsupportedConstructError(
+                f"'{kw.upper()}' inside an ORDER BY item is outside "
+                "the subset")
         pos = nulls or _NULL_POS[source][direction]
         expr_sql = render(_rewrite(it, source, target))
         if target in bare_targets:
@@ -638,15 +647,19 @@ def _rewrite_over(body: list[Tok], source: str, target: str) -> str:
                     marks.append((low, ci))
             elif low in ("rows", "range", "groups"):
                 marks.append(("frame", ci))
+    if not marks:
+        # a non-empty OVER body with NO recognized segment is a
+        # named-window reference like OVER (w) — silently emitting
+        # OVER () would drop the partition/order spec and produce wrong
+        # values on every target
+        raise UnsupportedConstructError(
+            "window specification outside the subset (named windows / "
+            "out-of-order clauses)")
     expected = {"partition": 0, "order": 1, "frame": 2}
     if [m for m, _ in marks] != sorted(
             (m for m, _ in marks), key=expected.__getitem__) \
             or len({m for m, _ in marks}) != len(marks) \
-            or marks[0][1] != 0 if marks else bool(code):
-        # a non-empty OVER body with NO recognized segment (or leading
-        # junk) is a named-window reference like OVER (w) — silently
-        # emitting OVER () would drop the partition/order spec and
-        # produce wrong values on every target
+            or marks[0][1] != 0:
         raise UnsupportedConstructError(
             "window specification outside the subset (named windows / "
             "out-of-order clauses)")

@@ -346,6 +346,9 @@ _EVOLVED_SQL = """
 """
 
 
+_EVOLVED_DIRS: set[str] = set()
+
+
 @register("schema_evolution_read", _EVOLVED_SQL)
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read, executed for real: the corpus is written as
@@ -360,14 +363,23 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, type clash) breaks the hash.  At 100 TB this is the S8
     backfill-scan reality: bronze written over months never has ONE
     schema, and the reader, not the writer, reconciles."""
+    import atexit
+    import os
+    import re as _re
+    import shutil
     import tempfile
 
     docs = t(spark, sf_dir, "documents")
-    # per-invocation tempdir: a fixed path keyed on sf_dir races when two
-    # processes (bench + oracle check) hit the same scale factor — one
-    # side's mode('overwrite') deletes part files mid-scan of the other's
-    # mergeSchema read (review fix)
-    path = tempfile.mkdtemp(prefix="spark_graft_evolved_")
+    # path keyed on (sf, pid): unique per process so two concurrent runs
+    # cannot race on overwrite, REUSED within a process so repeated gate
+    # calls do not leak one parquet copy each, and removed at process
+    # exit (a bare mkdtemp per call left N orphan copies in /tmp)
+    slug = _re.sub(r"\W", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_evolved_{slug}_{os.getpid()}")
+    if path not in _EVOLVED_DIRS:
+        _EVOLVED_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     (docs.filter(F.col("doc_id") % 2 == 0)
      .select("doc_id", "text", "source")
      .write.mode("overwrite").parquet(f"{path}/gen0"))

@@ -1250,6 +1250,25 @@ def _semdedup_trained_pairs_sql() -> str:
     """
 
 
+def _cluster_pairs(assigned, distinct: bool = False):
+    """(d1, d2) candidate pairs sharing a cluster in ``assigned``
+    (vec_id, cluster_id[, ...]) — ONE definition of the blocked pair
+    shape shared by the trained/probed pair gates and their recall
+    twins, so a tie-break or key change cannot make a pairs operator
+    and its recall gate silently disagree.  ``distinct=True`` collapses
+    multi-probe co-membership (a pair sharing 2 clusters counts once)."""
+    cand = (
+        assigned.select("cluster_id", F.col("vec_id").alias("d1"))
+        .join(assigned.select(F.col("cluster_id").alias("_cb"),
+                              F.col("vec_id").alias("d2")),
+              (F.col("cluster_id") == F.col("_cb"))
+              & (F.col("d1") < F.col("d2")))
+    )
+    if distinct:
+        return cand.select("d1", "d2").distinct()
+    return cand
+
+
 def _trained_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import assign_clusters, kmeans_micro
 
@@ -1266,7 +1285,11 @@ def semdedup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup pairs blocked by TRAINED micro-k-means clusters. Identical
     join shape to semdedup_pairs; only the blocking key quality changes —
     trained centroids balance the partition sizes, which is what bounds
-    the equi-join fan-out (and the 100 TB cost) by the largest cluster."""
+    the equi-join fan-out (and the 100 TB cost) by the largest cluster.
+    NOTE: this gate carries the embeddings THROUGH the pair join (one
+    join instead of pair-then-rejoin), so it does not call the shared
+    ``_cluster_pairs`` — its recall twin derives found-pairs from the
+    same assignment via the helper, which is what pins agreement."""
     from .operators.similarity import dot, with_norm
 
     assigned = _trained_assigned(spark, sf_dir)
@@ -1342,11 +1365,7 @@ def semdedup_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint materializes the assignment once for its three readers
     assigned = _trained_assigned(spark, sf_dir).localCheckpoint()
     found_cnt = (
-        assigned.select("cluster_id", F.col("vec_id").alias("d1"))
-        .join(assigned.select(F.col("cluster_id").alias("_cb"),
-                              F.col("vec_id").alias("d2")),
-              (F.col("cluster_id") == F.col("_cb"))
-              & (F.col("d1") < F.col("d2")))
+        _cluster_pairs(assigned)
         .join(a, "d1").join(b, "d2")
         .filter(cos >= 4e-1)
         .agg(F.count("*").cast("long").alias("n_found_trained"))
@@ -1428,14 +1447,7 @@ def semdedup_pairs_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-vector window subplan would execute once per side (review fix —
     # the same double-work the recall gate's localCheckpoint removes)
     assigned = _probe_assigned(spark, sf_dir).localCheckpoint()
-    cand = (
-        assigned.select("cluster_id", F.col("vec_id").alias("d1"))
-        .join(assigned.select(F.col("cluster_id").alias("_cb"),
-                              F.col("vec_id").alias("d2")),
-              (F.col("cluster_id") == F.col("_cb"))
-              & (F.col("d1") < F.col("d2")))
-        .select("d1", "d2").distinct()
-    )
+    cand = _cluster_pairs(assigned, distinct=True)
     e = t(spark, sf_dir, "embeddings")
     ea = with_norm(e.select(F.col("vec_id").alias("d1"),
                             F.col("embedding").alias("ea")), "ea", "na")
@@ -1511,15 +1523,7 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes the candidate pairs once, lineage-truncated, with no
     # persistent cache pin).
     assigned = _probe_assigned(spark, sf_dir)
-    cand = (
-        assigned.select("cluster_id", F.col("vec_id").alias("d1"))
-        .join(assigned.select(F.col("cluster_id").alias("_cb"),
-                              F.col("vec_id").alias("d2")),
-              (F.col("cluster_id") == F.col("_cb"))
-              & (F.col("d1") < F.col("d2")))
-        .select("d1", "d2").distinct()
-        .localCheckpoint()
-    )
+    cand = _cluster_pairs(assigned, distinct=True).localCheckpoint()
     found_cnt = (
         cand.join(a, "d1").join(b, "d2")
         .filter(cos >= 4e-1)

@@ -59,24 +59,27 @@ _GOPHER_SQL = """
                SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS stop_hits
         FROM tc GROUP BY 1
     )
-    SELECT doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           CAST((n_chars * 100) // n_words AS BIGINT) AS mean_wlen_centi,
-           CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
-           CAST(top_tok AS DOUBLE) / n_words AS top_tok_share,
-           CAST(stop_hits AS BIGINT) AS stop_hits,
-           CAST(CASE WHEN n_words BETWEEN 30 AND 2500 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
-           CAST(CASE WHEN (n_chars * 100) // n_words BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS f_wlen,
-           CAST(CASE WHEN n_distinct * 5 > n_words THEN 1 ELSE 0 END AS BIGINT) AS f_distinct,
-           CAST(CASE WHEN top_tok * 100 < n_words * 15 THEN 1 ELSE 0 END AS BIGINT) AS f_toptok,
-           CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
-           CAST(CASE WHEN n_words BETWEEN 30 AND 2500
-                      AND (n_chars * 100) // n_words BETWEEN 300 AND 1000
-                      AND n_distinct * 5 > n_words
-                      AND top_tok * 100 < n_words * 15
-                      AND stop_hits >= 2
+    SELECT d.doc_id,
+           CAST(COALESCE(m.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE((m.n_chars * 100) // m.n_words, 0) AS BIGINT)
+               AS mean_wlen_centi,
+           COALESCE(CAST(m.n_distinct AS DOUBLE) / m.n_words, 0.0)
+               AS distinct_ratio,
+           COALESCE(CAST(m.top_tok AS DOUBLE) / m.n_words, 0.0)
+               AS top_tok_share,
+           CAST(COALESCE(m.stop_hits, 0) AS BIGINT) AS stop_hits,
+           CAST(CASE WHEN m.n_words BETWEEN 30 AND 2500 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+           CAST(CASE WHEN (m.n_chars * 100) // m.n_words BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS f_wlen,
+           CAST(CASE WHEN m.n_distinct * 5 > n_words THEN 1 ELSE 0 END AS BIGINT) AS f_distinct,
+           CAST(CASE WHEN m.top_tok * 100 < m.n_words * 15 THEN 1 ELSE 0 END AS BIGINT) AS f_toptok,
+           CAST(CASE WHEN COALESCE(m.stop_hits, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+           CAST(CASE WHEN m.n_words BETWEEN 30 AND 2500
+                      AND (m.n_chars * 100) // m.n_words BETWEEN 300 AND 1000
+                      AND m.n_distinct * 5 > n_words
+                      AND m.top_tok * 100 < m.n_words * 15
+                      AND m.stop_hits >= 2
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
-    FROM m
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
 """
 
 
@@ -119,7 +122,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_distinct = nd * 5 > nw
     f_toptok = tt * 100 < nw * 15
     f_stop = sh >= 2
-    return m.select(
+    flags = m.select(
         "doc_id",
         nw.cast("long").alias("n_words"),
         wlen_centi.cast("long").alias("mean_wlen_centi"),
@@ -133,6 +136,24 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_stop.cast("long").alias("f_stop"),
         (f_len & f_wlen & f_distinct & f_toptok & f_stop)
         .cast("long").alias("keep"),
+    )
+    # ONE ROW PER DOCUMENT: a doc whose text splits to only empty
+    # tokens has no token rows, but dropping it from the profile would
+    # make the LOWEST-quality docs invisible to consumers that read
+    # absence as "no verdict" — left-join back with zeroed metrics and
+    # every flag failed (review fix)
+    zero_l = F.lit(0).cast("long")
+    return t(spark, sf_dir, "documents").select("doc_id").join(
+        flags, "doc_id", "left"
+    ).select(
+        "doc_id",
+        *[F.coalesce(c, zero_l).alias(c)
+          for c in ("n_words", "mean_wlen_centi")],
+        *[F.coalesce(c, F.lit(0.0)).alias(c)
+          for c in ("distinct_ratio", "top_tok_share")],
+        *[F.coalesce(c, zero_l).alias(c)
+          for c in ("stop_hits", "f_len", "f_wlen", "f_distinct",
+                    "f_toptok", "f_stop", "keep")],
     )
 
 

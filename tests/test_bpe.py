@@ -186,7 +186,7 @@ def test_duckdb_train_ctes_fuzz_vs_reference():
         duckdb_train_ctes,
     )
 
-    word = st.text(alphabet="aab", min_size=1, max_size=5)
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
 
     @settings(max_examples=25, deadline=None)
     @given(words=st.lists(word, min_size=1, max_size=6))

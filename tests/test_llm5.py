@@ -97,3 +97,21 @@ def test_containment_pairs_superset_of_high_jaccard(spark):
     for r in jac:
         assert (r.d1, r.d2) in cont_pairs
         assert (r.d2, r.d1) in cont_pairs
+
+
+def test_gopher_empty_text_doc_keeps_its_row(spark, tmp_path):
+    """One row per document even when text splits to no tokens: the
+    lowest-quality doc must appear with zeroed metrics and keep=0, not
+    vanish (review regression)."""
+    import defi_etl_platform_sqlglot_implementation__spark.registry_llm5 as m5
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "the a table big merge scan row filter")],
+        "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            m5.gopher_quality_flags(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 1}
+    z = rows[0]
+    assert (z.n_words, z.stop_hits, z.keep) == (0, 0, 0)
+    assert z.distinct_ratio == 0.0 and z.top_tok_share == 0.0
