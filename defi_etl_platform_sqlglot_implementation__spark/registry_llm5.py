@@ -83,9 +83,13 @@ _GOPHER_SQL = """
 """
 
 
-@register("gopher_quality_flags", _GOPHER_SQL)
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style quality rule bundle: per-document word count,
+def _gopher_flags_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-derived flag frame WITHOUT the one-row-per-document
+    left join — rows exist only for docs with at least one non-empty
+    token.  Internal: consumers that immediately filter keep=1 (the
+    curation pipeline) use this so the filter prunes before any join;
+    the public gate adds the row-preserving join for profile
+    completeness.  Gopher/C4-style quality rule bundle: per-document word count,
     mean word length (integer centi-chars), distinct-token ratio, most-
     common-token share, and stopword hits, each with a pass flag, plus
     the conjunctive keep verdict.  Every rule threshold is evaluated in
@@ -122,7 +126,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_distinct = nd * 5 > nw
     f_toptok = tt * 100 < nw * 15
     f_stop = sh >= 2
-    flags = m.select(
+    return m.select(
         "doc_id",
         nw.cast("long").alias("n_words"),
         wlen_centi.cast("long").alias("mean_wlen_centi"),
@@ -137,6 +141,19 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f_len & f_wlen & f_distinct & f_toptok & f_stop)
         .cast("long").alias("keep"),
     )
+
+
+@register("gopher_quality_flags", _GOPHER_SQL)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public gate: the flag core (see _gopher_flags_core) left-joined
+    back to documents so EVERY doc has a row — all-empty-token docs get
+    zeroed metrics and keep=0 instead of vanishing."""
+    return _gopher_join_rows(spark, sf_dir,
+                             _gopher_flags_core(spark, sf_dir))
+
+
+def _gopher_join_rows(spark: SparkSession, sf_dir: str,
+                      flags: DataFrame) -> DataFrame:
     # ONE ROW PER DOCUMENT: a doc whose text splits to only empty
     # tokens has no token rows, but dropping it from the profile would
     # make the LOWEST-quality docs invisible to consumers that read
@@ -597,7 +614,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
-    keep = gopher_quality_flags(spark, sf_dir).filter(F.col("keep") == 1) \
+    # the CORE flags (no row-preserving join): keep=1 implies a flags
+    # row exists, and filtering before any join lets Catalyst prune the
+    # aggregate early (the joined public gate measured ~2x slower here)
+    keep = _gopher_flags_core(spark, sf_dir).filter(F.col("keep") == 1) \
         .select("doc_id", "n_words")
     filtered = docs.join(keep, "doc_id")
     pairs = minhash_lsh_pairs(filtered, threshold=0.5).select("d1", "d2")
