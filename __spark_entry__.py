@@ -37,52 +37,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived from CORRECTNESS_r01∪r02∪r03: queries
-# with no green driver row yet come first so a driver that caps its
+# Verification priority, re-derived from CORRECTNESS_r01∪r02∪r03∪r04:
+# queries with no green driver row yet come first so a driver that caps its
 # per-round check count at ~50 still gives every registered query at least
 # one exact oracle row across rounds.  Head buckets:
-#   1. the 35 session-2/r03 gates registered past the 50-slot cap (never
-#      driver-checked; all judge-verified local-exact at sf0.01 in r03);
-#   2. queries whose implementation changed AFTER their last green row
-#      (the r04 long-cents money-sum rewrite: DECIMAL(12,2) Σ/Σ² replaced
-#      by exact BIGINT/DECIMAL(38,0) cent sums — same order-free
-#      exactness, cheaper arithmetic) — a green row that predates the
-#      change is no evidence, so they re-run;
-#   3. anything not listed below (i.e. new this round) via _ordered();
-#   4. tail: the queries whose green row matches the current code.
+#   1. the 5 r04 hash-fails — all one oracle bug (DuckDB SUM(BIGINT) →
+#      HUGEINT → float64 in fetchdf vs Spark bigint; the driver hash
+#      distinguishes 41870 from 41870.0), fixed in r5 by the transpiler's
+#      integral-SUM → CAST(... AS BIGINT) DuckDB emission rule and a
+#      direct cast in linestatus_priority_counts' oracle; re-run first;
+#   2. the 20 r4-session-2 gates that have NEVER had a driver row (18
+#      registered past the 50-slot cap + bpe_vocab / similarity_ann_ivf,
+#      whose oracles were upgraded rows-only → exact after their last
+#      row) — all local-exact at sf0.001/sf0.01/sf1 (STRESS_r04.txt);
+#   3. queries whose implementation changed this round (re-keyed
+#      embedding dedup blocking);
+#   4. anything not listed below (i.e. new this round) via _ordered();
+#   5. tail: the queries whose green row matches the current code.
 _PRIORITY = [
-    # -- bucket 1: local-exact in r03, never driver-checked (35) --
-    "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
-    "column_profile", "dq_violations", "zorder_locality",
-    "fuzzy_customer_pairs", "value_time_correlation", "lang_source_chi2",
-    "ols_value_trend", "orders_snapshot_diff",
+    # -- bucket 1: r04 reds, oracle dtype bug fixed this round (5) --
     "transpiled_hourly_rollup", "transpiled_user_buckets",
-    "transpiled_monthly_orders", "transpiled_position_concat",
-    "bi_nation_trade_volume", "part_qty_share_threshold",
-    "top_revenue_suppliers", "dominant_part_suppliers", "min_cost_supplier",
-    "order_priority_check", "forecast_revenue_change", "nation_market_share",
-    "product_type_profit", "returned_item_customers",
-    "linestatus_priority_counts", "customer_order_distribution",
-    "promo_revenue_share", "supplier_part_variety",
-    "disjunctive_bracket_revenue",
-    "image_ahash_signatures", "image_ahash_pairs",
-    "audio_fingerprint_signatures", "audio_fingerprint_pairs",
-    # -- bucket 2: changed in r04 (money aggregates moved from
-    #    DECIMAL(12,2)/(25,4) sums to exact long-cents sums to reclaim the
-    #    swap_price_impact bench regression) — prior green rows predate
-    #    the change, so they re-run
-    "swap_price_impact", "block_agg_daily", "region_enrichment",
-    "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
-    "order_price_histogram", "returnflag_metrics_unpivot",
-    "pricing_summary", "shipping_priority", "local_supplier_volume",
-    # -- bucket 3: new in r4 session 1, pinned to the window's last four
-    #    slots (46-49) so the ~50-entry driver window cuts deliberately;
-    #    session-2 additions (wave 5, BPE/IVF oracle upgrades, probed
-    #    semdedup, trained IVF, resize) follow via _ordered's "new"
-    #    bucket and roll into the r5 window — all are judge-verifiable
-    #    local-exact at sf0.001/sf0.01 (and sf1, STRESS_r04.txt).
-    "semdedup_pairs_trained", "semdedup_recall_trained",
-    "eip55_checksum_addresses", "transpiled_rank_over",
+    "transpiled_monthly_orders", "transpiled_rank_over",
+    "linestatus_priority_counts",
+    # -- bucket 2: never driver-checked (20) --
+    "bfs_trade_distance", "bpe_encode_segments", "bpe_vocab",
+    "curation_pipeline_v2", "dedup_incremental", "dedup_keep_canonical",
+    "doc_bigram_logprob", "embedding_mean_pool", "gopher_quality_flags",
+    "knn_label_accuracy", "minhash_containment", "multimodal_resize_real",
+    "reciprocal_trade_pairs", "schema_evolution_read",
+    "semdedup_pairs_probed", "semdedup_recall_probed",
+    "similarity_ann_ivf", "similarity_ann_ivf_trained",
+    "similarity_ann_recall_trained", "transpiled_listagg",
+    # -- bucket 3: new/changed in r5 (label-blocked pair gate retired in
+    #    favor of the composed cluster-blocked keep-verdict) --
+    "dedup_embedding_canonical",
 ]
 
 
@@ -125,7 +113,9 @@ _DRIVER_GREEN = {
     "curation_pipeline_e2e", "source_mix_rebalance",
     "dedup_char_jaccard_capped",
     "similarity_ann_pq", "similarity_ann_recall",
-    "transfer_volume_hourly_approx_check", "dedup_embedding_cosine_blocked",
+    "transfer_volume_hourly_approx_check",
+    # dedup_embedding_cosine_blocked: green r03, but re-keyed in r5
+    # (cluster blocking) → _PRIORITY bucket 3, deliberately absent here
     "twap_per_user", "funnel_view_click_purchase", "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
@@ -135,6 +125,26 @@ _DRIVER_GREEN = {
     "semdedup_pairs", "semdedup_recall", "token_freq_cms",
     "substring_dup_spans", "curation_clip_spans", "linear_model_confusion",
     "scd2_history", "grouping_sets_metrics",
+    # -- green in r04 (driver rows in CORRECTNESS_r04.json; 45 of the 50
+    #    window entries — the 5 fails are _PRIORITY bucket 1) --
+    "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
+    "column_profile", "dq_violations", "zorder_locality",
+    "fuzzy_customer_pairs", "value_time_correlation", "lang_source_chi2",
+    "ols_value_trend", "orders_snapshot_diff", "transpiled_position_concat",
+    "bi_nation_trade_volume", "part_qty_share_threshold",
+    "top_revenue_suppliers", "dominant_part_suppliers", "min_cost_supplier",
+    "order_priority_check", "forecast_revenue_change", "nation_market_share",
+    "product_type_profit", "returned_item_customers",
+    "customer_order_distribution", "promo_revenue_share",
+    "supplier_part_variety", "disjunctive_bracket_revenue",
+    "image_ahash_signatures", "image_ahash_pairs",
+    "audio_fingerprint_signatures", "audio_fingerprint_pairs",
+    "swap_price_impact", "block_agg_daily", "region_enrichment",
+    "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
+    "order_price_histogram", "returnflag_metrics_unpivot",
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+    "semdedup_pairs_trained", "semdedup_recall_trained",
+    "eip55_checksum_addresses",
     # rows-only by design (no oracle possible): keep at the tail — the
     # *_check companion carries the value evidence.  (bpe_vocab and
     # similarity_ann_ivf left this set in r4 session 2: both gained

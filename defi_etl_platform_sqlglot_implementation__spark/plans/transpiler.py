@@ -36,6 +36,18 @@ the constructs that genuinely differ are translated:
   its implied position matches and refuses loudly otherwise.  RANGE
   numeric offsets, GROUPS frames, IGNORE/RESPECT NULLS, and QUALIFY are
   loud edges.
+- integral-SUM result-type normalization: SUM over a syntactically
+  integral argument (a top-level CAST/`::` to an integer type, or an
+  integer literal) is BIGINT on Spark/Trino/BigQuery but WIDENS on
+  DuckDB (HUGEINT — which Python clients materialize as float64),
+  Postgres (NUMERIC), MySQL (DECIMAL) and Snowflake (NUMBER(38,0));
+  emission to a widening target wraps the call — including any attached
+  OVER clause — as ``CAST(SUM(...) AS BIGINT)`` so the result type (and
+  therefore a value-hash across engines) matches the canonical Spark
+  BIGINT. Arguments whose type cannot be established syntactically
+  (bare columns, arithmetic over columns) are left untouched — the
+  subset rule is "spell the integral intent with a CAST", which the
+  canonical texts already do.
 - the ordered string-aggregation family STRING_AGG(e, sep ORDER BY ...)
   (postgres/duckdb/bigquery) ↔ LISTAGG(e, sep) WITHIN GROUP (ORDER BY
   ...) (spark/snowflake/trino) ↔ GROUP_CONCAT(e ORDER BY ... SEPARATOR
@@ -358,6 +370,62 @@ def _parse_cast_type(tokens: list[Tok], j: int, target: str) -> tuple[str, int]:
         return mapped + suffix, close + 1
     return _map_cast_type("decimal" if low == "numeric" else low,
                           target), j + 1
+
+
+# SUM(<integral>) result types: BIGINT on spark/trino/bigquery; widened on
+# these targets (DuckDB HUGEINT, Postgres NUMERIC, MySQL DECIMAL, Snowflake
+# NUMBER(38,0)) — emission there re-casts to the canonical 64-bit integer
+_SUM_WIDENING_TARGETS = frozenset(("duckdb", "postgres", "mysql", "snowflake"))
+
+_INT_CAST_TYPES = frozenset(
+    ("tinyint", "smallint", "int", "integer", "bigint", "long", "short",
+     "byte"))
+
+
+def _is_integral_expr(toks: list[Tok]) -> bool:
+    """True when the expression is SYNTACTICALLY known-integral: an
+    integer literal, a whole-expression ``CAST(... AS <int type>)``, or a
+    whole-expression ``<primary>::<int type>``. Deliberately conservative
+    — a bare column's type is unknowable at the token level, so it is
+    never classified integral (and SUM over it is emitted untouched)."""
+    # drop ALL ws (not just edge-trim): the adjacency checks below index
+    # neighbouring CODE tokens
+    code = [x for x in toks if x.kind != "ws"]
+    if not code:
+        return False
+    if len(code) == 1 and code[0].kind == "num" and "." not in code[0].text:
+        return True
+    # CAST(expr AS <int type>) spanning the whole expression
+    if (code[0].is_word("cast") and len(code) >= 2
+            and code[1].kind == "op" and code[1].text == "("):
+        close = _match_paren(code, 1)
+        if close == len(code) - 1:
+            depth = 0
+            for k in range(2, close):
+                tok = code[k]
+                if tok.kind == "op" and tok.text == "(":
+                    depth += 1
+                elif tok.kind == "op" and tok.text == ")":
+                    depth -= 1
+                elif depth == 0 and tok.is_word("as"):
+                    return (k + 1 < close and code[k + 1].kind == "word"
+                            and code[k + 1].text.lower() in _INT_CAST_TYPES)
+        return False
+    # <primary>::<int type> spanning the whole expression (no other
+    # top-level operators — `a + b::bigint` proves nothing about `a`)
+    if (len(code) >= 3 and code[-1].kind == "word"
+            and code[-1].text.lower() in _INT_CAST_TYPES
+            and code[-2].kind == "op" and code[-2].text == "::"):
+        depth = 0
+        for tok in code[:-2]:
+            if tok.kind == "op" and tok.text == "(":
+                depth += 1
+            elif tok.kind == "op" and tok.text == ")":
+                depth -= 1
+            elif depth == 0 and tok.kind == "op" and tok.text != ".":
+                return False
+        return True
+    return False
 
 
 _KEYWORDS = frozenset(
@@ -811,6 +879,34 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             out.append(t)
             i += 1
             continue
+
+        # --- integral SUM result-type normalization --------------------
+        # (see module docstring: DuckDB HUGEINT / Postgres NUMERIC /
+        # MySQL DECIMAL / Snowflake NUMBER widen what Spark keeps BIGINT)
+        if t.is_word("sum") and target in _SUM_WIDENING_TARGETS:
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                args = _split_args(tokens, j, close)
+                if len(args) == 1 and _is_integral_expr(args[0]):
+                    inner = render(_rewrite(args[0], source, target))
+                    call = f"SUM({inner})"
+                    k = _next_code(tokens, close + 1)
+                    if k < n and tokens[k].is_word("over"):
+                        j2 = _next_code(tokens, k + 1)
+                        if (j2 < n and tokens[j2].kind == "op"
+                                and tokens[j2].text == "("):
+                            # the cast must wrap the WHOLE window
+                            # expression — OVER binds to the call
+                            close2 = _match_paren(tokens, j2)
+                            call += " " + _rewrite_over(
+                                tokens[j2 + 1:close2], source, target)
+                            close = close2
+                    int_ty = _map_cast_type("bigint", target)
+                    out.append(Tok("word", f"CAST({call} AS {int_ty})"))
+                    i = close + 1
+                    continue
+            # non-integral or unparenthesized: default passthrough below
 
         # --- DATE_TRUNC / TIMESTAMP_TRUNC ------------------------------
         if t.is_word("date_trunc", "timestamp_trunc"):

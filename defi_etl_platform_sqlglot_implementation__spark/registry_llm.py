@@ -1035,41 +1035,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", cos).filter(F.col("cosine") >= 4e-1)
 
 
-@register(
-    "dedup_embedding_cosine_blocked",
-    f"""
-    SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
-           ({_dot_chain('a', 'b')})
-           / (sqrt({_dot_chain('a', 'a')}) * sqrt({_dot_chain('b', 'b')})) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ({_dot_chain('a', 'b')})
-          / (sqrt({_dot_chain('a', 'a')}) * sqrt({_dot_chain('b', 'b')})) >= 4e-1
-    """,
-)
-def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked embedding near-dup pairs: cosine >= 0.4 WITHIN each label
-    block — the stress-runnable form of the brute path above. The equi-key
-    on the blocking column turns the unbounded inequality join (a
-    broadcast-nested-loop at scale — measured stuck at sf1) into a hash
-    join whose fan-out is bounded by the largest block.  Label blocking is
-    COARSE (the r3 sf1 run produced ~20M candidates / 193 s); the
-    production path at scale is TRAINED MULTI-PROBE cluster blocking
-    (semdedup_pairs_probed: kmeans_micro centroids, nprobe=2 soft
-    assignment — measured recall 76.3% vs 30.5% hard at 4.2x fewer
-    candidates than all-pairs; semdedup_recall_probed prices it) — profiling
-    showed the per-pair dot chain is NOT the cost (zip_with and an
-    unrolled 64-term chain are within noise at 200k pairs); candidate
-    count is, so blocking quality is the whole game."""
-    from .operators.similarity import dot, with_norm
-
-    e = t(spark, sf_dir, "embeddings")
-    a = with_norm(e.select("label", F.col("vec_id").alias("d1"),
-                           F.col("embedding").alias("ea")), "ea", "na")
-    b = with_norm(e.select(F.col("label").alias("_lb"),
-                           F.col("vec_id").alias("d2"),
-                           F.col("embedding").alias("eb")), "eb", "nb")
-    pairs = a.join(b, (F.col("label") == F.col("_lb"))
-                   & (F.col("d1") < F.col("d2")))
-    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
-    return pairs.select("label", "d1", "d2", cos).filter(F.col("cosine") >= 4e-1)
+# dedup_embedding_cosine_blocked (label-blocked pairs) was RETIRED in r5:
+# label blocking was coarse (~20M candidates / 193 s at sf1 in r3) and the
+# trained multi-probe cluster blocking (semdedup_pairs_probed) had already
+# replaced it as the documented production path. Its successor is
+# registry_llm3.dedup_embedding_canonical — the same probed cluster
+# blocking carried through connected components to a per-vector
+# keep/canonical verdict, i.e. the operator a curation pipeline actually
+# consumes.

@@ -55,7 +55,29 @@ def compare(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> dict:
     exact = True
     approx = True
     first_diff = None
+
+    def _kind(s: pd.Series) -> str:
+        if pd.api.types.is_bool_dtype(s):
+            return "bool"
+        if pd.api.types.is_integer_dtype(s):
+            return "int"
+        if pd.api.types.is_float_dtype(s):
+            return "float"
+        return "other"
+
     for c in a.columns:
+        # dtype-strict: the driver's value hash distinguishes int 41870
+        # from float 41870.0 (DuckDB SUM(BIGINT) -> HUGEINT -> float64 in
+        # fetchdf vs Spark bigint -> int64). An int-vs-float dtype split
+        # is therefore a FAIL here even when the values compare equal —
+        # r04 proved the lenient object-path comparison let exactly this
+        # class pass locally and fail at the driver.
+        ka, kb = _kind(a[c]), _kind(b[c])
+        if ka != kb and {ka, kb} <= {"int", "float", "bool"}:
+            exact = approx = False
+            first_diff = first_diff or (
+                c, f"dtype {a[c].dtype}", f"dtype {b[c].dtype}")
+            continue
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             eq = (av == bv) | (pd.isna(av) & pd.isna(bv))

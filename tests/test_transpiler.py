@@ -83,6 +83,15 @@ def test_spark_duckdb_executable_equivalence(spark, idx):
     want = _normalize(con.execute(transpile(sql, "duckdb")).df())
     assert len(got) == len(want) > 0
     assert list(got.columns) == list(want.columns)
+    # result-TYPE identity on every emitted aggregate: DuckDB SUM(BIGINT)
+    # returns HUGEINT (float64 via fetchdf) unless the emission re-casts —
+    # the driver's value hash distinguishes 41870 from 41870.0, so an
+    # int-vs-float kind split here is a bug even when values match
+    for c in got.columns:
+        ki = pd.api.types.is_integer_dtype
+        kf = pd.api.types.is_float_dtype
+        assert ki(got[c]) == ki(want[c]) and kf(got[c]) == kf(want[c]), (
+            f"col {c}: spark dtype {got[c].dtype} vs duckdb {want[c].dtype}")
     pd.testing.assert_frame_equal(
         got.astype(object), want.astype(object), check_dtype=False
     )
