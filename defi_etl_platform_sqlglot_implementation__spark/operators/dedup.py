@@ -28,6 +28,8 @@ techniques from rounding algorithms", 2002).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -199,16 +201,35 @@ AUTO_CAP_MIN_DOCS = 20_000
 AUTO_CAP_DF = 64
 
 
-def _resolve_df_cap(docs: DataFrame, explicit_cap: int | None,
+def _resolve_df_cap(docs: DataFrame, cap: int | None | str,
                     oracle: bool) -> int | None:
-    """Size-aware default for the document-frequency cap: explicit caps
-    and declared oracle runs pass through; otherwise corpora above
-    AUTO_CAP_MIN_DOCS get AUTO_CAP_DF so a forgotten parameter can never
-    launch an uncapped quadratic self-join at scale. The size probe is a
-    ``limit(N+1).count()`` — bounded work even on a 100 TB corpus."""
-    if explicit_cap is not None or oracle:
-        return explicit_cap
+    """Resolve the document-frequency cap contract (ADVICE r4: the cap
+    must never silently change the similarity metric, and the size probe
+    must not tax callers who already decided):
+
+    - an int cap passes through untouched (no probe);
+    - ``oracle=True`` or an explicit ``None`` means UNCAPPED exact
+      semantics — the caller took responsibility, no probe runs;
+    - the ``"auto"`` default probes the corpus size with a bounded
+      ``limit(N+1).count()`` and, above AUTO_CAP_MIN_DOCS, applies
+      AUTO_CAP_DF **with a visible UserWarning** — a forgotten parameter
+      still cannot launch an uncapped quadratic self-join at scale, but
+      the metric change is never silent."""
+    if isinstance(cap, int):
+        return cap
+    if cap is not None and cap != "auto":
+        raise ValueError(
+            f"df cap must be an int, None (uncapped), or 'auto'; got {cap!r}")
+    if oracle or cap is None:
+        return None
     if docs.limit(AUTO_CAP_MIN_DOCS + 1).count() > AUTO_CAP_MIN_DOCS:
+        warnings.warn(
+            f"corpus exceeds {AUTO_CAP_MIN_DOCS} docs: auto-applying a "
+            f"shingle document-frequency cap of {AUTO_CAP_DF} — pairs are "
+            "Jaccard over the DISCRIMINATIVE shingle set, not exact "
+            "Jaccard. Pass an explicit cap, max df=None for uncapped "
+            "semantics, or oracle=True for the exact oracle path.",
+            UserWarning, stacklevel=3)
         return AUTO_CAP_DF
     return None
 
@@ -216,7 +237,7 @@ def _resolve_df_cap(docs: DataFrame, explicit_cap: int | None,
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         cache_shingles: bool = False,
-                        max_shingle_df: int | None = None,
+                        max_shingle_df: int | None | str = "auto",
                         oracle: bool = False) -> DataFrame:
     """Brute-force near-dup pairs with exact Jaccard >= threshold.
 
@@ -247,7 +268,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
 
 def containment_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_shingle_df: int | None = None,
+                      max_shingle_df: int | None | str = "auto",
                       oracle: bool = False) -> DataFrame:
     """Asymmetric containment pairs |A∩B| / |A| >= threshold, both
     directions, over distinct n-token shingles — catches a short document
@@ -410,7 +431,7 @@ def char_shingles(text_col: str, n: int = 5) -> "Column":
 
 def char_jaccard_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 5,
                        text_col: str = "text", id_col: str = "doc_id",
-                       max_chargram_df: int | None = None,
+                       max_chargram_df: int | None | str = "auto",
                        oracle: bool = False) -> DataFrame:
     """Brute-force near-dup pairs on character n-gram Jaccard — same
     self-join shape as :func:`ngram_jaccard_pairs` with char shingles.

@@ -867,9 +867,29 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             i += 1
             continue
         if t.is_word("qualify"):
-            raise UnsupportedConstructError(
-                "QUALIFY is outside the subset (no Spark/Postgres/MySQL "
-                "form); filter in an outer query")
+            # clause-position disambiguation (ADVICE r4): QUALIFY the
+            # clause follows a COMPLETED expression or clause — a ')',
+            # a literal/quoted identifier, CASE...END, or a bare
+            # non-keyword word (table/column name). After a keyword,
+            # comma, dot, or operator, `qualify` is a legal column/alias
+            # identifier (SELECT qualify FROM t) and passes through.
+            # The implicit-alias position (SELECT a qualify) also lands
+            # on the loud path — consistent with "loud, never silently
+            # wrong" for a genuinely ambiguous spelling.
+            prev = next((x for x in reversed(out) if x.kind != "ws"), None)
+            is_clause = prev is not None and (
+                (prev.kind == "op" and prev.text == ")")
+                or prev.kind in ("num", "str", "qident", "bident")
+                or (prev.kind == "word"
+                    and (prev.text.lower() == "end"
+                         or prev.text.lower() not in _KEYWORDS)))
+            if is_clause:
+                raise UnsupportedConstructError(
+                    "QUALIFY is outside the subset (no Spark/Postgres/"
+                    "MySQL form); filter in an outer query")
+            out.append(t)
+            i += 1
+            continue
         if t.is_word("ignore", "respect"):
             j = _next_code(tokens, i + 1)
             if j < n and tokens[j].is_word("nulls"):

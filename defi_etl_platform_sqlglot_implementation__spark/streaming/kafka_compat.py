@@ -104,9 +104,11 @@ def kafka_records(df: DataFrame) -> DataFrame:
     """Project an envelope frame to (topic, key, value) — the exact shape
     both the production ``format("kafka")`` sink and the executable twin
     publish.  Key precedence mirrors the reference ``_publish`` call
-    sites: block events are keyed by the block hash
-    (kafka_producer.py:181 ``key=block["hash"].hex()``); every other
-    event type uses the default ``str(event.block_number)`` key."""
+    sites: block events are keyed by the block hash (kafka_producer.py:171
+    ``key=block["hash"].hex()``) and transaction events by the tx hash
+    (kafka_producer.py:196 ``key=tx["hash"].hex()``) — both live in
+    ``payload.hash``; every other event type uses the default
+    ``str(event.block_number)`` key (kafka_producer.py:109)."""
     from pyspark.sql.types import StructType as _StructType
 
     cols = set(df.columns)
@@ -119,7 +121,7 @@ def kafka_records(df: DataFrame) -> DataFrame:
             isinstance(payload_type, _StructType) and \
             "hash" in payload_type.fieldNames():
         key = F.when(
-            F.col("event_type") == "block",
+            F.col("event_type").isin("block", "transaction"),
             F.coalesce(F.col("payload.hash"),
                        F.col("block_number").cast("string")),
         ).otherwise(F.col("block_number").cast("string"))

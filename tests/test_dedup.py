@@ -1,5 +1,7 @@
 """Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
 
+import pytest
+
 from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
     char_jaccard_pairs,
     exact_dedup,
@@ -253,6 +255,31 @@ class TestAutoCap:
         )
         assert len(dedup.char_jaccard_pairs(docs, threshold=0.0).collect()) \
             == 4 * 3 // 2
+
+    def test_auto_cap_warns_and_none_is_uncapped(self, spark, monkeypatch):
+        """ADVICE r4: the auto-cap may never SILENTLY change the metric —
+        it warns when applied, and an explicit None is the uncapped exact
+        path (no probe, no cap, no warning)."""
+        import warnings as w
+
+        from defi_etl_platform_sqlglot_implementation__spark.operators import dedup
+
+        monkeypatch.setattr(dedup, "AUTO_CAP_MIN_DOCS", 3)
+        monkeypatch.setattr(dedup, "AUTO_CAP_DF", 4)
+        docs = spark.createDataFrame(
+            [(i, "the same text everywhere") for i in range(8)],
+            ["doc_id", "text"],
+        )
+        with pytest.warns(UserWarning, match="auto-applying"):
+            assert dedup.char_jaccard_pairs(docs, threshold=0.0).collect() == []
+        with w.catch_warnings():
+            w.simplefilter("error")  # any warning -> test failure
+            rows = dedup.char_jaccard_pairs(
+                docs, threshold=0.0, max_chargram_df=None).collect()
+        assert len(rows) == 8 * 7 // 2
+        with pytest.raises(ValueError, match="df cap"):
+            dedup.char_jaccard_pairs(docs, threshold=0.0,
+                                     max_chargram_df="bogus")
 
     def test_ngram_path_shares_the_guard(self, spark, monkeypatch):
         from defi_etl_platform_sqlglot_implementation__spark.operators import dedup

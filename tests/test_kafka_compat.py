@@ -70,11 +70,14 @@ class TestKafkaSinkContract:
             [TOPIC_BLOCKS, TOPIC_TRANSACTIONS, TOPIC_LOGS,
              TOPIC_TOKEN_TRANSFERS]
         )
-        # block events keyed by block hash (kafka_producer.py:181)
+        # block events keyed by block hash (kafka_producer.py:171)
         block_keys = {r.key for r in broker.fetch(TOPIC_BLOCKS)}
         assert block_keys == {"0x" + "01" * 32, "0x" + "02" * 32}
+        # transaction events keyed by TX hash (kafka_producer.py:196) —
+        # the _tx fixture hash is "0x" + "ab"*31 + block-number byte
+        assert {r.key for r in broker.fetch(TOPIC_TRANSACTIONS)} == {
+            "0x" + "ab" * 31 + "01", "0x" + "ab" * 31 + "02"}
         # everything else keyed by str(block_number) (default _publish key)
-        assert {r.key for r in broker.fetch(TOPIC_TRANSACTIONS)} == {"1", "2"}
         assert {r.key for r in broker.fetch(TOPIC_LOGS)} == {"1"}
         assert {r.key for r in broker.fetch(TOPIC_TOKEN_TRANSFERS)} == {"1"}
         # the ERC-20 topic[0] test decided token_transfer vs log routing

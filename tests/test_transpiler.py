@@ -159,6 +159,21 @@ def test_unsupported_constructs_raise_loudly():
         transpile("SELECT 1", "oracle")
 
 
+def test_qualify_identifier_vs_clause():
+    """ADVICE r4: only clause-position QUALIFY is a loud edge — a column
+    or alias merely NAMED qualify is legal subset SQL."""
+    assert transpile("SELECT qualify FROM t", "duckdb") \
+        == "SELECT qualify FROM t"
+    out = transpile("SELECT a, qualify, t.qualify AS q FROM t "
+                    "WHERE qualify = 1", "postgres")
+    assert out.count("qualify") == 3
+    for q in ("SELECT x FROM t QUALIFY rn = 1",
+              "SELECT a FROM t GROUP BY 1 QUALIFY COUNT(*) > 2",
+              "SELECT CASE WHEN x THEN 1 ELSE 0 END QUALIFY y FROM t"):
+        with pytest.raises(UnsupportedConstructError):
+            transpile(q, "duckdb")
+
+
 def test_string_literals_never_rewritten():
     q = "SELECT 'INTERVAL 24 HOURS' AS s, 'date_format(x)' AS f FROM t"
     assert transpile(q, "duckdb") == q
