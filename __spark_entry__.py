@@ -30,6 +30,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_tpch3  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_media  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm4  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm5  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm6  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
