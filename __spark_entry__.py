@@ -31,6 +31,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_media  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm4  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm5  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm6  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm7  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -71,8 +71,12 @@ def assign_clusters(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_sim: bool = False,
 ) -> DataFrame:
-    """IVF coarse assignment: nearest centroid by cosine (broadcast+argmax)."""
+    """IVF coarse assignment: nearest centroid by cosine (broadcast+argmax).
+
+    ``keep_sim`` additionally returns the winning cosine as ``csim`` —
+    the assignment-quality signal cluster-distance QC consumes."""
     from pyspark.sql import Window
 
     c = with_norm(
@@ -84,10 +88,13 @@ def assign_clusters(
     scored = e.join(F.broadcast(c)).select(F.col(id_col), F.col(vec_col), sim,
                                            F.col("centroid_id"))
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    out_cols = [id_col, vec_col, F.col("centroid_id").alias("cluster_id")]
+    if keep_sim:
+        out_cols.append("csim")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"))
+        .select(*out_cols)
     )
 
 

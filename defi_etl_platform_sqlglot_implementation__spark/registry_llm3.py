@@ -1208,8 +1208,14 @@ def _km_ctes() -> str:
     """The unrolled training: init -> (assign, integer-mean)^iters ->
     final assignment, mirroring kmeans_micro step for step."""
     s = _KM_SCALE
+    # CAST the float element to DOUBLE before scaling: DuckDB keeps
+    # FLOAT * 1000000.0 in FLOAT32, which lands boundary elements on
+    # float32-quantized half-integers and flips ~0.5% of micro-rounds vs
+    # Spark's float→double widening (found by cluster_distance_outliers,
+    # the first gate to compare cosine VALUES rather than rankings).
     init_list = ", ".join(
-        f"CAST(CAST(round(embedding[{i}] * {s}) AS BIGINT) AS DOUBLE) / {s}"
+        f"CAST(CAST(round(CAST(embedding[{i}] AS DOUBLE) * {s}) AS BIGINT)"
+        f" AS DOUBLE) / {s}"
         for i in range(1, _KM_DIM + 1)
     )
     # seed selection must mirror the Spark side's orderBy(vec_id).limit(k)
@@ -1223,7 +1229,8 @@ def _km_ctes() -> str:
     )"""]
     for it in range(1, _KM_ITERS + 1):
         sums = ", ".join(
-            f"SUM(CAST(round(e.embedding[{i}] * {s}) AS BIGINT)) AS s{i}"
+            f"SUM(CAST(round(CAST(e.embedding[{i}] AS DOUBLE) * {s})"
+            f" AS BIGINT)) AS s{i}"
             for i in range(1, _KM_DIM + 1)
         )
         mean_list = ", ".join(

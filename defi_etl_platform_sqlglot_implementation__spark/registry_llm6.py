@@ -35,6 +35,22 @@ _NTOK_DUCK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
 _SEQ_LEN = 128
 _SRC_BUDGET = 2000
 
+# deterministic md5 train/val/test split — ONE definition shared by the
+# stratified summary gate (below) and the cross-split leakage audit
+# (registry_llm7), so the two can never disagree on bucket boundaries
+_SPLIT_CASE_DUCK = """CASE WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 1)
+                         IN ('c', 'd') THEN 'val'
+                    WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 1)
+                         IN ('e', 'f') THEN 'test'
+                    ELSE 'train' END"""
+
+
+def _split_col(id_col: str = "doc_id"):
+    hexd = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return (F.when(hexd.isin("c", "d"), "val")
+            .when(hexd.isin("e", "f"), "test")
+            .otherwise("train"))
+
 
 # =========================================================================
 # sequence packing — concat-and-chunk into fixed-length training windows
@@ -396,11 +412,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
         SELECT source,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                         IN ('c', 'd') THEN 'val'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                         IN ('e', 'f') THEN 'test'
-                    ELSE 'train' END AS split,
+               {_SPLIT_CASE_DUCK.format(id="doc_id")} AS split,
                {_NTOK_DUCK} AS n_tokens
         FROM documents
     )
@@ -418,11 +430,7 @@ def stratified_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling). The split is a row-local projection that pushes to the
     scan; the summary is one hash aggregate."""
     docs = t(spark, sf_dir, "documents")
-    hexd = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (F.when(hexd.isin("c", "d"), "val")
-             .when(hexd.isin("e", "f"), "test")
-             .otherwise("train"))
-    return (docs.select("source", split.alias("split"),
+    return (docs.select("source", _split_col().alias("split"),
                         F.expr(_NTOK_SPARK).cast("long").alias("n_tokens"))
             .groupBy("source", "split")
             .agg(F.count("*").cast("long").alias("n_docs"),
