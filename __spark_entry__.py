@@ -71,8 +71,11 @@ _PRIORITY = [
     "similarity_ann_ivf", "similarity_ann_ivf_trained",
     "similarity_ann_recall_trained", "transpiled_listagg",
     # -- bucket 3: new/changed in r5 (label-blocked pair gate retired in
-    #    favor of the composed cluster-blocked keep-verdict) --
+    #    favor of the composed cluster-blocked keep-verdict; the r04-green
+    #    trained semdedup gates re-run because their oracle text changed —
+    #    the _km_ctes float32→double cast fix) --
     "dedup_embedding_canonical",
+    "semdedup_pairs_trained", "semdedup_recall_trained",
 ]
 
 
@@ -145,7 +148,8 @@ _DRIVER_GREEN = {
     "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
     "order_price_histogram", "returnflag_metrics_unpivot",
     "pricing_summary", "shipping_priority", "local_supplier_volume",
-    "semdedup_pairs_trained", "semdedup_recall_trained",
+    # semdedup_pairs_trained / semdedup_recall_trained: green r04, but
+    # their oracle changed in r5 (_km_ctes cast fix) → _PRIORITY bucket 3
     "eip55_checksum_addresses",
     # rows-only by design (no oracle possible): keep at the tail — the
     # *_check companion carries the value evidence.  (bpe_vocab and

@@ -58,6 +58,11 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "knn_label_accuracy",
     "bpe_encode_segments",
     "curation_pipeline_v2",
+    # round-5 additions: one representative per new family (training-data
+    # prep windows, eval-leakage audit, trained-cluster QC).
+    "sequence_packing",
+    "split_leakage_pairs",
+    "cluster_distance_outliers",
 ]
 
 

@@ -215,3 +215,66 @@ class TestQualityRuleProperties:
         # doc 0's shingles all appear in doc 1 -> containment(0 in 1) = 1
         assert r.inter == r.n1
         assert r.inter < r.n2
+
+
+class TestPackingProperties:
+    def test_packing_and_budget_match_python_on_adversarial_corpus(
+            self, spark, tmp_path):
+        """sequence_packing / tokens_per_source_budget vs a pure-Python
+        replay on a seeded random corpus stacked with tokenizer edges:
+        empty docs, runs of spaces, single words, long docs straddling
+        several 128-token windows."""
+        import random
+
+        import defi_etl_platform_sqlglot_implementation__spark.registry_llm6 as m6
+
+        rng = random.Random(99)
+        words = ["a", "bb", "ccc", "scan", "merge"]
+        rows = []
+        for doc_id in range(120):
+            kind = rng.randrange(5)
+            if kind == 0:
+                text = ""
+            elif kind == 1:
+                text = " " * rng.randrange(1, 4)
+            elif kind == 2:
+                text = rng.choice(words)
+            else:
+                n = rng.randrange(1, 400)
+                sep = lambda: " " * rng.randrange(1, 3)  # noqa: E731
+                text = sep().join(rng.choice(words) for _ in range(n))
+            rows.append((doc_id, text, f"src{doc_id % 3}"))
+        spark.createDataFrame(rows, "doc_id long, text string, source string") \
+            .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        def ntok(text):
+            return len([t for t in text.split(" ") if t])
+
+        # pure-Python packing replay
+        packed = {}
+        budget = {}
+        by_src = {}
+        for doc_id, text, src in rows:
+            by_src.setdefault(src, []).append((doc_id, ntok(text)))
+        for src, docs in by_src.items():
+            cum = kept_docs = kept_toks = 0
+            for doc_id, n in sorted(docs):
+                first = cum // m6._SEQ_LEN
+                last = first if n == 0 else (cum + n - 1) // m6._SEQ_LEN
+                packed[doc_id] = (src, n, cum, first, last)
+                cum += n
+                if cum <= m6._SRC_BUDGET:
+                    kept_docs += 1
+                    kept_toks += n
+            budget[src] = (len(docs), kept_docs, kept_toks,
+                           sum(n for _, n in docs))
+
+        got = {r.doc_id: (r.source, r.n_tokens, r.tok_start, r.first_seq,
+                          r.last_seq)
+               for r in m6.sequence_packing(spark, str(tmp_path)).collect()}
+        assert got == packed
+        got_b = {r.source: (r.n_docs, r.kept_docs, r.kept_tokens,
+                            r.total_tokens)
+                 for r in m6.tokens_per_source_budget(
+                     spark, str(tmp_path)).collect()}
+        assert got_b == budget
