@@ -198,10 +198,13 @@ def cluster_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assign_clusters(
         e, cents.select(F.col("centroid_id").alias("vec_id"), "embedding"),
         keep_sim=True)
+    # the assignment feeds BOTH the per-cluster aggregate and the final
+    # join; localCheckpoint evaluates the k x dim cosine argmax once
+    # (the semdedup precedent), instead of once per plan branch
     d = a.select(
         "vec_id", "cluster_id",
         F.round((F.lit(1.0) - F.col("csim")) * 1e6).cast("long")
-        .alias("dist_micro"))
+        .alias("dist_micro")).localCheckpoint()
     cl = d.groupBy("cluster_id").agg(F.count("*").alias("n_c"),
                                      F.sum("dist_micro").alias("s_c"))
     return d.join(cl, "cluster_id").select(

@@ -175,3 +175,30 @@ def test_token_freq_cms_no_fact_shuffle_explosion(spark):
     plan = _executed(spark, "token_freq_cms")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_split_leakage_pairs_equikeyed(spark):
+    plan = _executed(spark, "split_leakage_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the shingle-intersection core + both split attaches are equi-joins
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 3
+
+
+def test_cluster_distance_outliers_bounded_nlj(spark):
+    plan = _executed(spark, "cluster_distance_outliers")
+    # the only nested-loop join allowed is the corpus x k centroid attach
+    # (k constant); the per-cluster stats attach must be an equi-join
+    assert _count(plan, "BroadcastNestedLoopJoin BuildRight") \
+        == _count(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin [cluster_id" in plan \
+        or "BroadcastHashJoin [cluster_id" in plan \
+        or "ShuffledHashJoin [cluster_id" in plan
+
+
+def test_sequence_packing_windows_inside_source_partitions(spark):
+    # the cumsum must window PARTITION BY source — no single-partition
+    # global exchange may feed its sort
+    plan = _executed(spark, "sequence_packing")
+    assert "SinglePartition" not in plan, plan
