@@ -136,6 +136,11 @@ def _take(section: dict, name: str, known: dict[str, Any]) -> dict:
     """Validate ``section`` against the known-key/default map, LOUDLY
     rejecting unknown keys (typos must not silently fall back to
     defaults). Returns the merged values."""
+    if section is None:
+        # a bare `section:` line: PyYAML yields None where the minimal
+        # parser yields {} — normalize so the same file loads identically
+        # (all defaults) regardless of which parser happened to run
+        section = {}
     if not isinstance(section, dict):
         raise ConfigError(f"config section {name!r} must be a mapping")
     unknown = set(section) - set(known)

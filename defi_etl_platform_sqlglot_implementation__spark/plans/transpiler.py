@@ -863,6 +863,19 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                                              source, target)))
                 i = close + 1
                 continue
+            if j < n and tokens[j].kind == "word" \
+                    and tokens[j].text.lower() not in _KEYWORDS:
+                # OVER w — a named-window reference.  Passing it through
+                # would skip the WINDOW clause's null-position
+                # normalization entirely (silent cross-engine value
+                # divergence), and the integral-SUM cast wrap would emit
+                # CAST(...) OVER w (invalid SQL): loud edge, like the
+                # OVER (w) form.  (A column named `over` aliased by a
+                # bare word also lands here — the documented
+                # loud-on-ambiguous trade.)
+                raise UnsupportedConstructError(
+                    "named window reference (OVER w / WINDOW clause) is "
+                    "outside the subset — inline the window spec")
             out.append(t)   # bare identifier named over
             i += 1
             continue
@@ -877,11 +890,15 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             # on the loud path — consistent with "loud, never silently
             # wrong" for a genuinely ambiguous spelling.
             prev = next((x for x in reversed(out) if x.kind != "ws"), None)
+            # clause-TERMINAL keywords can also precede a QUALIFY clause:
+            # GROUP BY ALL QUALIFY ... (DuckDB/Snowflake).  `SELECT ALL
+            # qualify` (column named qualify after the DISTINCT-dual) now
+            # lands loud too — the documented loud-on-ambiguous trade.
             is_clause = prev is not None and (
                 (prev.kind == "op" and prev.text == ")")
                 or prev.kind in ("num", "str", "qident", "bident")
                 or (prev.kind == "word"
-                    and (prev.text.lower() == "end"
+                    and (prev.text.lower() in ("end", "all")
                          or prev.text.lower() not in _KEYWORDS)))
             if is_clause:
                 raise UnsupportedConstructError(
@@ -912,6 +929,18 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                     inner = render(_rewrite(args[0], source, target))
                     call = f"SUM({inner})"
                     k = _next_code(tokens, close + 1)
+                    if k < n and tokens[k].is_word("filter"):
+                        # aggregate FILTER clause: the cast must wrap
+                        # SUM(...) FILTER (...) — CAST(...) FILTER is a
+                        # syntax error on every widening target
+                        j2 = _next_code(tokens, k + 1)
+                        if (j2 < n and tokens[j2].kind == "op"
+                                and tokens[j2].text == "("):
+                            close2 = _match_paren(tokens, j2)
+                            call += " FILTER (" + render(_rewrite(
+                                tokens[j2 + 1:close2], source, target)) + ")"
+                            close = close2
+                            k = _next_code(tokens, close + 1)
                     if k < n and tokens[k].is_word("over"):
                         j2 = _next_code(tokens, k + 1)
                         if (j2 < n and tokens[j2].kind == "op"

@@ -670,10 +670,11 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lang_id",
-    """
-    WITH c AS (
+# lang_id oracle fragments — ONE definition of the marker counts and the
+# priority CASE, shared with the confusion-matrix gate (registry_llm6) so
+# a marker or tie-break change cannot silently desynchronize the two
+_LANG_COUNTS_CTE = """
+    c AS (
         SELECT doc_id,
                CAST((length(' ' || text || ' ')
                      - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS n_en,
@@ -685,12 +686,21 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT) AS n_es
         FROM documents
     )
-    SELECT doc_id, n_en, n_de, n_fr, n_es,
-           CASE WHEN n_en >= greatest(n_de, n_fr, n_es) AND n_en > 0 THEN 'en'
+"""
+
+_LANG_PRED_CASE = """CASE WHEN n_en >= greatest(n_de, n_fr, n_es) AND n_en > 0 THEN 'en'
                 WHEN n_de >= greatest(n_fr, n_es) AND n_de > 0 THEN 'de'
                 WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
                 WHEN n_es > 0 THEN 'es'
-                ELSE 'unknown' END AS lang_pred
+                ELSE 'unknown' END"""
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH {_LANG_COUNTS_CTE}
+    SELECT doc_id, n_en, n_de, n_fr, n_es,
+           {_LANG_PRED_CASE} AS lang_pred
     FROM c
     """,
 )

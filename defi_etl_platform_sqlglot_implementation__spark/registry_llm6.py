@@ -298,35 +298,22 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language-ID confusion matrix — eval against stored labels
 # =========================================================================
 
-@register(
-    "lang_confusion_matrix",
-    """
-    WITH c AS (
-        SELECT doc_id,
-               CAST((length(' ' || text || ' ')
-                     - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS n_en,
-               CAST((length(' ' || text || ' ')
-                     - length(replace(' ' || text || ' ', ' der ', ''))) / 5 AS BIGINT) AS n_de,
-               CAST((length(' ' || text || ' ')
-                     - length(replace(' ' || text || ' ', ' le ', ''))) / 4 AS BIGINT) AS n_fr,
-               CAST((length(' ' || text || ' ')
-                     - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT) AS n_es
-        FROM documents
-    ),
+def _lang_confusion_sql() -> str:
+    from .registry_llm import _LANG_COUNTS_CTE, _LANG_PRED_CASE
+
+    return f"""
+    WITH {_LANG_COUNTS_CTE},
     pred AS (
-        SELECT doc_id,
-               CASE WHEN n_en >= greatest(n_de, n_fr, n_es) AND n_en > 0 THEN 'en'
-                    WHEN n_de >= greatest(n_fr, n_es) AND n_de > 0 THEN 'de'
-                    WHEN n_fr >= n_es AND n_fr > 0 THEN 'fr'
-                    WHEN n_es > 0 THEN 'es'
-                    ELSE 'unknown' END AS lang_pred
+        SELECT doc_id, {_LANG_PRED_CASE} AS lang_pred
         FROM c
     )
     SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
     FROM documents d JOIN pred p ON p.doc_id = d.doc_id
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("lang_confusion_matrix", _lang_confusion_sql())
 def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID eval: confusion counts of the stopword-heuristic
     lang_id prediction against the corpus's stored lang labels — the
@@ -359,7 +346,9 @@ def _norm_outliers_sql() -> str:
         FROM embeddings a
     ),
     st AS (
-        SELECT COUNT(*) AS n, SUM(norm_micro) AS s, SUM(norm_micro * norm_micro) AS q
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(norm_micro) AS HUGEINT) AS s,
+               SUM(CAST(norm_micro AS HUGEINT) * norm_micro) AS q
         FROM nm
     )
     SELECT nm.vec_id, nm.norm_micro,
@@ -378,11 +367,14 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-zero) and blown-up vectors are the classic symptoms of a bad
     encoder batch. The norm is micro-quantized (round(norm*1e6) as
     BIGINT) and the z>2 test is the INTEGER inequality
-    (n*x - S)^2 > 4(nQ - S^2), so no engine ever compares floats — the
-    decimal casts on the Spark side give the squares the headroom DuckDB
-    gets from HUGEINT. Corpus stats are one scalar aggregate broadcast
-    into a map-side projection: two passes over the vectors, no
-    shuffle-by-key at all."""
+    (n*x - S)^2 > 4(nQ - S^2), so no engine ever compares floats. Every
+    accumulator and product on the Spark side runs in decimal(38,0) —
+    the per-vector square is ~1e14, so a BIGINT Q would silently wrap
+    past ~9.2M vectors (round-5 review); decimal sums stay exact to
+    ~1e24 vectors and match the HUGEINT widening the DuckDB twin gets.
+    Corpus stats are one scalar aggregate broadcast into a map-side
+    projection: two passes over the vectors, no shuffle-by-key at
+    all."""
     from .operators.similarity import dot
 
     e = t(spark, sf_dir, "embeddings")
@@ -390,13 +382,13 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.sqrt(dot("embedding", "embedding")) * 1e6).cast("long")
         .alias("norm_micro"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — headroom casts
     st = nm.agg(F.count("*").alias("n"),
-                F.sum("norm_micro").alias("s"),
-                F.sum(F.col("norm_micro") * F.col("norm_micro")).alias("q"))
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — headroom casts
-    lhs_root = dec(F.col("n") * F.col("norm_micro")) - dec(F.col("s"))
-    rhs = (dec(F.col("n")) * dec(F.col("q"))
-           - dec(F.col("s")) * dec(F.col("s"))) * F.lit(4)
+                F.sum(dec(F.col("norm_micro"))).alias("s"),
+                F.sum(dec(F.col("norm_micro")) * F.col("norm_micro"))
+                .alias("q"))
+    lhs_root = dec(F.col("n")) * F.col("norm_micro") - F.col("s")
+    rhs = (dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s")) * F.lit(4)
     return nm.crossJoin(F.broadcast(st)).select(
         "vec_id", "norm_micro",
         F.when(lhs_root * lhs_root > rhs, 1).otherwise(0).cast("int")

@@ -123,14 +123,40 @@ class TestAdapters:
 
     def test_kafka_writer_uses_poll_interval(self, tmp_path, spark):
         """The reference's poll_interval_seconds must become the sink
-        trigger cadence (inspect the writer's trigger spec — building
-        the writer does not need a broker)."""
-        cfg = load_config(EXAMPLE)
+        trigger cadence — asserted on the writer's ACTUAL trigger (py4j
+        reflection; DataStreamWriter has no public getter), with a
+        non-default interval so the kafka_sink default cannot mask a
+        broken forwarding path (round-5 review: the old assertion was
+        vacuously true for any writer)."""
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(
+            "network:\n  poll_interval_seconds: 7\n"
+            "etl:\n  target_dialect: postgres\n")
+        cfg = load_config(cfg_path)
         df = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         writer = cfg.kafka_writer(df.selectExpr("CAST(value AS STRING)"),
                                   str(tmp_path / "ckpt"))
-        trigger = writer._jwrite.toString()  # DataStreamWriter has no public trigger getter
-        assert writer is not None and trigger is not None
+        fld = writer._jwrite.getClass().getDeclaredField("trigger")
+        fld.setAccessible(True)
+        assert fld.get(writer._jwrite).toString() == \
+            "ProcessingTimeTrigger(7000)"
+
+    def test_empty_section_loads_defaults_under_both_parsers(self, tmp_path):
+        """A bare `database:` line: PyYAML yields None where the minimal
+        parser yields {} — both must load the section's defaults (round-5
+        review: the loader's behavior flipped on PyYAML importability)."""
+        from defi_etl_platform_sqlglot_implementation__spark import config as cmod
+
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text("database:\nnetwork:\n")
+        cfg = load_config(cfg_path)  # whichever parser the env provides
+        assert cfg.database.url == ""
+        assert cfg.network.poll_interval_seconds == 2.0
+        # and the minimal parser agrees with the PyYAML path explicitly
+        data_min = cmod._parse_minimal_yaml(cfg_path.read_text())
+        assert cmod._take(data_min.get("database", {}), "database",
+                          {"url": ""}) == {"url": ""}
+        assert cmod._take(None, "database", {"url": ""}) == {"url": ""}
 
     def test_kafka_reader_subscribes_configured_pattern(self, spark):
         cfg = load_config(EXAMPLE)

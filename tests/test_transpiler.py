@@ -483,3 +483,75 @@ class TestSessionOneReviewRegressions:
             "rows 2 PRECEDING) FROM t", "duckdb")
         assert "coalesce(y, rows)" in out
         assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in out
+
+
+class TestRoundFiveReviewRegressions:
+    """Pins for the round-5 review findings: the integral-SUM cast wrap
+    must compose with FILTER and refuse named windows loudly; QUALIFY
+    after a clause-terminal keyword (GROUP BY ALL) stays loud."""
+
+    def test_integral_sum_filter_clause_wraps_whole_call(self):
+        import duckdb
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        out = transpile(
+            "SELECT SUM(CAST(x AS INT)) FILTER (WHERE y > 0) AS s FROM t",
+            "duckdb")
+        assert "CAST(SUM(CAST(x AS INT)) FILTER (WHERE y > 0) AS BIGINT)" \
+            in out
+        # and the emission actually executes on the target engine
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 1), "
+                    "(2, 0), (3, 1)) v(x, y)")
+        val, = con.execute(out).fetchone()
+        assert val == 4
+        # BIGINT materializes as int64 (HUGEINT would come back float64 —
+        # the exact dtype-split the cast rule exists to prevent)
+        assert str(con.execute(out).fetchdf().dtypes.iloc[0]) == "int64"
+
+    def test_integral_sum_filter_over_composes(self):
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        out = transpile(
+            "SELECT SUM(CAST(x AS INT)) FILTER (WHERE y > 0) "
+            "OVER (PARTITION BY g) FROM t", "duckdb")
+        assert ("CAST(SUM(CAST(x AS INT)) FILTER (WHERE y > 0) "
+                "OVER (PARTITION BY g) AS BIGINT)") in out
+
+    def test_bare_named_window_reference_is_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+        )
+
+        for q in (
+            "SELECT SUM(CAST(x AS INT)) OVER w FROM t WINDOW w AS (ORDER BY y)",
+            "SELECT AVG(x) OVER w FROM t WINDOW w AS (ORDER BY y)",
+        ):
+            with pytest.raises(UnsupportedConstructError):
+                transpile(q, "duckdb")
+        # a column literally named over stays legal
+        assert transpile("SELECT over FROM t", "postgres") \
+            == "SELECT over FROM t"
+        assert transpile("SELECT a.over FROM t a", "postgres") \
+            == "SELECT a.over FROM t a"
+
+    def test_qualify_after_group_by_all_is_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+        )
+
+        with pytest.raises(UnsupportedConstructError):
+            transpile("SELECT a FROM t GROUP BY ALL QUALIFY COUNT(*) > 1",
+                      "duckdb")
+        # identifier positions stay legal
+        assert transpile("SELECT qualify FROM t", "duckdb") \
+            == "SELECT qualify FROM t"
