@@ -377,6 +377,66 @@ def _parse_cast_type(tokens: list[Tok], j: int, target: str) -> tuple[str, int]:
 # NUMBER(38,0)) — emission there re-casts to the canonical 64-bit integer
 _SUM_WIDENING_TARGETS = frozenset(("duckdb", "postgres", "mysql", "snowflake"))
 
+# targets with no aggregate FILTER clause: the subset rewrites
+# agg(x) FILTER (WHERE c) -> agg(CASE WHEN c THEN x END), exact for the
+# null-skipping aggregates (filtered rows contribute NULL, which the
+# aggregate drops; window frame membership is unchanged by either form)
+_NO_FILTER_TARGETS = frozenset(("mysql", "bigquery", "snowflake"))
+_FILTER_REWRITE_AGGS = frozenset(("sum", "count", "avg", "min", "max"))
+
+
+def _filter_where_cond(tokens: list[Tok], j_open: int, close: int,
+                       source: str, target: str) -> str:
+    """Render the rewritten condition of a FILTER (WHERE ...) group."""
+    jw = _next_code(tokens, j_open + 1)
+    if jw >= close or not tokens[jw].is_word("where"):
+        raise UnsupportedConstructError(
+            "FILTER clause without WHERE is outside the subset")
+    return render(_rewrite(tokens[jw + 1:close], source, target)).strip()
+
+
+def _filter_to_case(call: list[Tok], cond: str) -> str:
+    """agg-call tokens (already emitted in target dialect) + condition ->
+    the CASE-rewritten call for targets without FILTER support."""
+    toks = [t for t in call if t.kind != "ws"]
+    if not toks or toks[0].kind != "word" \
+            or toks[0].text.lower() not in _FILTER_REWRITE_AGGS:
+        raise UnsupportedConstructError(
+            "FILTER is only rewritten for SUM/COUNT/AVG/MIN/MAX on "
+            "targets without a FILTER clause; got: " + render(call))
+    if len(toks) < 3 or toks[1].text != "(" or toks[-1].text != ")":
+        raise UnsupportedConstructError(
+            "FILTER rewrite needs a simple aggregate call; got: "
+            + render(call))
+    name = toks[0].text
+    # the argument list = the (ws-preserving) slice between the
+    # outermost parens of the emitted call
+    depth = 0
+    start = end = None
+    for idx, tk in enumerate(call):
+        if tk.kind == "op" and tk.text == "(":
+            depth += 1
+            if depth == 1 and start is None:
+                start = idx + 1
+        elif tk.kind == "op" and tk.text == ")":
+            depth -= 1
+            if depth == 0:
+                end = idx
+    inner = call[start:end]
+    code = [t for t in inner if t.kind != "ws"]
+    distinct = bool(code) and code[0].kind == "word" \
+        and code[0].text.lower() == "distinct"
+    if distinct:
+        first = next(i for i, tk in enumerate(inner) if tk.kind != "ws")
+        inner = inner[first + 1:]
+    arg = render(inner).strip()
+    if arg == "*":
+        if name.lower() != "count":
+            raise UnsupportedConstructError(f"{name}(*) is not an aggregate")
+        arg = "1"
+    body = f"CASE WHEN {cond} THEN {arg} END"
+    return f"{name}({'DISTINCT ' if distinct else ''}{body})"
+
 _INT_CAST_TYPES = frozenset(
     ("tinyint", "smallint", "int", "integer", "bigint", "long", "short",
      "byte"))
@@ -879,6 +939,63 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
             out.append(t)   # bare identifier named over
             i += 1
             continue
+        # --- CAST(expr AS type): map the type spelling -------------------
+        # (the `::` shorthand always went through _map_cast_type; the
+        # function form leaked source spellings — CAST(x AS INT) is a
+        # MySQL syntax error, CAST(x AS STRING) a Postgres one)
+        if t.is_word("cast"):
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _match_paren(tokens, j)
+                # the LAST depth-1 AS separates expr from the type spec
+                # (any other AS inside the expr sits deeper in parens)
+                depth, as_ix = 0, None
+                for ix in range(j, close):
+                    tk = tokens[ix]
+                    if tk.kind == "op" and tk.text == "(":
+                        depth += 1
+                    elif tk.kind == "op" and tk.text == ")":
+                        depth -= 1
+                    elif depth == 1 and tk.is_word("as"):
+                        as_ix = ix
+                if as_ix is None:
+                    raise UnsupportedConstructError(
+                        "CAST without AS is outside the subset")
+                expr = render(_rewrite(tokens[j + 1:as_ix], source, target))
+                jt = _next_code(tokens, as_ix + 1)
+                if jt >= close or tokens[jt].kind != "word":
+                    raise UnsupportedConstructError(
+                        "CAST type spec not found")
+                mapped, after = _parse_cast_type(tokens[jt:close], 0, target)
+                tail = _next_code(tokens[jt:close], after)
+                if tail < len(tokens[jt:close]):
+                    raise UnsupportedConstructError(
+                        "trailing tokens after CAST type spec: "
+                        + render(tokens[jt:close]))
+                out.append(Tok("word", f"CAST({expr.strip()} AS {mapped})"))
+                i = close + 1
+                continue
+
+        # --- aggregate FILTER clause on targets without one -------------
+        if t.is_word("filter") and target in _NO_FILTER_TARGETS:
+            j = _next_code(tokens, i + 1)
+            prev = next((x for x in reversed(out) if x.kind != "ws"), None)
+            after_call = prev is not None and (
+                (prev.kind == "op" and prev.text == ")")
+                or (prev.kind == "word" and prev.text.endswith(")")))
+            if after_call and j < n and tokens[j].kind == "op" \
+                    and tokens[j].text == "(":
+                # `<call> filter (...)` can only be the aggregate FILTER
+                # clause — _filter_where_cond raises loudly on a missing
+                # WHERE instead of emitting it to a target without FILTER
+                close = _match_paren(tokens, j)
+                cond = _filter_where_cond(tokens, j, close, source, target)
+                call = _pop_primary(out)
+                out.append(Tok("word", _filter_to_case(call, cond)))
+                i = close + 1
+                continue
+            # identifier/function named filter: default passthrough below
+
         if t.is_word("qualify"):
             # clause-position disambiguation (ADVICE r4): QUALIFY the
             # clause follows a COMPLETED expression or clause — a ')',
@@ -932,13 +1049,22 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                     if k < n and tokens[k].is_word("filter"):
                         # aggregate FILTER clause: the cast must wrap
                         # SUM(...) FILTER (...) — CAST(...) FILTER is a
-                        # syntax error on every widening target
+                        # syntax error on every widening target — and
+                        # no-FILTER targets (MySQL/Snowflake) get the
+                        # CASE rewrite instead
                         j2 = _next_code(tokens, k + 1)
                         if (j2 < n and tokens[j2].kind == "op"
                                 and tokens[j2].text == "("):
                             close2 = _match_paren(tokens, j2)
-                            call += " FILTER (" + render(_rewrite(
-                                tokens[j2 + 1:close2], source, target)) + ")"
+                            if target in _NO_FILTER_TARGETS:
+                                cond = _filter_where_cond(
+                                    tokens, j2, close2, source, target)
+                                call = (f"SUM(CASE WHEN {cond} "
+                                        f"THEN {inner} END)")
+                            else:
+                                call += " FILTER (" + render(_rewrite(
+                                    tokens[j2 + 1:close2], source,
+                                    target)) + ")"
                             close = close2
                             k = _next_code(tokens, close + 1)
                     if k < n and tokens[k].is_word("over"):

@@ -555,3 +555,98 @@ class TestRoundFiveReviewRegressions:
         # identifier positions stay legal
         assert transpile("SELECT qualify FROM t", "duckdb") \
             == "SELECT qualify FROM t"
+
+
+class TestFilterRewriteAndCastMapping:
+    """FILTER -> CASE on targets without a FILTER clause, and type
+    mapping for the CAST(expr AS type) function form (the `::` shorthand
+    always mapped; the function form leaked source spellings)."""
+
+    def test_filter_rewrites_to_case_on_no_filter_targets(self):
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        q = "SELECT SUM(x) FILTER (WHERE y > 0) FROM t"
+        for tgt in ("mysql", "bigquery", "snowflake"):
+            assert transpile(q, tgt) == \
+                "SELECT SUM(CASE WHEN y > 0 THEN x END) FROM t"
+        # targets WITH the clause keep it
+        for tgt in ("duckdb", "postgres", "trino"):
+            assert "FILTER (WHERE y > 0)" in transpile(q, tgt)
+
+    def test_filter_count_star_and_distinct(self):
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        assert transpile("SELECT COUNT(*) FILTER (WHERE y > 0) FROM t",
+                         "mysql") == \
+            "SELECT COUNT(CASE WHEN y > 0 THEN 1 END) FROM t"
+        assert transpile(
+            "SELECT COUNT(DISTINCT u) FILTER (WHERE y > 0) FROM t",
+            "bigquery") == \
+            "SELECT COUNT(DISTINCT CASE WHEN y > 0 THEN u END) FROM t"
+
+    def test_filter_composes_with_integral_sum_widening(self):
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        out = transpile(
+            "SELECT SUM(CAST(x AS INT)) FILTER (WHERE y > 0) FROM t",
+            "mysql")
+        # CASE rewrite INSIDE the widening re-cast, inner cast mapped
+        assert out == ("SELECT CAST(SUM(CASE WHEN y > 0 "
+                       "THEN CAST(x AS SIGNED) END) AS SIGNED) FROM t")
+
+    def test_filter_without_where_is_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+            transpile,
+        )
+
+        with pytest.raises(UnsupportedConstructError):
+            transpile("SELECT SUM(x) FILTER (y > 0) FROM t", "mysql")
+        with pytest.raises(UnsupportedConstructError):
+            # no CASE rewrite for order-sensitive aggregates
+            transpile("SELECT string_agg(x, ',' ORDER BY x) "
+                      "FILTER (WHERE y > 0) FROM t", "mysql")
+        # a column named filter stays legal
+        assert transpile("SELECT filter FROM t", "mysql") == \
+            "SELECT filter FROM t"
+
+    def test_cast_function_form_maps_types(self):
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        assert transpile("SELECT CAST(x AS INT) FROM t", "mysql") == \
+            "SELECT CAST(x AS SIGNED) FROM t"
+        assert transpile("SELECT CAST(x AS STRING) FROM t", "postgres") == \
+            "SELECT CAST(x AS VARCHAR) FROM t"
+        assert transpile("SELECT CAST(x AS DOUBLE) FROM t", "postgres") == \
+            "SELECT CAST(x AS DOUBLE PRECISION) FROM t"
+        assert transpile("SELECT CAST(x AS TIMESTAMP) FROM t", "mysql") == \
+            "SELECT CAST(x AS DATETIME) FROM t"
+        # parameterized + nested expr with its own AS stay correct
+        assert transpile("SELECT CAST(x AS DECIMAL(12,2)) FROM t",
+                         "mysql") == \
+            "SELECT CAST(x AS DECIMAL(12,2)) FROM t"
+        assert transpile(
+            "SELECT CAST((SELECT a AS b FROM u) AS INT) FROM t",
+            "mysql") == \
+            "SELECT CAST((SELECT a AS b FROM u) AS SIGNED) FROM t"
+
+    def test_cast_boolean_mysql_stays_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+            transpile,
+        )
+
+        with pytest.raises(UnsupportedConstructError):
+            transpile("SELECT CAST(x AS BOOLEAN) FROM t", "mysql")
