@@ -407,6 +407,10 @@ def kmeans_micro(
     (centroid_id, embedding) with the centroids after ``iters`` updates;
     block with ``assign_clusters(embeddings, kmeans_micro(...))``.
     """
+    # the corpus is scanned iters+2 times (dim probe, seed, one assign +
+    # sum per iteration) — persist for the training loop, release after;
+    # does not change any value, only avoids re-reading the source
+    embeddings = embeddings.persist()
     dim_row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"] if dim_row else 0
     spark = embeddings.sparkSession
@@ -443,6 +447,7 @@ def kmeans_micro(
              [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)])
             for r in sums.collect()
         )
+    embeddings.unpersist()  # centroids are materialized driver-side above
     return spark.createDataFrame(cents, ["centroid_id", "embedding"])
 
 
