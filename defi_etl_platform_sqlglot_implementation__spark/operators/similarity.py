@@ -408,9 +408,30 @@ def kmeans_micro(
     block with ``assign_clusters(embeddings, kmeans_micro(...))``.
     """
     # the corpus is scanned iters+2 times (dim probe, seed, one assign +
-    # sum per iteration) — persist for the training loop, release after;
-    # does not change any value, only avoids re-reading the source
-    embeddings = embeddings.persist()
+    # sum per iteration) — persist for the training loop, release in the
+    # finally below (a mid-loop failure must not pin the cache), and only
+    # if the CALLER had not already persisted (unpersist is not
+    # reference-counted: dropping their cache on return would be rude)
+    lvl = embeddings.storageLevel
+    we_persisted = not (lvl.useMemory or lvl.useDisk)
+    if we_persisted:
+        embeddings = embeddings.persist()
+    try:
+        return _kmeans_micro_train(embeddings, k, iters, vec_col, id_col,
+                                   scale)
+    finally:
+        if we_persisted:
+            embeddings.unpersist()
+
+
+def _kmeans_micro_train(
+    embeddings: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    scale: float,
+) -> DataFrame:
     dim_row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"] if dim_row else 0
     spark = embeddings.sparkSession
@@ -447,7 +468,8 @@ def kmeans_micro(
              [r[f"s{i}"] / (r["n"] * scale) for i in range(dim)])
             for r in sums.collect()
         )
-    embeddings.unpersist()  # centroids are materialized driver-side above
+    # centroids are materialized driver-side; the caller's finally
+    # releases the training cache
     return spark.createDataFrame(cents, ["centroid_id", "embedding"])
 
 

@@ -395,6 +395,15 @@ def _filter_where_cond(tokens: list[Tok], j_open: int, close: int,
     return render(_rewrite(tokens[jw + 1:close], source, target)).strip()
 
 
+def _case_filtered(name: str, arg: str, cond: str,
+                   distinct: bool = False) -> str:
+    """The ONE encoding of the FILTER->CASE rewrite, shared by
+    _filter_to_case and the integral-SUM widening path so the two can
+    never desynchronize."""
+    body = f"CASE WHEN {cond} THEN {arg} END"
+    return f"{name}({'DISTINCT ' if distinct else ''}{body})"
+
+
 def _filter_to_case(call: list[Tok], cond: str) -> str:
     """agg-call tokens (already emitted in target dialect) + condition ->
     the CASE-rewritten call for targets without FILTER support."""
@@ -423,6 +432,18 @@ def _filter_to_case(call: list[Tok], cond: str) -> str:
             if depth == 0:
                 end = idx
     inner = call[start:end]
+    # a top-level comma (COUNT(DISTINCT a, b)) cannot ride one CASE arm —
+    # emitting it would ship a downstream syntax error, so refuse loudly
+    d = 0
+    for tk in inner:
+        if tk.kind == "op" and tk.text == "(":
+            d += 1
+        elif tk.kind == "op" and tk.text == ")":
+            d -= 1
+        elif d == 0 and tk.kind == "op" and tk.text == ",":
+            raise UnsupportedConstructError(
+                "FILTER rewrite for a multi-argument aggregate has no "
+                "single-CASE form; got: " + render(call))
     code = [t for t in inner if t.kind != "ws"]
     distinct = bool(code) and code[0].kind == "word" \
         and code[0].text.lower() == "distinct"
@@ -434,8 +455,7 @@ def _filter_to_case(call: list[Tok], cond: str) -> str:
         if name.lower() != "count":
             raise UnsupportedConstructError(f"{name}(*) is not an aggregate")
         arg = "1"
-    body = f"CASE WHEN {cond} THEN {arg} END"
-    return f"{name}({'DISTINCT ' if distinct else ''}{body})"
+    return _case_filtered(name, arg, cond, distinct)
 
 _INT_CAST_TYPES = frozenset(
     ("tinyint", "smallint", "int", "integer", "bigint", "long", "short",
@@ -966,12 +986,20 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                 if jt >= close or tokens[jt].kind != "word":
                     raise UnsupportedConstructError(
                         "CAST type spec not found")
-                mapped, after = _parse_cast_type(tokens[jt:close], 0, target)
-                tail = _next_code(tokens[jt:close], after)
-                if tail < len(tokens[jt:close]):
-                    raise UnsupportedConstructError(
-                        "trailing tokens after CAST type spec: "
-                        + render(tokens[jt:close]))
+                # map KNOWN type spellings; a type outside the map (or a
+                # known word carrying an unmodelled suffix, e.g.
+                # TIMESTAMP WITH TIME ZONE) keeps its source spelling —
+                # the function form always passed those through, and
+                # unlike the '::' shorthand it need not restrict to the
+                # mapped subset to stay valid SQL
+                low = tokens[jt].text.lower()
+                spec = tokens[jt:close]
+                if low in _CAST_TYPE_MAP or low == "double":
+                    mapped, after = _parse_cast_type(spec, 0, target)
+                    if _next_code(spec, after) < len(spec):
+                        mapped = render(spec).strip()  # unmodelled suffix
+                else:
+                    mapped = render(spec).strip()
                 out.append(Tok("word", f"CAST({expr.strip()} AS {mapped})"))
                 i = close + 1
                 continue
@@ -1059,8 +1087,7 @@ def _rewrite(tokens: list[Tok], source: str, target: str) -> list[Tok]:
                             if target in _NO_FILTER_TARGETS:
                                 cond = _filter_where_cond(
                                     tokens, j2, close2, source, target)
-                                call = (f"SUM(CASE WHEN {cond} "
-                                        f"THEN {inner} END)")
+                                call = _case_filtered("SUM", inner, cond)
                             else:
                                 call += " FILTER (" + render(_rewrite(
                                     tokens[j2 + 1:close2], source,

@@ -370,8 +370,12 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*x - S)^2 > 4(nQ - S^2), so no engine ever compares floats. Every
     accumulator and product on the Spark side runs in decimal(38,0) —
     the per-vector square is ~1e14, so a BIGINT Q would silently wrap
-    past ~9.2M vectors (round-5 review); decimal sums stay exact to
-    ~1e24 vectors and match the HUGEINT widening the DuckDB twin gets.
+    past ~9.2M vectors (round-5 review). The decimal bound is set by
+    the n*Q product (~N^2 * 1e14 vs the 38-digit cap): exact to ~1e12
+    vectors — comfortably above a 100 TB corpus of 64-dim floats
+    (~4e11) — and matching DuckDB's HUGEINT range; past it the engines
+    FAIL DIFFERENTLY (Spark non-ANSI nulls the product, DuckDB errors),
+    so treat 1e12 as a hard ceiling, not a soft one.
     Corpus stats are one scalar aggregate broadcast into a map-side
     projection: two passes over the vectors, no shuffle-by-key at
     all."""

@@ -650,3 +650,40 @@ class TestFilterRewriteAndCastMapping:
 
         with pytest.raises(UnsupportedConstructError):
             transpile("SELECT CAST(x AS BOOLEAN) FROM t", "mysql")
+
+
+class TestSecondPassReviewRegressions:
+    """Round-5 second review pass: multi-arg FILTER loudness, CAST
+    function-form leniency for unmapped portable types."""
+
+    def test_multiarg_filter_rewrite_is_loud(self):
+        import pytest
+
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            UnsupportedConstructError,
+            transpile,
+        )
+
+        with pytest.raises(UnsupportedConstructError):
+            transpile("SELECT COUNT(DISTINCT a, b) FILTER (WHERE c) FROM t",
+                      "mysql")
+        # nested commas (function args) stay fine
+        assert transpile(
+            "SELECT SUM(coalesce(a, 0)) FILTER (WHERE c) FROM t",
+            "mysql") == \
+            "SELECT SUM(CASE WHEN c THEN coalesce(a, 0) END) FROM t"
+
+    def test_cast_unmapped_types_pass_through(self):
+        from defi_etl_platform_sqlglot_implementation__spark.plans.transpiler import (
+            transpile,
+        )
+
+        # portable spellings absent from the map keep working (they did
+        # before the CAST branch existed)
+        assert transpile("SELECT CAST(x AS FLOAT) FROM t", "duckdb") == \
+            "SELECT CAST(x AS FLOAT) FROM t"
+        # a known word with an unmodelled suffix also keeps its spelling
+        assert transpile(
+            "SELECT CAST(x AS TIMESTAMP WITH TIME ZONE) FROM t",
+            "mysql") == \
+            "SELECT CAST(x AS TIMESTAMP WITH TIME ZONE) FROM t"
