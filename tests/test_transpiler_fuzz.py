@@ -46,6 +46,12 @@ _AGG_EXPRS = [
     "LISTAGG(event_type, '|') WITHIN GROUP (ORDER BY event_type, event_id)",
     "LISTAGG((user_id % 5)::STRING, ',') WITHIN GROUP "
     "(ORDER BY event_id DESC)",
+    # aggregate FILTER clause (r5 family): executes natively on DuckDB,
+    # and the integral-SUM emission must keep the widening cast OUTSIDE
+    # the filtered call
+    # (no DISTINCT + FILTER combination: Spark itself rejects it)
+    "COUNT(*) FILTER (WHERE value >= 250.0)",
+    "SUM(CAST(FLOOR(value) AS BIGINT)) FILTER (WHERE event_type <> 'view')",
 ]
 _PREDICATES = [
     "event_type <> 'view'",
