@@ -414,7 +414,10 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE tokenizer application — encode the corpus with a trained vocabulary
 # =========================================================================
 
-def _bpe_encode_sql(n_merges: int = 6) -> str:
+def _bpe_seg_ctes(n_merges: int = 6) -> str:
+    """Train-on-80% + encode-every-document CTE prefix ending at ``seg``
+    (doc_id, pos, s) — ONE definition shared by the per-doc segmentation
+    gate below and the fertility-by-language rollup (registry_llm8)."""
     from .operators.bpe import duckdb_train_ctes
 
     enc = []
@@ -452,6 +455,12 @@ def _bpe_encode_sql(n_merges: int = 6) -> str:
         WHERE toks[i] <> ''
     ),
     seg AS (SELECT doc_id, pos, e.s FROM tokpos JOIN e{n_merges} e USING (word))
+    """
+
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    return f"""
+    {_bpe_seg_ctes(n_merges)}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(string_split(s, chr(1)))) AS BIGINT) AS n_subwords,
