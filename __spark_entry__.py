@@ -34,6 +34,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm6  # noq
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm7  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm8  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm9  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm10  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:

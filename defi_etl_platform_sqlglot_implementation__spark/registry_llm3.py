@@ -1582,12 +1582,14 @@ def _embedding_canonical_sql() -> str:
         UNION
         SELECT d2 AS a, d1 AS b FROM edges
     ),
-    reach(src, dst) AS (
-        SELECT DISTINCT a, a FROM sym
+    locmin AS (SELECT a FROM sym GROUP BY a HAVING MIN(b) > a),
+    down(node, lab) AS (
+        SELECT a, a FROM locmin
         UNION
-        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+        SELECT s.b, d.lab FROM down d JOIN sym s
+          ON s.a = d.node AND d.lab < s.b
     ),
-    lbl AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+    lbl AS (SELECT node, MIN(lab) AS cluster_id FROM down GROUP BY node)
     SELECT e.vec_id,
            COALESCE(l.cluster_id, e.vec_id) AS canon_id,
            CAST(COALESCE(l.cluster_id, e.vec_id) = e.vec_id AS INT) AS keep
@@ -1608,10 +1610,18 @@ def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall 76.3% at nprobe=2 vs 30.5% hard (semdedup_recall_probed) —
     and composed through to the keep decision a curation pipeline
     actually consumes. The oracle replays the full pipeline (unrolled
-    k-means training, probe routing, recursive-CTE reachability), so
-    the contract is pipeline-replication exactness on a fixed corpus —
-    the ann_ivf precedent; the probed-blocking recall trade itself is
-    priced by the *_recall_* companions, not hidden here."""
+    k-means training, probe routing, and a recursive-CTE min-label
+    propagation seeded ONLY from the graph's local minima — exact
+    because every component's global minimum is a local minimum and
+    reaches all members, so the per-node MIN recovers it; the d.lab <
+    s.b guard prunes without ever blocking the global min, which is
+    smaller than every node it visits. This replaced the full
+    transitive closure, whose O(sum |component|^2) row count cost ~28
+    min per sf1 replay; propagation is O(#local minima x component)
+    rows, ~1 per dense near-dup cluster), so the contract is
+    pipeline-replication exactness on a fixed corpus — the ann_ivf
+    precedent; the probed-blocking recall trade itself is priced by
+    the *_recall_* companions, not hidden here."""
     from .operators.dedup import connected_components
     from .operators.similarity import dot, with_norm
 

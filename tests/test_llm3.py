@@ -107,3 +107,60 @@ def test_probed_blocking_dominates_hard_assignment(spark):
     # found pair was a candidate
     assert rp.n_candidates < (500 * 499) // 2
     assert rp.n_candidates >= rp.n_found_probed
+
+
+def test_locmin_label_propagation_matches_union_find():
+    """Fuzz the oracle's connected-components device (the
+    dedup_embedding_canonical SQL): min-label propagation seeded only
+    from LOCAL minima (nodes smaller than every neighbor), with the
+    lab < node pruning guard, must equal union-find components on
+    adversarial random graphs — including decreasing chains and
+    alternating id arrangements where local minima are plentiful."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randrange(2, 40)
+        m_edges = rng.randrange(1, min(60, n * (n - 1) // 2 + 1))
+        edges = set()
+        while len(edges) < m_edges:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # adversarial extras: a decreasing chain and an alternating path
+        if trial % 3 == 0 and n >= 6:
+            edges |= {(n - i - 2, n - i - 1) for i in range(4)}
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expect = {}
+        roots = {}
+        for v in sorted({x for e in edges for x in e}):
+            r = find(v)
+            roots.setdefault(r, v)       # min id first in sorted order
+            expect[v] = roots[r]
+
+        vals = ", ".join(f"({a}, {b})" for a, b in sorted(edges))
+        got = dict(duckdb.sql(f"""
+            WITH RECURSIVE e(d1, d2) AS (VALUES {vals}),
+            sym AS (SELECT d1 AS a, d2 AS b FROM e
+                    UNION SELECT d2, d1 FROM e),
+            locmin AS (SELECT a FROM sym GROUP BY a HAVING MIN(b) > a),
+            down(node, lab) AS (
+                SELECT a, a FROM locmin
+                UNION
+                SELECT s.b, d.lab FROM down d JOIN sym s
+                  ON s.a = d.node AND d.lab < s.b
+            )
+            SELECT node, MIN(lab) FROM down GROUP BY node
+        """).fetchall())
+        assert got == expect, f"trial {trial}: {sorted(edges)}"
