@@ -573,6 +573,13 @@ def connected_components(
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    # Materialize the symmetrized edges ONCE: sym re-evaluates on every
+    # propagation round (the per-round join) plus the node init, so an
+    # expensive upstream — the ~10^8-cosine candidate join feeding
+    # dedup_embedding_canonical — would otherwise recompute diameter+1
+    # times. Edge lists are (long, long) rows, tiny next to their
+    # producing join, so this is safe to hold even at cluster scale.
+    sym = sym.localCheckpoint()
     cur = (
         sym.select(F.col("a").alias("node"))
         .distinct()

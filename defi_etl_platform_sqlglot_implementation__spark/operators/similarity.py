@@ -26,8 +26,57 @@ DOT = (
     "0D, (acc, v) -> acc + v)"
 )
 
+_FOLD_DOT_UDF = None
 
-def dot(a: str, b: str) -> Column:
+
+def fold_dot_udf():
+    """Arrow-vectorized twin of the ``DOT`` fold — BIT-IDENTICAL values.
+
+    Higher-order functions are CodegenFallback in Spark 4: every
+    ``aggregate(zip_with(...))`` evaluates interpreted, one element read
+    at a time (~160 CPU-min for the ~10^8 candidate cosines of
+    dedup_embedding_canonical at sf1).  This pandas_udf replays the
+    EXACT same float chain — float32→float64 widening (exact), one
+    correctly-rounded float64 multiply per element, then the sequential
+    left-assoc sum ``((0+p0)+p1)+...`` — but vectorized ACROSS pairs:
+    ``acc += P[:, i]`` applies the i-th fold step to the whole Arrow
+    batch at once, so the per-element op order matches the JVM fold
+    exactly while numpy does ~10^8 adds/sec.  Equality with the expr
+    fold is pinned by test_similarity's exhaustive pair test; gates may
+    therefore swap one for the other without touching their oracles.
+    A second win is structural: a Python UDF can never be pushed into a
+    join CONDITION, so the cosine-threshold filter evaluates after the
+    well-partitioned d2 equi-join instead of riding the 16-key cluster
+    join where one hot cluster serializes a whole task (the jstack'd
+    433 s straggler).
+    """
+    global _FOLD_DOT_UDF
+    if _FOLD_DOT_UDF is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        def _fold_dot(a, b):
+            if not len(a):
+                return pd.Series([], dtype="float64")
+            av = np.stack(a.to_numpy()).astype(np.float64)
+            bv = np.stack(b.to_numpy()).astype(np.float64)
+            prod = av * bv
+            acc = prod[:, 0].copy()
+            for i in range(1, prod.shape[1]):
+                acc += prod[:, i]
+            return pd.Series(acc)
+
+        _fold_dot.__annotations__ = {
+            "a": pd.Series, "b": pd.Series, "return": pd.Series}
+        _FOLD_DOT_UDF = pandas_udf(DoubleType())(_fold_dot)
+    return _FOLD_DOT_UDF
+
+
+def dot(a: str, b: str, vectorized: bool = False) -> Column:
+    if vectorized:
+        return fold_dot_udf()(F.col(a), F.col(b))
     return F.expr(DOT.format(a=a, b=b))
 
 

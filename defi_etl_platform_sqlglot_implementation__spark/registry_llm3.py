@@ -1312,7 +1312,8 @@ def semdedup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select(F.col("cluster_id").alias("_cb"),
                         F.col("vec_id").alias("d2"),
                         F.col("embedding").alias("eb")), "eb", "nb")
-    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    cos = (dot("ea", "eb", vectorized=True)
+           / (F.col("na") * F.col("nb"))).alias("cosine")
     return (
         a.join(b, (F.col("cluster_id") == F.col("_cb"))
                & (F.col("d1") < F.col("d2")))
@@ -1365,7 +1366,7 @@ def semdedup_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("embedding").alias("ea")), "ea", "na")
     b = with_norm(e.select(F.col("vec_id").alias("d2"),
                            F.col("embedding").alias("eb")), "eb", "nb")
-    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    cos = dot("ea", "eb", vectorized=True) / (F.col("na") * F.col("nb"))
     true_cnt = (
         a.join(b, F.col("d1") < F.col("d2"))
         .filter(cos >= 4e-1)
@@ -1465,7 +1466,8 @@ def semdedup_pairs_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("embedding").alias("ea")), "ea", "na")
     eb = with_norm(e.select(F.col("vec_id").alias("d2"),
                             F.col("embedding").alias("eb")), "eb", "nb")
-    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    cos = (dot("ea", "eb", vectorized=True)
+           / (F.col("na") * F.col("nb"))).alias("cosine")
     return (
         cand.join(ea, "d1").join(eb, "d2")
         .select("d1", "d2", cos)
@@ -1522,7 +1524,7 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("embedding").alias("ea")), "ea", "na")
     b = with_norm(e.select(F.col("vec_id").alias("d2"),
                            F.col("embedding").alias("eb")), "eb", "nb")
-    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    cos = dot("ea", "eb", vectorized=True) / (F.col("na") * F.col("nb"))
     true_cnt = (
         a.join(b, F.col("d1") < F.col("d2"))
         .filter(cos >= 4e-1)
@@ -1632,7 +1634,7 @@ def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("embedding").alias("ea")), "ea", "na")
     eb = with_norm(e.select(F.col("vec_id").alias("d2"),
                             F.col("embedding").alias("eb")), "eb", "nb")
-    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    cos = dot("ea", "eb", vectorized=True) / (F.col("na") * F.col("nb"))
     edges = (cand.join(ea, "d1").join(eb, "d2")
              .filter(cos >= 4e-1).select("d1", "d2"))
     comp = connected_components(edges)

@@ -301,7 +301,8 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("etr")), "etr", "ntr")
     scored = tr.crossJoin(F.broadcast(q)).select(
         "qid", "qlabel", "nid", "nlabel",
-        (dot("eq", "etr") / (F.col("nq") * F.col("ntr"))).alias("cosine"),
+        (dot("eq", "etr", vectorized=True)
+         / (F.col("nq") * F.col("ntr"))).alias("cosine"),
     )
     top = scored.withColumn(
         "rk",

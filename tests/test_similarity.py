@@ -142,3 +142,30 @@ class TestKmeansMicro:
             return sum(n * n for n in sizes)
 
         assert pair_bound(trained) <= pair_bound(standin)
+
+
+def test_fold_dot_udf_bit_identical_to_expr(spark):
+    """The Arrow-vectorized fold twin must equal the interpreted
+    aggregate(zip_with(...)) chain BIT-FOR-BIT on every corpus pair —
+    this is the license for cosine-heavy gates to swap one for the
+    other without touching their oracles."""
+    from pyspark.sql import functions as F
+
+    from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import dot
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    diff = (
+        pairs.select(
+            dot("ea", "eb").alias("jvm"),
+            dot("ea", "eb", vectorized=True).alias("arrow"),
+            dot("ea", "ea", vectorized=True).alias("arrow_self"),
+            dot("ea", "ea").alias("jvm_self"),
+        )
+        .filter((F.col("jvm") != F.col("arrow"))
+                | (F.col("jvm_self") != F.col("arrow_self")))
+        .count()
+    )
+    assert diff == 0
