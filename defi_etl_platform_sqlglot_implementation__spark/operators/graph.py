@@ -40,13 +40,18 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    # Materialize the STATIC loop inputs once: every iteration joins both
+    # `weighted` and `nodes`, so an expensive edge producer upstream would
+    # otherwise re-evaluate 2x per round (the CC-edges lesson, SCALE.md —
+    # pin what the loop RE-READS, not just the evolving state).
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     scores = nodes.withColumn("score", F.lit(1.0))
-    weighted = e.join(outdeg, "_s")  # (_s, _d, _deg): static per run
+    weighted = e.join(outdeg, "_s").localCheckpoint()  # (_s, _d, _deg): static per run
     for i in range(iterations):
         contribs = (
             weighted.join(scores.withColumnRenamed("node", "_s"), "_s")
@@ -91,7 +96,10 @@ def bfs_levels(
         F.lit(0).cast("long").alias("dist"),
     ).localCheckpoint()
     frontier = dist.select("node")
-    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    # static per run; pinned so each frontier expansion re-reads the
+    # materialized edge list, not its producer (the CC-edges lesson)
+    e = edges.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")).localCheckpoint()
     for d in range(1, max_iters + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
