@@ -37,13 +37,23 @@ def pagerank(
     Each iteration is one equi-join + one hash aggregate — no driver-side
     state beyond the loop counter. ``checkpoint_every > 0`` truncates
     lineage with ``localCheckpoint`` for high iteration counts.
+
+    EAGER: the static inputs (edge list, node set, weighted edges) are
+    materialized at CALL time so the loop never re-evaluates the edge
+    producer — build the result only when you intend to run it. The
+    truncation also means downstream ``explain`` bottoms out at
+    checkpointed-RDD scans: plan-shape audits of the edge PRODUCER must
+    target the producer expression itself, not this operator's output.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
-    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     # Materialize the STATIC loop inputs once: every iteration joins both
     # `weighted` and `nodes`, so an expensive edge producer upstream would
     # otherwise re-evaluate 2x per round (the CC-edges lesson, SCALE.md —
-    # pin what the loop RE-READS, not just the evolving state).
+    # pin what the loop RE-READS, not just the evolving state). The edge
+    # producer itself runs exactly once: nodes/outdeg/weighted all derive
+    # from the checkpointed distinct edge list.
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .distinct().localCheckpoint())
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
@@ -90,7 +100,11 @@ def bfs_levels(
     ``localCheckpoint``-ed per round: lineage stays constant-depth and
     the empty-frontier driver test is the only per-round action.
     Unreachable nodes are absent from the output (match semantics of the
-    recursive-CTE oracle)."""
+    recursive-CTE oracle).
+
+    EAGER, like :func:`pagerank`: sources and the edge projection
+    materialize at call time, and downstream plans bottom out at
+    checkpointed-RDD scans — audit the edge producer's plan directly."""
     dist = sources.select(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),

@@ -13,7 +13,12 @@
   only matching partitions (partition pruning on the join key) instead of
   the full corpus.
 
-No Python UDFs: dot products stay in codegen via higher-order functions.
+Dot products come in two BIT-IDENTICAL forms: the ``DOT`` expression fold
+(higher-order functions — CodegenFallback, i.e. interpreted, in Spark 4;
+fine for linear/low-pair-count sites) and :func:`fold_dot_udf`, an
+Arrow-vectorized pandas UDF replaying the same float chain across the
+batch for the ~10^8-pair candidate joins. ``dot(..., vectorized=True)``
+selects the latter.
 """
 
 from __future__ import annotations
@@ -25,9 +30,6 @@ DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "0D, (acc, v) -> acc + v)"
 )
-
-_FOLD_DOT_UDF = None
-
 
 def fold_dot_udf():
     """Arrow-vectorized twin of the ``DOT`` fold — BIT-IDENTICAL values.
@@ -49,29 +51,64 @@ def fold_dot_udf():
     well-partitioned d2 equi-join instead of riding the 16-key cluster
     join where one hot cluster serializes a whole task (the jstack'd
     433 s straggler).
-    """
-    global _FOLD_DOT_UDF
-    if _FOLD_DOT_UDF is None:
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import DoubleType
 
-        def _fold_dot(a, b):
-            if not len(a):
-                return pd.Series([], dtype="float64")
-            av = np.stack(a.to_numpy()).astype(np.float64)
-            bv = np.stack(b.to_numpy()).astype(np.float64)
-            prod = av * bv
+    NULL semantics mirror the expr fold exactly: a NULL array on either
+    side -> NULL (zip_with over NULL is NULL); unequal lengths -> NULL
+    (zip_with null-pads the shorter side, poisoning the sum); two empty
+    arrays -> 0.0 (the fold base). The fast path requires a uniform
+    non-null batch and falls back to a per-row replay otherwise.
+
+    Constructed per call, NOT cached at module level: pyspark memoizes a
+    UserDefinedFunction's ``_judf`` against the first SparkSession, so a
+    module-global UDF would hold a dead JVM reference after a session
+    restart (stop + rebuild in one Python process).  ``pandas_udf``
+    wrapping is cheap; the Arrow plan node is identical either way.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _fold_dot(a, b):
+        n = len(a)
+        if not n:
+            return pd.Series([], dtype="float64")
+        av, bv = a.to_numpy(), b.to_numpy()
+        uniform = True
+        d0 = -1
+        for x, y in zip(av, bv):
+            if x is None or y is None or len(x) != len(y) \
+                    or (d0 >= 0 and len(x) != d0):
+                uniform = False
+                break
+            d0 = len(x)
+        if uniform and d0 > 0:
+            prod = np.stack(av).astype(np.float64) \
+                * np.stack(bv).astype(np.float64)
             acc = prod[:, 0].copy()
             for i in range(1, prod.shape[1]):
                 acc += prod[:, i]
             return pd.Series(acc)
+        # slow exact path: per-row replay of the SQL fold's NULL algebra
+        # (NaN converts to NULL on the Arrow return path)
+        out = np.empty(n, dtype=np.float64)
+        for k in range(n):
+            x, y = av[k], bv[k]
+            if x is None or y is None or len(x) != len(y):
+                out[k] = np.nan
+            elif len(x) == 0:
+                out[k] = 0.0
+            else:
+                p = np.asarray(x, np.float64) * np.asarray(y, np.float64)
+                s = 0.0
+                for v in p:
+                    s += v
+                out[k] = s
+        return pd.Series(out)
 
-        _fold_dot.__annotations__ = {
-            "a": pd.Series, "b": pd.Series, "return": pd.Series}
-        _FOLD_DOT_UDF = pandas_udf(DoubleType())(_fold_dot)
-    return _FOLD_DOT_UDF
+    _fold_dot.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(DoubleType())(_fold_dot)
 
 
 def dot(a: str, b: str, vectorized: bool = False) -> Column:

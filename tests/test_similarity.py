@@ -157,15 +157,64 @@ def test_fold_dot_udf_bit_identical_to_expr(spark):
     a = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("d1") < F.col("d2"))
-    diff = (
-        pairs.select(
+    scored = pairs.select(
+        dot("ea", "eb").alias("jvm"),
+        dot("ea", "eb", vectorized=True).alias("arrow"),
+        dot("ea", "ea", vectorized=True).alias("arrow_self"),
+        dot("ea", "ea").alias("jvm_self"),
+    )
+    # null-safe disagreement: plain != evaluates to NULL when either side
+    # is NULL and would silently DROP exactly the rows where the two
+    # paths diverge — eqNullSafe negated catches value AND nullness splits
+    diff = scored.filter(
+        (~F.col("jvm").eqNullSafe(F.col("arrow")))
+        | (~F.col("jvm_self").eqNullSafe(F.col("arrow_self")))
+    ).count()
+    assert diff == 0
+    # and the license is not vacuous: the corpus produced real pairs,
+    # none of them NULL
+    total = scored.count()
+    assert total > 100_000
+    assert scored.filter(F.col("jvm").isNull()).count() == 0
+
+
+def test_fold_dot_udf_null_algebra_matches_expr(spark):
+    """The Arrow twin must replay the SQL fold's NULL algebra, not crash:
+    NULL array -> NULL, unequal lengths -> NULL (zip_with null-pads),
+    both empty -> 0.0 (the fold base), plus a ragged-batch fast-path
+    bypass — compared against the expr fold on the same rows."""
+    from pyspark.sql import functions as F
+
+    from defi_etl_platform_sqlglot_implementation__spark.operators.similarity import dot
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),   # plain
+        (1, None, [1.0, 2.0]),                    # NULL left
+        (2, [1.0, 2.0], None),                    # NULL right
+        (3, [1.0, 2.0, 3.0], [1.0, 2.0]),         # unequal lengths
+        (4, [], []),                              # both empty
+        (5, [0.5, 0.5], [2.0, 2.0]),              # different dim than row 0
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, ea array<double>, eb array<double>")
+    got = (
+        df.select(
+            "i",
             dot("ea", "eb").alias("jvm"),
             dot("ea", "eb", vectorized=True).alias("arrow"),
-            dot("ea", "ea", vectorized=True).alias("arrow_self"),
-            dot("ea", "ea").alias("jvm_self"),
         )
-        .filter((F.col("jvm") != F.col("arrow"))
-                | (F.col("jvm_self") != F.col("arrow_self")))
-        .count()
+        .orderBy("i")
+        .collect()
     )
-    assert diff == 0
+    for r in got:
+        assert (r.jvm is None) == (r.arrow is None), r
+        if r.jvm is not None:
+            assert r.jvm == r.arrow, r
+    # the fixed expectations, independently of the expr fold
+    vals = [(r.jvm, r.arrow) for r in got]
+    assert vals[0] == (32.0, 32.0)
+    assert vals[1] == (None, None)
+    assert vals[2] == (None, None)
+    assert vals[3] == (None, None)
+    assert vals[4] == (0.0, 0.0)
+    assert vals[5] == (2.0, 2.0)
