@@ -35,6 +35,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm7  # noq
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm8  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm9  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm10  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm11  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -63,6 +63,9 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "sequence_packing",
     "split_leakage_pairs",
     "cluster_distance_outliers",
+    # round-5 session-4: the pair-cosine perf headliner (vectorized exact
+    # fold + one-shot CC edge materialization; 1915s -> 426s at sf1).
+    "dedup_embedding_canonical",
 ]
 
 

@@ -1,0 +1,191 @@
+"""Coverage wave 11 — the SAMPLING stage: temperature targets made real.
+
+``source_temperature_weights`` (wave 9) prices the mixture; these gates
+EXECUTE it — the step between "we want w_s of the tokens from source s"
+and an actual materialized training corpus:
+
+- source_sampling_plan: per-source sampling schedule — the temperature
+  target in tokens, the keep rate (capped at 1) for down-sampled sources
+  and the epoch count for up-sampled ones, all emitted as integers
+  (basis points / counts) so the gate is float-free;
+- deterministic_downsample: the per-document keep decision — a salted
+  md5 hash of the doc id compared against the source's rate threshold,
+  so the sample is reproducible run-to-run, independent of partitioning
+  and row order, and any engine computing the same hash draws the same
+  sample (the property that makes a 100 TB sample auditable).
+
+Scale shapes: the plan is one hash aggregate to |sources| rows plus a
+fold over that tiny list (the wave-9 denominator device); the
+downsample is a row-local hash + one broadcast attach of the per-source
+rates — no shuffle of the corpus at all. The hash-threshold compare is
+done on fixed-width lowercase hex strings (the llm6 min-hex device), so
+neither engine ever parses hex to integers.
+
+Why md5-Bernoulli and not Spark's ``sample()``: ``sample`` draws from a
+partition-seeded RNG — the set changes with partitioning, retries, and
+engine, so no oracle can replay it and no audit can reproduce it. The
+hash draw is the version a production pipeline can defend: keep(doc) is
+a pure function of the doc id.
+
+Reference scope: sampling composes the reference's aggregation surface
+(src/transform/etl_pipeline.py groupbys) with the LLM-pipeline mixing
+knob; no counterpart file exists — cited per SURVEY §6 as a scale
+extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, t
+from .registry_llm6 import _NTOK_DUCK, _NTOK_SPARK
+
+# 2^32 — the hash space of the first 8 md5 hex chars
+_HASH_SPACE = 4294967296
+_SALT = "samp:"
+
+# Shared per-source rate pipeline (DuckDB side). ratio_s =
+# ((sqrt(tok_s)/sq_tot) * tot) / tok_s with EXACTLY this parenthesization
+# on both engines — sqrt/divide/multiply are IEEE-correctly-rounded over
+# bit-identical inputs, so the doubles agree bit-for-bit and the integer
+# finishes (ROUND to basis points, FLOOR to epochs) agree exactly.
+_RATE_CTES_DUCK = f"""
+    per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({_NTOK_DUCK}) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    den AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+               list_reduce(
+                   list_transform(LIST(CAST(n_tokens AS DOUBLE) ORDER BY source),
+                                  x -> sqrt(x)),
+                   (a, b) -> a + b) AS sq_tot
+        FROM per_src
+    ),
+    plan AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(ROUND(1.0e4 * (((sqrt(CAST(n_tokens AS DOUBLE)) / sq_tot)
+                                    * CAST(tot AS DOUBLE))
+                                   / CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                   AS ratio_bp
+        FROM per_src, den
+    )
+"""
+
+
+def _rate_df(docs: DataFrame) -> DataFrame:
+    """Spark twin of the _RATE_CTES_DUCK plan CTE: (source, n_docs,
+    n_tokens, ratio_bp) — ratio_bp = round(1e4 * temperature-target /
+    actual tokens), exact integer finish over bit-identical doubles."""
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr(_NTOK_SPARK)).cast("long").alias("n_tokens"),
+    )
+    den = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_tokens"].cast("double")),
+        ).alias("sq_tot"),
+    )
+    ratio = (
+        (F.sqrt(F.col("n_tokens").cast("double")) / F.col("sq_tot"))
+        * F.col("tot").cast("double")
+    ) / F.col("n_tokens").cast("double")
+    return per_src.crossJoin(F.broadcast(den)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.lit(1.0e4) * ratio).cast("long").alias("ratio_bp"),
+    )
+
+
+# =========================================================================
+# per-source sampling schedule
+# =========================================================================
+
+@register(
+    "source_sampling_plan",
+    f"""
+    WITH {_RATE_CTES_DUCK}
+    SELECT source, n_docs, n_tokens, ratio_bp,
+           LEAST(10000, ratio_bp) AS keep_rate_bp,
+           ratio_bp // 10000 AS full_epochs,
+           CASE WHEN ratio_bp >= 10000 THEN ratio_bp % 10000
+                ELSE ratio_bp END AS partial_epoch_bp
+    FROM plan
+    """,
+)
+def source_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling schedule from the temperature (alpha=1/2)
+    mixture: ratio_bp = round(1e4 * target_tokens / actual_tokens).
+    Down-sampled sources (ratio < 1) get keep_rate_bp; up-sampled ones
+    get full_epochs complete passes plus a partial_epoch_bp-rate pass —
+    the standard way small sources are up-weighted without replacement
+    inside an epoch. Float-free output: every emitted column is a BIGINT
+    (the doubles inside are the wave-9 bit-identical fold; the ROUND
+    finish is the proven half-up device). Scale: one hash aggregate to
+    |sources| rows, a fold over that tiny list, nothing touching the
+    corpus twice."""
+    plan = _rate_df(t(spark, sf_dir, "documents"))
+    return plan.select(
+        "source", "n_docs", "n_tokens", "ratio_bp",
+        F.least(F.lit(10000), F.col("ratio_bp")).cast("long")
+            .alias("keep_rate_bp"),
+        F.expr("ratio_bp div 10000").cast("long").alias("full_epochs"),
+        F.when(F.col("ratio_bp") >= 10000, F.col("ratio_bp") % 10000)
+            .otherwise(F.col("ratio_bp")).cast("long")
+            .alias("partial_epoch_bp"),
+    )
+
+
+# =========================================================================
+# deterministic per-document downsample decision
+# =========================================================================
+
+@register(
+    "deterministic_downsample",
+    f"""
+    WITH {_RATE_CTES_DUCK}
+    SELECT d.doc_id, d.source,
+           CAST(CASE
+               WHEN p.ratio_bp >= 10000 THEN 1
+               WHEN substr(md5('{_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    < printf('%08x', p.ratio_bp * {_HASH_SPACE} // 10000)
+                   THEN 1
+               ELSE 0
+           END AS BIGINT) AS keep
+    FROM documents d
+    JOIN plan p USING (source)
+    """,
+)
+def deterministic_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized sampling decision: keep doc iff the first 8 hex
+    chars of md5('samp:'||doc_id) fall below the source's rate threshold
+    floor(rate_bp * 2^32 / 1e4), compared as FIXED-WIDTH lowercase hex
+    strings (lexicographic == numeric for fixed-width hex — the llm6
+    min-hex device; neither engine parses hex to int). Salted so the
+    draw is independent of the llm6 split assignment. Up-sampled sources
+    (ratio >= 1) keep everything; their extra epochs are the plan
+    gate's schedule. Scale: row-local hash + broadcast rate attach —
+    the corpus is never shuffled; the decision is a pure function of
+    doc_id, so retries, repartitions, and re-runs draw the SAME sample."""
+    docs = t(spark, sf_dir, "documents")
+    plan = _rate_df(docs).select("source", "ratio_bp")
+    thresh_hex = F.format_string(
+        "%08x", F.expr(f"ratio_bp * {_HASH_SPACE} div 10000"))
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))), 1, 8)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .select(
+            "doc_id", "source",
+            F.when(F.col("ratio_bp") >= 10000, F.lit(1))
+             .when(h8 < thresh_hex, F.lit(1))
+             .otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Property tests for the wave-11 sampling gates (registry_llm11):
+pure-Python reconstruction of the temperature sampling plan (sqrt fold
+in source order, round-half-up basis points, epoch split) and of the
+salted-md5 keep decision, plus the invariants that make the sample
+defensible — determinism across partitionings, plan/sample agreement,
+and the up-source keep-everything rule.  Cross-engine value evidence
+lives in the DuckDB oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm11 as m
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_plan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "text").collect()
+    toks = defaultdict(int)
+    ndocs = defaultdict(int)
+    for r in docs:
+        toks[r.source] += len([t for t in r.text.split(" ") if t])
+        ndocs[r.source] += 1
+    tot = sum(toks.values())
+    sq_tot = 0.0
+    for s in sorted(toks):                       # the source-ordered fold
+        sq_tot += math.sqrt(float(toks[s]))
+    plan = {}
+    for s, n in toks.items():
+        ratio = ((math.sqrt(float(n)) / sq_tot) * float(tot)) / float(n)
+        # round-half-up on the exact binary double, like both engines
+        ratio_bp = int(math.floor(1.0e4 * ratio + 0.5))
+        plan[s] = (ndocs[s], n, ratio_bp)
+    return plan
+
+
+def test_sampling_plan_reconstructs(spark):
+    got = {r.source: r for r in m.source_sampling_plan(spark, SF).collect()}
+    plan = _py_plan(spark)
+    assert set(got) == set(plan)
+    for s, (nd, nt, ratio_bp) in plan.items():
+        r = got[s]
+        assert (r.n_docs, r.n_tokens, r.ratio_bp) == (nd, nt, ratio_bp), s
+        assert r.keep_rate_bp == min(10000, ratio_bp)
+        assert r.full_epochs == ratio_bp // 10000
+        assert r.partial_epoch_bp == (
+            ratio_bp % 10000 if ratio_bp >= 10000 else ratio_bp)
+        # the schedule decomposition is exact: full epochs + partial = ratio
+        assert r.full_epochs * 10000 + r.partial_epoch_bp == ratio_bp
+
+
+def test_downsample_reconstructs_and_is_deterministic(spark):
+    plan = _py_plan(spark)
+    got = {r.doc_id: r for r in
+           m.deterministic_downsample(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        ratio_bp = plan[d.source][2]
+        if ratio_bp >= 10000:
+            want = 1
+        else:
+            h8 = hashlib.md5(f"samp:{d.doc_id}".encode()).hexdigest()[:8]
+            thresh = format(ratio_bp * m._HASH_SPACE // 10000, "08x")
+            want = 1 if h8 < thresh else 0
+        assert got[d.doc_id].keep == want, d
+    # determinism across partitionings: a repartitioned corpus draws the
+    # IDENTICAL sample (the property sample() cannot give)
+    out2 = {r.doc_id: r.keep for r in
+            m.deterministic_downsample(spark, SF).repartition(7).collect()}
+    assert out2 == {k: v.keep for k, v in got.items()}
+
+
+def test_downsample_agrees_with_plan(spark):
+    """Per-source realized keep share lands near keep_rate_bp (the hash is
+    uniform), and up-sampled sources keep EVERYTHING."""
+    plan = {r.source: r for r in m.source_sampling_plan(spark, SF).collect()}
+    kept = defaultdict(int)
+    seen = defaultdict(int)
+    for r in m.deterministic_downsample(spark, SF).collect():
+        seen[r.source] += 1
+        kept[r.source] += r.keep
+    for s, p in plan.items():
+        assert seen[s] == p.n_docs
+        if p.ratio_bp >= 10000:
+            assert kept[s] == seen[s], s        # up-source: keep all
+        else:
+            # binomial-ish tolerance over small n: 4 sigma + 1
+            exp = seen[s] * p.keep_rate_bp / 1e4
+            sd = math.sqrt(seen[s] * (p.keep_rate_bp / 1e4)
+                           * (1 - p.keep_rate_bp / 1e4))
+            assert abs(kept[s] - exp) <= 4 * sd + 1, (s, kept[s], exp)
