@@ -189,3 +189,131 @@ def deterministic_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.lit(0)).cast("long").alias("keep"),
         )
     )
+
+
+# =========================================================================
+# DSIR-style importance weights — p_target / p_base bigram LM ratio
+# =========================================================================
+
+_DSIR_TARGET = "src0"   # the "high-quality domain" proxy corpus
+
+_DSIR_SQL = f"""
+    WITH toked AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+        FROM toked WHERE len(toks) >= 2
+    ),
+    bg AS (SELECT doc_id, source, toks[i] AS a, toks[i + 1] AS b FROM pos),
+    cab_b AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    ca_b  AS (SELECT a, COUNT(*) AS n_a FROM bg GROUP BY 1),
+    cab_t AS (SELECT a, b, COUNT(*) AS n_ab FROM bg
+              WHERE source = '{_DSIR_TARGET}' GROUP BY 1, 2),
+    ca_t  AS (SELECT a, COUNT(*) AS n_a FROM bg
+              WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+    vb AS (
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tk
+            FROM documents)
+    ),
+    vt AS (
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source = '{_DSIR_TARGET}')
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(ln(
+               CAST(COALESCE(ct.n_ab, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(at.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
+               AS BIGINT)) AS BIGINT) AS lp_target_micro,
+           CAST(SUM(CAST(round(ln(
+               CAST(cb.n_ab + 1 AS DOUBLE)
+               / CAST(ab.n_a + vb.v AS DOUBLE)) * 1e6)
+               AS BIGINT)) AS BIGINT) AS lp_base_micro,
+           CAST(SUM(CAST(round(ln(
+               CAST(COALESCE(ct.n_ab, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(at.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
+               AS BIGINT)
+             - CAST(round(ln(
+               CAST(cb.n_ab + 1 AS DOUBLE)
+               / CAST(ab.n_a + vb.v AS DOUBLE)) * 1e6)
+               AS BIGINT)) AS BIGINT) AS log_ratio_micro
+    FROM bg
+    JOIN cab_b cb USING (a, b)
+    JOIN ca_b ab USING (a)
+    LEFT JOIN cab_t ct USING (a, b)
+    LEFT JOIN ca_t at USING (a)
+    CROSS JOIN vb CROSS JOIN vt
+    GROUP BY bg.doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection score (Xie et al. 2023, public): per
+    document, the log importance ratio ln(p_target/p_base) under two
+    Laplace-smoothed bigram LMs — target = the 'src0' domain proxy,
+    base = the full corpus. p(b|a) = (c(a,b)+1)/(c(a)+V) with V the
+    respective corpus's distinct-token vocabulary, so unseen-in-target
+    bigrams score -ln(V_t) instead of -inf. Per-occurrence log-probs are
+    micro-nat quantized (the doc_bigram_logprob device) so per-doc sums
+    are order-free BIGINTs, hash-exact at any parallelism; the emitted
+    log_ratio_micro is the doc's resampling key (DSIR keeps docs with
+    the largest ratios / samples proportionally to exp of it).
+
+    Scale: the two count tables are Zipf-bounded far below the corpus
+    (target's strictly smaller); two broadcast-able scalars (V_t, V_b);
+    two equi-joins back to the per-doc bigram stream plus two LEFT
+    attaches for the target counts — the same shape as the base bigram
+    gate, run twice. Nothing quadratic, nothing driver-side."""
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) AS a,"
+                "             element_at(split(text, ' '), i + 1) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", F.col("p.a").alias("a"),
+             F.col("p.b").alias("b"))
+    tgt = bg.filter(F.col("source") == _DSIR_TARGET)
+    cab_b = bg.groupBy("a", "b").agg(F.count("*").alias("n_ab_b"))
+    ca_b = bg.groupBy("a").agg(F.count("*").alias("n_a_b"))
+    cab_t = tgt.groupBy("a", "b").agg(F.count("*").alias("n_ab_t"))
+    ca_t = tgt.groupBy("a").agg(F.count("*").alias("n_a_t"))
+
+    def vocab(d: DataFrame, out: str) -> DataFrame:
+        return d.select(
+            F.explode(F.expr(
+                "filter(split(text, ' '), x -> x != '')")).alias("tk")
+        ).agg(F.countDistinct("tk").cast("long").alias(out))
+
+    vb = vocab(docs, "v_b")
+    vt = vocab(docs.filter(F.col("source") == _DSIR_TARGET), "v_t")
+
+    lp_t = F.round(F.log(
+        (F.coalesce(F.col("n_ab_t"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("n_a_t"), F.lit(0)) + F.col("v_t")).cast("double")
+    ) * 1e6).cast("long")
+    lp_b = F.round(F.log(
+        (F.col("n_ab_b") + 1).cast("double")
+        / (F.col("n_a_b") + F.col("v_b")).cast("double")
+    ) * 1e6).cast("long")
+    return (
+        bg.join(cab_b, ["a", "b"]).join(ca_b, "a")
+        .join(cab_t, ["a", "b"], "left").join(ca_t, "a", "left")
+        .crossJoin(F.broadcast(vb)).crossJoin(F.broadcast(vt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(lp_t).cast("long").alias("lp_target_micro"),
+            F.sum(lp_b).cast("long").alias("lp_base_micro"),
+            F.sum(lp_t - lp_b).cast("long").alias("log_ratio_micro"),
+        )
+    )

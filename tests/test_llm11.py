@@ -95,3 +95,58 @@ def test_downsample_agrees_with_plan(spark):
             sd = math.sqrt(seen[s] * (p.keep_rate_bp / 1e4)
                            * (1 - p.keep_rate_bp / 1e4))
             assert abs(kept[s] - exp) <= 4 * sd + 1, (s, kept[s], exp)
+
+
+def test_dsir_reconstructs(spark):
+    """Pure-Python replay of both Laplace bigram LMs and the micro-nat
+    ratio — and the identity that target docs' own mass pushes their
+    ratio up on average (the selection property DSIR relies on)."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text").collect()
+    bg_all, bg_doc = [], {}
+    vocab_b, vocab_t = set(), set()
+    for r in docs:
+        toks = r.text.split(" ")
+        clean = [x for x in toks if x]
+        vocab_b.update(clean)
+        if r.source == m._DSIR_TARGET:
+            vocab_t.update(clean)
+        if len(toks) >= 2:
+            pairs = list(zip(toks, toks[1:]))
+            bg_doc[r.doc_id] = pairs
+            bg_all.append((r.source, pairs))
+    cab_b, ca_b, cab_t, ca_t = Counter(), Counter(), Counter(), Counter()
+    for src, pairs in bg_all:
+        for p in pairs:
+            cab_b[p] += 1
+            ca_b[p[0]] += 1
+            if src == m._DSIR_TARGET:
+                cab_t[p] += 1
+                ca_t[p[0]] += 1
+    vb, vt = len(vocab_b), len(vocab_t)
+
+    def micro(n_ab, n_a, v):
+        return int(math.floor(
+            math.log((n_ab + 1) / (n_a + v)) * 1e6 + 0.5))
+
+    got = {r.doc_id: r for r in
+           m.dsir_importance_weights(spark, SF).collect()}
+    assert set(got) == set(bg_doc)
+    for doc_id, pairs in bg_doc.items():
+        lp_t = sum(micro(cab_t[p], ca_t[p[0]], vt) for p in pairs)
+        lp_b = sum(micro(cab_b[p], ca_b[p[0]], vb) for p in pairs)
+        r = got[doc_id]
+        assert (r.n_bigrams, r.lp_target_micro, r.lp_base_micro) == (
+            len(pairs), lp_t, lp_b), doc_id
+        assert r.log_ratio_micro == lp_t - lp_b
+    # selection property: target-source docs average a HIGHER ratio than
+    # the rest (their n-grams are literally the target LM's mass)
+    src_of = {r.doc_id: r.source for r in docs}
+    tgt = [got[d].log_ratio_micro for d in got
+           if src_of[d] == m._DSIR_TARGET]
+    rest = [got[d].log_ratio_micro for d in got
+            if src_of[d] != m._DSIR_TARGET]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
