@@ -50,3 +50,53 @@ def test_sq8_reconstructs(spark):
             # |err| <= half a grid step (+1 pico for the quantization)
             half_step = 0.5 / scale
             assert r.max_abs_err_pico <= 1.0e12 * half_step + 1
+
+
+def test_heldout_perplexity_reconstructs(spark):
+    """Pure-Python replay: md5 split, train-only Laplace bigram LM,
+    micro-nat scoring of every val/test bigram, unseen counts — plus
+    the sanity that every emitted number is internally consistent."""
+    import hashlib
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+
+    def split_of(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return "val" if h in "cd" else "test" if h in "ef" else "train"
+
+    cab, ca = Counter(), Counter()
+    vocab_t = set()
+    held = defaultdict(list)            # split -> [(doc_id, pairs)]
+    for r in docs:
+        toks = r.text.split(" ")
+        sp = split_of(r.doc_id)
+        if sp == "train":
+            vocab_t.update(x for x in toks if x)
+        pairs = list(zip(toks, toks[1:])) if len(toks) >= 2 else []
+        if sp == "train":
+            for p in pairs:
+                cab[p] += 1
+                ca[p[0]] += 1
+        elif pairs:
+            held[sp].append((r.doc_id, pairs))
+    v = len(vocab_t)
+
+    got = {r.split: r for r in
+           m.heldout_bigram_perplexity(spark, SF).collect()}
+    assert set(got) == set(held)
+    for sp, entries in held.items():
+        lp = unseen = nbg = 0
+        for _, pairs in entries:
+            for p in pairs:
+                nbg += 1
+                if p not in cab:
+                    unseen += 1
+                lp += int(math.floor(
+                    math.log((cab[p] + 1) / (ca[p[0]] + v)) * 1e6 + 0.5))
+        r = got[sp]
+        assert (r.n_docs, r.n_bigrams) == (len(entries), nbg), sp
+        assert (r.lp_micro_total, r.unseen_bigrams) == (lp, unseen), sp
+        # consistency: every bigram contributes a negative log-prob
+        assert r.lp_micro_total < 0 and 0 <= r.unseen_bigrams <= r.n_bigrams
