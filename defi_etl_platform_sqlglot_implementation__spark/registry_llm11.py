@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register, t
-from .registry_llm6 import _NTOK_DUCK, _NTOK_SPARK
+from .registry_llm9 import _PER_SRC_DEN_CTES, _per_src_den
 
 # 2^32 — the hash space of the first 8 md5 hex chars
 _HASH_SPACE = 4294967296
@@ -50,28 +50,21 @@ _SALT = "samp:"
 # on both engines — sqrt/divide/multiply are IEEE-correctly-rounded over
 # bit-identical inputs, so the doubles agree bit-for-bit and the integer
 # finishes (ROUND to basis points, FLOOR to epochs) agree exactly.
+# per_src/den are the wave-9 device imported from registry_llm9 — ONE
+# definition, so the executed plan can never disagree with the published
+# source_temperature_weights. The n_tokens > 0 guard keeps a zero-token
+# source at ratio 0 (nothing to sample) instead of 0/0 = NaN, which
+# DuckDB's BIGINT cast would reject while Spark silently NULLs.
 _RATE_CTES_DUCK = f"""
-    per_src AS (
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM({_NTOK_DUCK}) AS BIGINT) AS n_tokens
-        FROM documents
-        GROUP BY source
-    ),
-    den AS (
-        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
-               list_reduce(
-                   list_transform(LIST(CAST(n_tokens AS DOUBLE) ORDER BY source),
-                                  x -> sqrt(x)),
-                   (a, b) -> a + b) AS sq_tot
-        FROM per_src
-    ),
+    {_PER_SRC_DEN_CTES},
     plan AS (
         SELECT source, n_docs, n_tokens,
-               CAST(ROUND(1.0e4 * (((sqrt(CAST(n_tokens AS DOUBLE)) / sq_tot)
-                                    * CAST(tot AS DOUBLE))
-                                   / CAST(n_tokens AS DOUBLE))) AS BIGINT)
-                   AS ratio_bp
+               CASE WHEN n_tokens > 0
+                    THEN CAST(ROUND(1.0e4
+                         * (((sqrt(CAST(n_tokens AS DOUBLE)) / sq_tot)
+                             * CAST(tot AS DOUBLE))
+                            / CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    ELSE 0 END AS ratio_bp
         FROM per_src, den
     )
 """
@@ -81,25 +74,16 @@ def _rate_df(docs: DataFrame) -> DataFrame:
     """Spark twin of the _RATE_CTES_DUCK plan CTE: (source, n_docs,
     n_tokens, ratio_bp) — ratio_bp = round(1e4 * temperature-target /
     actual tokens), exact integer finish over bit-identical doubles."""
-    per_src = docs.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.expr(_NTOK_SPARK)).cast("long").alias("n_tokens"),
-    )
-    den = per_src.agg(
-        F.sum("n_tokens").cast("long").alias("tot"),
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("source", "n_tokens"))),
-            F.lit(0.0),
-            lambda acc, x: acc + F.sqrt(x["n_tokens"].cast("double")),
-        ).alias("sq_tot"),
-    )
+    per_src, den = _per_src_den(docs)
     ratio = (
         (F.sqrt(F.col("n_tokens").cast("double")) / F.col("sq_tot"))
         * F.col("tot").cast("double")
     ) / F.col("n_tokens").cast("double")
     return per_src.crossJoin(F.broadcast(den)).select(
         "source", "n_docs", "n_tokens",
-        F.round(F.lit(1.0e4) * ratio).cast("long").alias("ratio_bp"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.lit(1.0e4) * ratio).cast("long"))
+         .otherwise(F.lit(0)).cast("long").alias("ratio_bp"),
     )
 
 
@@ -198,12 +182,14 @@ def deterministic_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_TARGET = "src0"   # the "high-quality domain" proxy corpus
 
 _DSIR_SQL = f"""
-    WITH toked AS (
-        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    WITH tf AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
     ),
     pos AS (
         SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
-        FROM toked WHERE len(toks) >= 2
+        FROM tf WHERE len(toks) >= 2
     ),
     bg AS (SELECT doc_id, source, toks[i] AS a, toks[i + 1] AS b FROM pos),
     cab_b AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
@@ -213,42 +199,41 @@ _DSIR_SQL = f"""
     ca_t  AS (SELECT a, COUNT(*) AS n_a FROM bg
               WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
     vb AS (
-        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
-            SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS tk
-            FROM documents)
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tk FROM tf)
     ),
     vt AS (
-        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
-            SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS tk
-            FROM documents WHERE source = '{_DSIR_TARGET}')
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tk FROM tf
+              WHERE source = '{_DSIR_TARGET}')
+    ),
+    per_doc AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(ln(
+                   CAST(COALESCE(ct.n_ab, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(at.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
+                   AS BIGINT)) AS BIGINT) AS lp_target_micro,
+               CAST(SUM(CAST(round(ln(
+                   CAST(cb.n_ab + 1 AS DOUBLE)
+                   / CAST(ab.n_a + vb.v AS DOUBLE)) * 1e6)
+                   AS BIGINT)) AS BIGINT) AS lp_base_micro
+        FROM bg
+        JOIN cab_b cb USING (a, b)
+        JOIN ca_b ab USING (a)
+        LEFT JOIN cab_t ct USING (a, b)
+        LEFT JOIN ca_t at USING (a)
+        CROSS JOIN vb CROSS JOIN vt
+        GROUP BY bg.doc_id
     )
-    SELECT bg.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(round(ln(
-               CAST(COALESCE(ct.n_ab, 0) + 1 AS DOUBLE)
-               / CAST(COALESCE(at.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
-               AS BIGINT)) AS BIGINT) AS lp_target_micro,
-           CAST(SUM(CAST(round(ln(
-               CAST(cb.n_ab + 1 AS DOUBLE)
-               / CAST(ab.n_a + vb.v AS DOUBLE)) * 1e6)
-               AS BIGINT)) AS BIGINT) AS lp_base_micro,
-           CAST(SUM(CAST(round(ln(
-               CAST(COALESCE(ct.n_ab, 0) + 1 AS DOUBLE)
-               / CAST(COALESCE(at.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
-               AS BIGINT)
-             - CAST(round(ln(
-               CAST(cb.n_ab + 1 AS DOUBLE)
-               / CAST(ab.n_a + vb.v AS DOUBLE)) * 1e6)
-               AS BIGINT)) AS BIGINT) AS log_ratio_micro
-    FROM bg
-    JOIN cab_b cb USING (a, b)
-    JOIN ca_b ab USING (a)
-    LEFT JOIN cab_t ct USING (a, b)
-    LEFT JOIN ca_t at USING (a)
-    CROSS JOIN vb CROSS JOIN vt
-    GROUP BY bg.doc_id
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.lp_target_micro, 0) AS lp_target_micro,
+           COALESCE(p.lp_base_micro, 0) AS lp_base_micro,
+           COALESCE(p.lp_target_micro, 0) - COALESCE(p.lp_base_micro, 0)
+               AS log_ratio_micro
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -259,11 +244,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace-smoothed bigram LMs — target = the 'src0' domain proxy,
     base = the full corpus. p(b|a) = (c(a,b)+1)/(c(a)+V) with V the
     respective corpus's distinct-token vocabulary, so unseen-in-target
-    bigrams score -ln(V_t) instead of -inf. Per-occurrence log-probs are
-    micro-nat quantized (the doc_bigram_logprob device) so per-doc sums
-    are order-free BIGINTs, hash-exact at any parallelism; the emitted
-    log_ratio_micro is the doc's resampling key (DSIR keeps docs with
-    the largest ratios / samples proportionally to exp of it).
+    bigrams score -ln(V_t) instead of -inf. Bigrams and vocabularies use
+    the SAME token definition (non-empty split tokens — the _NTOK
+    convention), so the Laplace event space and its V cover the same
+    tokens. Per-occurrence log-probs are micro-nat quantized (the
+    doc_bigram_logprob device) so per-doc sums are order-free BIGINTs,
+    hash-exact at any parallelism; log_ratio_micro — derived as the
+    difference of the two emitted sums (SUM is linear over BIGINT) — is
+    the doc's resampling key. EVERY document appears in the output:
+    docs with fewer than two tokens carry the neutral score 0, so a
+    downstream resampler joining on this gate never silently drops them.
 
     Scale: the two count tables are Zipf-bounded far below the corpus
     (target's strictly smaller); two broadcast-able scalars (V_t, V_b);
@@ -271,13 +261,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches for the target counts — the same shape as the base bigram
     gate, run twice. Nothing quadratic, nothing driver-side."""
     docs = t(spark, sf_dir, "documents")
-    bg = docs.filter(F.size(F.split("text", " ")) >= 2).select(
+    tf = docs.select(
+        "doc_id", "source",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+    bg = tf.filter(F.size("toks") >= 2).select(
         "doc_id", "source",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) AS a,"
-                "             element_at(split(text, ' '), i + 1) AS b))"
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS a,"
+                "             element_at(toks, i + 1) AS b))"
             )
         ).alias("p"),
     ).select("doc_id", "source", F.col("p.a").alias("a"),
@@ -289,13 +282,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca_t = tgt.groupBy("a").agg(F.count("*").alias("n_a_t"))
 
     def vocab(d: DataFrame, out: str) -> DataFrame:
-        return d.select(
-            F.explode(F.expr(
-                "filter(split(text, ' '), x -> x != '')")).alias("tk")
-        ).agg(F.countDistinct("tk").cast("long").alias(out))
+        return d.select(F.explode("toks").alias("tk"))                 .agg(F.countDistinct("tk").cast("long").alias(out))
 
-    vb = vocab(docs, "v_b")
-    vt = vocab(docs.filter(F.col("source") == _DSIR_TARGET), "v_t")
+    vb = vocab(tf, "v_b")
+    vt = vocab(tf.filter(F.col("source") == _DSIR_TARGET), "v_t")
 
     lp_t = F.round(F.log(
         (F.coalesce(F.col("n_ab_t"), F.lit(0)) + 1).cast("double")
@@ -305,7 +295,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_ab_b") + 1).cast("double")
         / (F.col("n_a_b") + F.col("v_b")).cast("double")
     ) * 1e6).cast("long")
-    return (
+    per_doc = (
         bg.join(cab_b, ["a", "b"]).join(ca_b, "a")
         .join(cab_t, ["a", "b"], "left").join(ca_t, "a", "left")
         .crossJoin(F.broadcast(vb)).crossJoin(F.broadcast(vt))
@@ -314,6 +304,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_bigrams"),
             F.sum(lp_t).cast("long").alias("lp_target_micro"),
             F.sum(lp_b).cast("long").alias("lp_base_micro"),
-            F.sum(lp_t - lp_b).cast("long").alias("log_ratio_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+             .alias("n_bigrams"),
+            F.coalesce("lp_target_micro", F.lit(0)).cast("long")
+             .alias("lp_target_micro"),
+            F.coalesce("lp_base_micro", F.lit(0)).cast("long")
+             .alias("lp_base_micro"),
+            (F.coalesce("lp_target_micro", F.lit(0))
+             - F.coalesce("lp_base_micro", F.lit(0))).cast("long")
+             .alias("log_ratio_micro"),
         )
     )

@@ -123,15 +123,15 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry_llm6 import _SPLIT_CASE_DUCK as _SPLIT
 
 _HELDOUT_SQL = f"""
-    WITH toked AS (
+    WITH tf AS (
         SELECT doc_id,
                {_SPLIT.format(id='doc_id')} AS split,
-               string_split(text, ' ') AS toks
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
         FROM documents
     ),
     pos AS (
         SELECT doc_id, split, toks, unnest(range(1, len(toks))) AS i
-        FROM toked WHERE len(toks) >= 2
+        FROM tf WHERE len(toks) >= 2
     ),
     bg AS (SELECT doc_id, split, toks[i] AS a, toks[i + 1] AS b FROM pos),
     cab AS (SELECT a, b, COUNT(*) AS n_ab FROM bg
@@ -139,27 +139,35 @@ _HELDOUT_SQL = f"""
     ca  AS (SELECT a, COUNT(*) AS n_a FROM bg
             WHERE split = 'train' GROUP BY 1),
     vt AS (
-        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
-            SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS tk
-            FROM documents
-            WHERE ({_SPLIT.format(id='doc_id')}) = 'train')
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tk FROM tf WHERE split = 'train')
+    ),
+    bstats AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(ln(
+                   CAST(COALESCE(cab.n_ab, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(ca.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
+                   AS BIGINT)) AS BIGINT) AS lp_micro_total,
+               CAST(SUM(CASE WHEN cab.n_ab IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS unseen_bigrams
+        FROM bg
+        LEFT JOIN cab USING (a, b)
+        LEFT JOIN ca USING (a)
+        CROSS JOIN vt
+        WHERE split <> 'train'
+        GROUP BY split
+    ),
+    dc AS (
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM tf WHERE split <> 'train' GROUP BY split
     )
-    SELECT split,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(round(ln(
-               CAST(COALESCE(cab.n_ab, 0) + 1 AS DOUBLE)
-               / CAST(COALESCE(ca.n_a, 0) + vt.v AS DOUBLE)) * 1e6)
-               AS BIGINT)) AS BIGINT) AS lp_micro_total,
-           CAST(SUM(CASE WHEN cab.n_ab IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS unseen_bigrams
-    FROM bg
-    LEFT JOIN cab USING (a, b)
-    LEFT JOIN ca USING (a)
-    CROSS JOIN vt
-    WHERE split <> 'train'
-    GROUP BY split
+    SELECT dc.split, dc.n_docs,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           COALESCE(b.lp_micro_total, 0) AS lp_micro_total,
+           COALESCE(b.unseen_bigrams, 0) AS unseen_bigrams
+    FROM dc
+    LEFT JOIN bstats b USING (split)
 """
 
 
@@ -168,13 +176,16 @@ def heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The eval step for the LM-data pipeline: a Laplace-smoothed bigram
     LM is trained on the TRAIN split only (the llm6 md5 split device, so
     this gate can never disagree with the split assignment) and scored
-    on every val/test bigram — per split, the doc/bigram counts, the
-    order-free micro-nat total log-probability (mean-per-bigram and
+    on every val/test bigram — per split, ALL held-out docs counted
+    (zero-bigram docs included, so n_docs matches the split assignment),
+    the order-free micro-nat total log-probability (mean-per-bigram and
     perplexity are one division away, left to the reader of the report
     to keep the gate integer-exact), and the unseen-bigram count (the
     coverage number that explains the score). Laplace p(b|a) =
-    (c(a,b)+1)/(c(a)+V_train) with V_train the train-split vocabulary,
-    so unseen bigrams cost -ln(c(a)+V) instead of -inf.
+    (c(a,b)+1)/(c(a)+V_train) with V_train the train-split vocabulary;
+    bigrams and V use the SAME token definition (non-empty split tokens,
+    the _NTOK convention), so unseen bigrams cost -ln(c(a)+V), never
+    -inf.
 
     Scale: the train-count tables are Zipf-bounded; the held-out stream
     is ~25% of the corpus; two LEFT equi-joins + one broadcast scalar +
@@ -183,13 +194,16 @@ def heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_llm6 import _split_col
 
     docs = t(spark, sf_dir, "documents").withColumn("split", _split_col())
-    bg = docs.filter(F.size(F.split("text", " ")) >= 2).select(
+    tf = docs.select(
+        "doc_id", "split",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+    bg = tf.filter(F.size("toks") >= 2).select(
         "doc_id", "split",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) AS a,"
-                "             element_at(split(text, ' '), i + 1) AS b))"
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS a,"
+                "             element_at(toks, i + 1) AS b))"
             )
         ).alias("p"),
     ).select("doc_id", "split", F.col("p.a").alias("a"),
@@ -198,26 +212,38 @@ def heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab = tr.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
     ca = tr.groupBy("a").agg(F.count("*").alias("n_a"))
     vt = (
-        docs.filter(F.col("split") == "train")
-        .select(F.explode(F.expr(
-            "filter(split(text, ' '), x -> x != '')")).alias("tk"))
+        tf.filter(F.col("split") == "train")
+        .select(F.explode("toks").alias("tk"))
         .agg(F.countDistinct("tk").cast("long").alias("v"))
     )
     lp = F.round(F.log(
         (F.coalesce(F.col("n_ab"), F.lit(0)) + 1).cast("double")
         / (F.coalesce(F.col("n_a"), F.lit(0)) + F.col("v")).cast("double")
     ) * 1e6).cast("long")
-    return (
+    bstats = (
         bg.filter(F.col("split") != "train")
         .join(cab, ["a", "b"], "left")
         .join(ca, "a", "left")
         .crossJoin(F.broadcast(vt))
         .groupBy("split")
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_bigrams"),
             F.sum(lp).cast("long").alias("lp_micro_total"),
             F.sum(F.when(F.col("n_ab").isNull(), 1).otherwise(0))
              .cast("long").alias("unseen_bigrams"),
+        )
+    )
+    dc = (tf.filter(F.col("split") != "train")
+          .groupBy("split").agg(F.count("*").cast("long").alias("n_docs")))
+    return (
+        dc.join(bstats, "split", "left")
+        .select(
+            "split", "n_docs",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+             .alias("n_bigrams"),
+            F.coalesce("lp_micro_total", F.lit(0)).cast("long")
+             .alias("lp_micro_total"),
+            F.coalesce("unseen_bigrams", F.lit(0)).cast("long")
+             .alias("unseen_bigrams"),
         )
     )

@@ -104,10 +104,12 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # temperature-based source mixture weights — w_s ∝ tokens_s^alpha
 # =========================================================================
 
-@register(
-    "source_temperature_weights",
-    f"""
-    WITH per_src AS (
+# ONE definition of the per-source token reduction + source-ordered
+# sqrt-fold denominator, shared with the wave-11 sampling gates
+# (registry_llm11) so the executed sampling plan can never disagree with
+# the published mixture weights. The text composes into this gate's
+# oracle BYTE-IDENTICALLY (pinned by test_llm11's fragment test).
+_PER_SRC_DEN_CTES = f"""per_src AS (
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM({_NTOK_DUCK}) AS BIGINT) AS n_tokens
@@ -121,7 +123,30 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   x -> sqrt(x)),
                    (a, b) -> a + b) AS sq_tot
         FROM per_src
+    )"""
+
+
+def _per_src_den(docs):
+    """Spark twin of _PER_SRC_DEN_CTES: (per_src, den) DataFrames."""
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr(_NTOK_SPARK)).cast("long").alias("n_tokens"),
     )
+    den = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_tokens"].cast("double")),
+        ).alias("sq_tot"),
+    )
+    return per_src, den
+
+
+@register(
+    "source_temperature_weights",
+    f"""
+    WITH {_PER_SRC_DEN_CTES}
     SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / tot AS w_raw,
            sqrt(CAST(n_tokens AS DOUBLE)) / sq_tot AS w_temp
@@ -141,19 +166,7 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare bit-exactly, no quantization needed. Scale: one hash
     aggregate to |sources| rows; the fold runs over the tiny per-source
     list, never the corpus."""
-    docs = t(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.expr(_NTOK_SPARK)).cast("long").alias("n_tokens"),
-    )
-    den = per_src.agg(
-        F.sum("n_tokens").cast("long").alias("tot"),
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("source", "n_tokens"))),
-            F.lit(0.0),
-            lambda acc, x: acc + F.sqrt(x["n_tokens"].cast("double")),
-        ).alias("sq_tot"),
-    )
+    per_src, den = _per_src_den(t(spark, sf_dir, "documents"))
     return per_src.crossJoin(F.broadcast(den)).select(
         "source", "n_docs", "n_tokens",
         (F.col("n_tokens").cast("double") / F.col("tot")).alias("w_raw"),

@@ -69,11 +69,22 @@ def test_downsample_reconstructs_and_is_deterministic(spark):
             thresh = format(ratio_bp * m._HASH_SPACE // 10000, "08x")
             want = 1 if h8 < thresh else 0
         assert got[d.doc_id].keep == want, d
-    # determinism across partitionings: a repartitioned corpus draws the
-    # IDENTICAL sample (the property sample() cannot give)
-    out2 = {r.doc_id: r.keep for r in
-            m.deterministic_downsample(spark, SF).repartition(7).collect()}
-    assert out2 == {k: v.keep for k, v in got.items()}
+    # determinism across INPUT partitionings: re-run the gate on a
+    # physically repartitioned, row-shuffled copy of the corpus — a
+    # partition-seeded draw (F.rand) would change; the hash draw cannot
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="samp_repart_")
+    try:
+        (spark.read.parquet(f"{SF}/documents.parquet")
+         .repartition(7)
+         .sortWithinPartitions("source")
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+        out2 = {r.doc_id: r.keep for r in
+                m.deterministic_downsample(spark, tmp).collect()}
+        assert out2 == {k: v.keep for k, v in got.items()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_downsample_agrees_with_plan(spark):
@@ -97,6 +108,14 @@ def test_downsample_agrees_with_plan(spark):
             assert abs(kept[s] - exp) <= 4 * sd + 1, (s, kept[s], exp)
 
 
+def _half_away(v: float) -> int:
+    # both engines round ties away from zero (Spark HALF_UP == away for
+    # either sign; DuckDB round() is half-away) — floor(v+0.5) would be
+    # wrong on negative ties (the test_llm10 device)
+    import math
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
 def test_dsir_reconstructs(spark):
     """Pure-Python replay of both Laplace bigram LMs and the micro-nat
     ratio — and the identity that target docs' own mass pushes their
@@ -109,14 +128,13 @@ def test_dsir_reconstructs(spark):
     bg_all, bg_doc = [], {}
     vocab_b, vocab_t = set(), set()
     for r in docs:
-        toks = r.text.split(" ")
-        clean = [x for x in toks if x]
-        vocab_b.update(clean)
+        toks = [x for x in r.text.split(" ") if x]   # the _NTOK convention
+        vocab_b.update(toks)
         if r.source == m._DSIR_TARGET:
-            vocab_t.update(clean)
-        if len(toks) >= 2:
-            pairs = list(zip(toks, toks[1:]))
-            bg_doc[r.doc_id] = pairs
+            vocab_t.update(toks)
+        pairs = list(zip(toks, toks[1:])) if len(toks) >= 2 else []
+        bg_doc[r.doc_id] = pairs
+        if pairs:
             bg_all.append((r.source, pairs))
     cab_b, ca_b, cab_t, ca_t = Counter(), Counter(), Counter(), Counter()
     for src, pairs in bg_all:
@@ -129,11 +147,11 @@ def test_dsir_reconstructs(spark):
     vb, vt = len(vocab_b), len(vocab_t)
 
     def micro(n_ab, n_a, v):
-        return int(math.floor(
-            math.log((n_ab + 1) / (n_a + v)) * 1e6 + 0.5))
+        return _half_away(math.log((n_ab + 1) / (n_a + v)) * 1e6)
 
     got = {r.doc_id: r for r in
            m.dsir_importance_weights(spark, SF).collect()}
+    # EVERY document appears, zero-bigram docs with the neutral score
     assert set(got) == set(bg_doc)
     for doc_id, pairs in bg_doc.items():
         lp_t = sum(micro(cab_t[p], ca_t[p[0]], vt) for p in pairs)

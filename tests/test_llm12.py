@@ -54,10 +54,14 @@ def test_sq8_reconstructs(spark):
 
 def test_heldout_perplexity_reconstructs(spark):
     """Pure-Python replay: md5 split, train-only Laplace bigram LM,
-    micro-nat scoring of every val/test bigram, unseen counts — plus
-    the sanity that every emitted number is internally consistent."""
+    micro-nat scoring of every val/test bigram, unseen counts — n_docs
+    counts ALL held-out docs (zero-bigram included)."""
     import hashlib
     from collections import Counter
+
+    def _half_away(v):
+        return int(math.floor(v + 0.5)) if v >= 0 \
+            else int(math.ceil(v - 0.5))
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text").collect()
@@ -69,23 +73,24 @@ def test_heldout_perplexity_reconstructs(spark):
     cab, ca = Counter(), Counter()
     vocab_t = set()
     held = defaultdict(list)            # split -> [(doc_id, pairs)]
+    n_docs_all = defaultdict(int)       # split -> ALL docs incl. 0-bigram
     for r in docs:
-        toks = r.text.split(" ")
+        toks = [x for x in r.text.split(" ") if x]   # _NTOK convention
         sp = split_of(r.doc_id)
-        if sp == "train":
-            vocab_t.update(x for x in toks if x)
         pairs = list(zip(toks, toks[1:])) if len(toks) >= 2 else []
         if sp == "train":
+            vocab_t.update(toks)
             for p in pairs:
                 cab[p] += 1
                 ca[p[0]] += 1
-        elif pairs:
+        else:
+            n_docs_all[sp] += 1
             held[sp].append((r.doc_id, pairs))
     v = len(vocab_t)
 
     got = {r.split: r for r in
            m.heldout_bigram_perplexity(spark, SF).collect()}
-    assert set(got) == set(held)
+    assert set(got) == set(n_docs_all)
     for sp, entries in held.items():
         lp = unseen = nbg = 0
         for _, pairs in entries:
@@ -93,10 +98,10 @@ def test_heldout_perplexity_reconstructs(spark):
                 nbg += 1
                 if p not in cab:
                     unseen += 1
-                lp += int(math.floor(
-                    math.log((cab[p] + 1) / (ca[p[0]] + v)) * 1e6 + 0.5))
+                lp += _half_away(
+                    math.log((cab[p] + 1) / (ca[p[0]] + v)) * 1e6)
         r = got[sp]
-        assert (r.n_docs, r.n_bigrams) == (len(entries), nbg), sp
+        assert (r.n_docs, r.n_bigrams) == (n_docs_all[sp], nbg), sp
         assert (r.lp_micro_total, r.unseen_bigrams) == (lp, unseen), sp
         # consistency: every bigram contributes a negative log-prob
         assert r.lp_micro_total < 0 and 0 <= r.unseen_bigrams <= r.n_bigrams
