@@ -1,0 +1,158 @@
+"""Coverage wave 13 — winnowing fingerprints (Schleimer/Wilkerson/Aiken).
+
+``winnowing_fingerprints`` is the LOCAL fingerprint-selection scheme
+(MOSS) next to the repo's global ones (full-doc normalization hash,
+MinHash signatures, SimHash): hash every word k-gram, slide a window of
+``w`` consecutive hashes, and select the minimum of each window
+(rightmost position on ties). The selection guarantee — any shared run
+of at least w+k−1 tokens between two documents yields at least one
+SHARED selected fingerprint — is what makes winnowed sets a sound
+candidate index for plagiarism/near-dup detection at a fraction of the
+full k-gram set's size (expected density 2/(w+1)).
+
+Devices reused: word 4-grams via the llm2 ``slice``-based construction
+(O(words) per doc, the documented anti-O(words²) shape), fixed-width
+lowercase md5-prefix hashes compared lexicographically (the llm6
+min-hex device), and the all-docs-output discipline (short docs carry a
+neutral zero row).
+
+Scale: positions explode linearly; each position replicates into at
+most ``w`` covering windows (bounded ×4 fan-out, expression-level
+``sequence`` — never a positions×windows join); window argmin is one
+(doc, window)-keyed hash aggregate of a (hash, −pos) struct-min; the
+per-doc rollup is a second hash aggregate. No window functions over
+corpus-sized partitions, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+_K = 4    # tokens per gram
+_W = 4    # window: consecutive gram positions per selection
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(toks) - {_K - 1} AS n_pos,
+               greatest(1, len(toks) - {_K - 1} - {_W - 1}) AS n_win,
+               toks
+        FROM toked WHERE len(toks) >= {_K}
+    ),
+    pos AS (
+        SELECT doc_id, n_pos, n_win,
+               unnest(range(1, n_pos + 1)) AS p
+        FROM base
+    ),
+    hashed AS (
+        SELECT pos.doc_id, pos.n_win, pos.p,
+               substr(md5(array_to_string(
+                   b.toks[pos.p:pos.p + {_K - 1}], ' ')), 1, 16) AS h
+        FROM pos JOIN base b USING (doc_id)
+    ),
+    cand AS (
+        SELECT doc_id, p, h,
+               unnest(range(greatest(1, p - {_W - 1}),
+                            least(p, n_win) + 1)) AS j
+        FROM hashed
+    ),
+    sel AS (
+        SELECT doc_id, j, p, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                                  ORDER BY h, p DESC) AS rn
+        FROM cand
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT p) AS BIGINT) AS n_fingerprints,
+               MIN(h) AS min_fp
+        FROM sel WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN len(t.toks) >= {_K}
+                     THEN len(t.toks) - {_K - 1} ELSE 0 END AS BIGINT)
+               AS n_positions,
+           CAST(CASE WHEN len(t.toks) >= {_K}
+                     THEN greatest(1, len(t.toks) - {_K - 1} - {_W - 1})
+                     ELSE 0 END AS BIGINT) AS n_windows,
+           COALESCE(p.n_fingerprints, 0) AS n_fingerprints,
+           p.min_fp AS min_fp
+    FROM toked t
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint report per document — see module docstring.
+    Selection: per window of {w} consecutive k-gram hashes, the minimum
+    hash, RIGHTMOST position on ties (the canonical scheme); the
+    reported set is the distinct selected positions. min_fp (the doc's
+    smallest selected hash, a fixed-width hex string) is carried as a
+    cross-engine VALUE column. Docs with fewer than {k} tokens emit the
+    neutral zero row (all-docs-output discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    base = toked.filter(F.size("toks") >= _K).select(
+        "doc_id",
+        (F.size("toks") - (_K - 1)).alias("n_pos"),
+        F.greatest(F.lit(1), F.size("toks") - (_K - 1) - (_W - 1))
+         .alias("n_win"),
+        "toks",
+    )
+    hashed = base.select(
+        "doc_id", "n_win",
+        F.explode(F.expr("sequence(1, n_pos)")).alias("p"),
+        "toks",
+    ).select(
+        "doc_id", "n_win", "p",
+        F.substring(
+            F.md5(F.encode(
+                F.expr(f"concat_ws(' ', slice(toks, p, {_K}))"), "UTF-8")),
+            1, 16).alias("h"),
+    )
+    cand = hashed.select(
+        "doc_id", "p", "h",
+        F.explode(F.expr(
+            f"sequence(greatest(1, p - {_W - 1}), least(p, n_win))"
+        )).alias("j"),
+    )
+    # rightmost-tie argmin as a struct-min: smallest h, then smallest
+    # (-p) = LARGEST p — one hash aggregate, no per-window sort
+    sel = cand.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("h"), (-F.col("p")).alias("negp"))).alias("m"))
+    per_doc = sel.select(
+        "doc_id", F.col("m.h").alias("h"), (-F.col("m.negp")).alias("p")
+    ).groupBy("doc_id").agg(
+        F.countDistinct("p").cast("long").alias("n_fingerprints"),
+        F.min("h").alias("min_fp"),
+    )
+    return (
+        toked.select(
+            "doc_id",
+            F.when(F.size("toks") >= _K, F.size("toks") - (_K - 1))
+             .otherwise(F.lit(0)).cast("long").alias("n_positions"),
+            F.when(F.size("toks") >= _K,
+                   F.greatest(F.lit(1),
+                              F.size("toks") - (_K - 1) - (_W - 1)))
+             .otherwise(F.lit(0)).cast("long").alias("n_windows"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_positions", "n_windows",
+            F.coalesce("n_fingerprints", F.lit(0)).cast("long")
+             .alias("n_fingerprints"),
+            "min_fp",
+        )
+    )
+
+
+winnowing_fingerprints.__doc__ = winnowing_fingerprints.__doc__.format(
+    w=_W, k=_K)
