@@ -19,9 +19,13 @@ neutral zero row).
 Scale: positions explode linearly; each position replicates into at
 most ``w`` covering windows (bounded ×4 fan-out, expression-level
 ``sequence`` — never a positions×windows join); window argmin is one
-(doc, window)-keyed hash aggregate of a (hash, −pos) struct-min; the
-per-doc rollup is a second hash aggregate. No window functions over
-corpus-sized partitions, nothing quadratic.
+(doc, window)-keyed hash aggregate of a NUMERIC min — the selection
+key packs the 60-bit hash and the complemented position into one
+decimal(38,0)/HUGEINT, because Spark's HashAggregate requires
+fixed-size mutable aggregation buffers: min over a STRING or STRUCT
+falls back to SortAggregate (measured — 6 SortAggregates), min over a
+16-byte decimal stays hash + map-side partials. No
+window functions over corpus-sized partitions, nothing quadratic.
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ _W = 4    # window: consecutive gram positions per selection
     hashed AS (
         SELECT pos.doc_id, pos.n_win, pos.p,
                substr(md5(array_to_string(
-                   b.toks[pos.p:pos.p + {_K - 1}], ' ')), 1, 16) AS h
+                   b.toks[pos.p:pos.p + {_K - 1}], ' ')), 1, 15) AS h
         FROM pos JOIN base b USING (doc_id)
     ),
     cand AS (
@@ -66,16 +70,17 @@ _W = 4    # window: consecutive gram positions per selection
         FROM hashed
     ),
     sel AS (
-        SELECT doc_id, j, p, h,
-               ROW_NUMBER() OVER (PARTITION BY doc_id, j
-                                  ORDER BY h, p DESC) AS rn
-        FROM cand
+        SELECT doc_id, j,
+               MIN(CAST(CAST(('0x' || h) AS BIGINT) AS HUGEINT)
+                   * 4294967296 + (4294967295 - p)) AS sk
+        FROM cand GROUP BY doc_id, j
     ),
     per_doc AS (
         SELECT doc_id,
-               CAST(COUNT(DISTINCT p) AS BIGINT) AS n_fingerprints,
-               MIN(h) AS min_fp
-        FROM sel WHERE rn = 1 GROUP BY doc_id
+               CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_fingerprints,
+               printf('%015x', CAST(MIN(sk) // 4294967296 AS BIGINT))
+                   AS min_fp
+        FROM sel GROUP BY doc_id
     )
     SELECT t.doc_id,
            CAST(CASE WHEN len(t.toks) >= {_K}
@@ -116,7 +121,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(
             F.md5(F.encode(
                 F.expr(f"concat_ws(' ', slice(toks, p, {_K}))"), "UTF-8")),
-            1, 16).alias("h"),
+            1, 15).alias("h"),
     )
     cand = hashed.select(
         "doc_id", "p", "h",
@@ -124,15 +129,27 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sequence(greatest(1, p - {_W - 1}), least(p, n_win))"
         )).alias("j"),
     )
-    # rightmost-tie argmin as a struct-min: smallest h, then smallest
-    # (-p) = LARGEST p — one hash aggregate, no per-window sort
-    sel = cand.groupBy("doc_id", "j").agg(
-        F.min(F.struct(F.col("h"), (-F.col("p")).alias("negp"))).alias("m"))
-    per_doc = sel.select(
-        "doc_id", F.col("m.h").alias("h"), (-F.col("m.negp")).alias("p")
-    ).groupBy("doc_id").agg(
-        F.countDistinct("p").cast("long").alias("n_fingerprints"),
-        F.min("h").alias("min_fp"),
+    # rightmost-tie argmin as a NUMERIC min: the key packs the 60-bit
+    # hash (15 hex chars — fits a signed BIGINT) above the complemented
+    # position, so min(key) picks the smallest hash and, among equal
+    # hashes, the LARGEST position. Numeric because Spark's
+    # HashAggregate needs fixed-size mutable buffers — min(string) and
+    # min(struct) both fall back to SortAggregate, min(decimal(38,0))
+    # is a 16-byte fixed buffer and stays hash with map-side partials.
+    # Position determines the hash, so distinct selected keys ==
+    # distinct selected positions.
+    key = (
+        F.conv(F.col("h"), 16, 10).cast("decimal(38,0)")
+        * F.lit(4294967296)
+        + (F.lit(4294967295) - F.col("p"))
+    )
+    sel = cand.groupBy("doc_id", "j").agg(F.min(key).alias("sk"))
+    per_doc = sel.groupBy("doc_id").agg(
+        F.countDistinct("sk").cast("long").alias("n_fingerprints"),
+        F.format_string(
+            "%015x",
+            F.expr("CAST(min(sk) div 4294967296 AS BIGINT)"),
+        ).alias("min_fp"),
     )
     return (
         toked.select(

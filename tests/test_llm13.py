@@ -19,7 +19,7 @@ def _winnow(tokens: list[str]):
     if len(tokens) < k:
         return 0, 0, set()
     hashes = [
-        hashlib.md5(" ".join(tokens[i:i + k]).encode()).hexdigest()[:16]
+        hashlib.md5(" ".join(tokens[i:i + k]).encode()).hexdigest()[:15]
         for i in range(len(tokens) - k + 1)
     ]
     n_pos = len(hashes)
