@@ -173,3 +173,135 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 winnowing_fingerprints.__doc__ = winnowing_fingerprints.__doc__.format(
     w=_W, k=_K)
+
+
+# =========================================================================
+# winnowing candidate pairs — the MOSS use-case realized
+# =========================================================================
+
+_FP_DF_CAP = 32    # drop fingerprints selected in more docs (stop-grams)
+_MIN_SHARED = 2    # report pairs sharing at least this many fingerprints
+
+_WINNOW_FPS_CTES = f"""toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(toks) - {_K - 1} AS n_pos,
+               greatest(1, len(toks) - {_K - 1} - {_W - 1}) AS n_win,
+               toks
+        FROM toked WHERE len(toks) >= {_K}
+    ),
+    pos AS (
+        SELECT doc_id, n_pos, n_win,
+               unnest(range(1, n_pos + 1)) AS p
+        FROM base
+    ),
+    hashed AS (
+        SELECT pos.doc_id, pos.n_win, pos.p,
+               substr(md5(array_to_string(
+                   b.toks[pos.p:pos.p + {_K - 1}], ' ')), 1, 15) AS h
+        FROM pos JOIN base b USING (doc_id)
+    ),
+    cand AS (
+        SELECT doc_id, p, h,
+               unnest(range(greatest(1, p - {_W - 1}),
+                            least(p, n_win) + 1)) AS j
+        FROM hashed
+    ),
+    sel AS (
+        SELECT doc_id, j,
+               MIN(CAST(CAST(('0x' || h) AS BIGINT) AS HUGEINT)
+                   * 4294967296 + (4294967295 - p)) AS sk
+        FROM cand GROUP BY doc_id, j
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               CAST(sk // 4294967296 AS BIGINT) AS fp
+        FROM sel
+    )"""
+
+
+@register(
+    "winnowing_candidate_pairs",
+    f"""
+    WITH {_WINNOW_FPS_CTES},
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) <= {_FP_DF_CAP}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a
+    JOIN rare USING (fp)
+    JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_MIN_SHARED}
+    """,
+)
+def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS use-case realized: candidate near-dup pairs from a
+    bucket-join on SHARED selected fingerprints. Each doc's winnowed
+    set (distinct selected hash values from the wave-13 selection)
+    joins on the fingerprint value; fingerprints selected in more than
+    {cap} documents are dropped first (stop-gram control — a hot
+    fingerprint would join quadratically, exactly the skew the dedup
+    auto-cap guards; the cap is part of the gate's definition, replayed
+    by the oracle), and pairs sharing fewer than {ms} fingerprints are
+    filtered. By the winnowing guarantee, any pair sharing a token run
+    of >= 2(w+k-1) tokens shares >= 2 fingerprints, so true near-dups
+    survive the {ms}-shared floor. Scale: fingerprint sets are
+    ~2/(w+1) of positions; the join is equi-keyed on fp with the df-cap
+    bounding per-key fan-out at {cap}^2 — the LSH-band-join shape."""
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    base = toked.filter(F.size("toks") >= _K).select(
+        "doc_id",
+        (F.size("toks") - (_K - 1)).alias("n_pos"),
+        F.greatest(F.lit(1), F.size("toks") - (_K - 1) - (_W - 1))
+         .alias("n_win"),
+        "toks",
+    )
+    hashed = base.select(
+        "doc_id", "n_win",
+        F.explode(F.expr("sequence(1, n_pos)")).alias("p"),
+        "toks",
+    ).select(
+        "doc_id", "n_win", "p",
+        F.substring(
+            F.md5(F.encode(
+                F.expr(f"concat_ws(' ', slice(toks, p, {_K}))"), "UTF-8")),
+            1, 15).alias("h"),
+    )
+    cand = hashed.select(
+        "doc_id", "p", "h",
+        F.explode(F.expr(
+            f"sequence(greatest(1, p - {_W - 1}), least(p, n_win))"
+        )).alias("j"),
+    )
+    key = (
+        F.conv(F.col("h"), 16, 10).cast("decimal(38,0)")
+        * F.lit(4294967296)
+        + (F.lit(4294967295) - F.col("p"))
+    )
+    sel = cand.groupBy("doc_id", "j").agg(F.min(key).alias("sk"))
+    fps = sel.select(
+        "doc_id",
+        F.expr("CAST(sk div 4294967296 AS BIGINT)").alias("fp"),
+    ).distinct()
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_df")) \
+              .filter(F.col("_df") <= _FP_DF_CAP).select("fp")
+    a = fps.join(rare, "fp").select("fp", F.col("doc_id").alias("d1"))
+    b = fps.select("fp", F.col("doc_id").alias("d2"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
+
+
+winnowing_candidate_pairs.__doc__ = winnowing_candidate_pairs.__doc__.format(
+    cap=_FP_DF_CAP, ms=_MIN_SHARED)

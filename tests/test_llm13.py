@@ -77,3 +77,50 @@ def test_winnowing_guarantee(spark):
         ha = {h for _, h in sa}
         hb = {h for _, h in sb}
         assert ha & hb, (trial, shared)
+
+
+def test_winnowing_candidate_pairs_reconstructs(spark):
+    """Pure-Python replay of the pair derivation: winnowed sets →
+    df-capped fingerprints → shared-count pairs ≥ the floor; plus the
+    near-dup recall property on a synthetic long-shared-run pair."""
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").collect()
+    by_fp = defaultdict(set)
+    for d in docs:
+        _, _, sel = _winnow(d.text.split(" "))
+        for _, h in sel:
+            by_fp[int(h, 16)].add(d.doc_id)
+    pair_count = defaultdict(int)
+    for fp, ds in by_fp.items():
+        if len(ds) > m._FP_DF_CAP:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_count[(ds[i], ds[j])] += 1
+    want = {k: v for k, v in pair_count.items() if v >= m._MIN_SHARED}
+    got = {(r.d1, r.d2): r.n_shared for r in
+           m.winnowing_candidate_pairs(spark, SF).collect()}
+    assert got == want
+
+
+def test_winnowing_pair_recall_on_shared_run():
+    """A pair sharing a run of 2(w+k−1) tokens from a DISTINCT vocab
+    shares ≥2 selected fingerprints — the recall argument for the
+    _MIN_SHARED floor (each disjoint w+k−1 sub-run guarantees one)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(60)]
+    run = [f"shared{i}" for i in range(2 * (m._W + m._K - 1))]
+    for _ in range(10):
+        a = [rng.choice(vocab) for _ in range(20)] + run \
+            + [rng.choice(vocab) for _ in range(20)]
+        b = [rng.choice(vocab) for _ in range(20)] + run \
+            + [rng.choice(vocab) for _ in range(20)]
+        _, _, sa = _winnow(a)
+        _, _, sb = _winnow(b)
+        shared = {h for _, h in sa} & {h for _, h in sb}
+        assert len(shared) >= m._MIN_SHARED
