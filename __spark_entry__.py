@@ -45,49 +45,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived from CORRECTNESS_r01∪r02∪r03∪r04:
-# queries with no green driver row yet come first so a driver that caps its
-# per-round check count at ~50 still gives every registered query at least
-# one exact oracle row across rounds.  Head buckets:
-#   1. the 5 r04 hash-fails — all one oracle bug (DuckDB SUM(BIGINT) →
-#      HUGEINT → float64 in fetchdf vs Spark bigint; the driver hash
-#      distinguishes 41870 from 41870.0), fixed in r5 by the transpiler's
-#      integral-SUM → CAST(... AS BIGINT) DuckDB emission rule and a
-#      direct cast in linestatus_priority_counts' oracle; re-run first;
-#   2. the 20 r4-session-2 gates that have NEVER had a driver row (18
-#      registered past the 50-slot cap + bpe_vocab / similarity_ann_ivf,
-#      whose oracles were upgraded rows-only → exact after their last
-#      row) — all local-exact at sf0.001/sf0.01/sf1 (STRESS_r04.txt);
-#   3. queries whose implementation changed this round (re-keyed
-#      embedding dedup blocking);
-#   4. anything not listed below (i.e. new this round) via _ordered();
-#   5. tail: the queries whose green row matches the current code.
+# Verification priority, re-derived from CORRECTNESS_r05: queries with no
+# valid green driver row come first, LIGHT-ORACLE-FIRST / HEAVY-LAST —
+# the r5 sweep burned 25 of 50 slots when host memory ran out mid-window
+# (unreleased materializations + the three unrolled-k-means oracles
+# sitting in the MIDDLE of the window; VERDICT r5 "What's wrong" #1).
+# r6 fixes the leak (operators/materialize.py, registry.register's
+# query_scope) and orders the window so the cheap evidence lands before
+# any heavyweight oracle runs.  Buckets:
+#   1. the 21 light wave-6–10 gates whose r5 slots were burned by the
+#      host OOM — all sf1-exact locally (STRESS_r05.txt), tiny oracles;
+#   2. the 7 wave-11–13 gates registered past r5's 50-slot window —
+#      never driver-checked, all sf0.01/sf1-exact locally;
+#   3. r5-green gates whose implementation was touched by the r6
+#      materialization-lifetime refactor (scoped_persist / DISK_ONLY
+#      loop checkpoints — value-neutral by construction, re-verified
+#      exact locally, but changed-since-green means not-green);
+#   4. anything not listed below (new this round) via _ordered();
+#   5. TAIL of the priority list: the four heavy-oracle gates (unrolled
+#      k-means CTE replays) — last, so if anything still degrades the
+#      sweep they burn only their own slots.
 _PRIORITY = [
-    # -- bucket 1: r04 reds, oracle dtype bug fixed this round (5) --
-    "transpiled_hourly_rollup", "transpiled_user_buckets",
-    "transpiled_monthly_orders", "transpiled_rank_over",
-    "linestatus_priority_counts",
-    # -- bucket 2: never driver-checked (20) --
-    "bfs_trade_distance", "bpe_encode_segments", "bpe_vocab",
-    "curation_pipeline_v2", "dedup_incremental", "dedup_keep_canonical",
-    "doc_bigram_logprob", "embedding_mean_pool", "gopher_quality_flags",
-    "knn_label_accuracy", "minhash_containment", "multimodal_resize_real",
-    "reciprocal_trade_pairs", "schema_evolution_read",
-    "semdedup_pairs_probed", "semdedup_recall_probed",
-    "similarity_ann_ivf", "similarity_ann_ivf_trained",
-    "similarity_ann_recall_trained", "transpiled_listagg",
-    # -- bucket 3: new/changed in r5 (label-blocked pair gate retired in
-    #    favor of the composed cluster-blocked keep-verdict; the r04-green
-    #    trained semdedup gates re-run because their oracle text changed —
-    #    the _km_ctes float32→double cast fix) --
-    "dedup_embedding_canonical",
+    # -- bucket 1: light r5 OOM victims, never green (21) --
+    "sequence_packing", "tokens_per_source_budget", "ngram_novelty",
+    "minhash_estimate_error", "lang_confusion_matrix",
+    "embedding_norm_outliers", "stratified_split_assignment",
+    "split_leakage_pairs", "oov_rate", "doc_length_percentile_clip",
+    "cross_source_dup_matrix", "perplexity_bucket_mix",
+    "spearman_len_distinct", "bpe_fertility_by_lang",
+    "dup_cluster_size_histogram", "source_temperature_weights",
+    "vocab_growth_curve", "split_decontamination_report",
+    "length_bucket_batching", "vocab_coverage_curve",
+    "embedding_dim_stats",
+    # -- bucket 2: wave-11–13, never windowed (7) --
+    "deterministic_downsample", "dsir_importance_weights",
+    "embedding_sq8_error", "heldout_bigram_perplexity",
+    "source_sampling_plan", "winnowing_fingerprints",
+    "winnowing_candidate_pairs",
+    # -- bucket 3: r5-green, impl touched by the r6 scoped-persist /
+    #    disk-checkpoint refactor (direct sites + gates routed through
+    #    the changed operators ngram_jaccard_pairs / minhash_lsh_pairs /
+    #    connected_components / pagerank / bfs_levels) (11) --
+    "bpe_vocab", "semdedup_pairs_probed", "semdedup_recall_probed",
+    "dedup_embedding_canonical", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_canonical",
+    "curation_pipeline_v2", "pagerank_nation_graph", "bfs_trade_distance",
+    # -- bucket 5: heavy unrolled-k-means oracles, deliberately LAST (4) --
+    "cluster_distance_outliers",
     "semdedup_pairs_trained", "semdedup_recall_trained",
+    "similarity_ann_recall_trained",
 ]
 
 
-# Green driver row exists (r01 ∪ r02) and the implementation is unchanged
-# since that row.  NOTE: every _PRIORITY bucket-2/2b query (changed after
-# its green row) is deliberately ABSENT here — the convention is that
+# Green driver row exists (r01 ∪ … ∪ r05) and the implementation is
+# unchanged since that row.  NOTE: every _PRIORITY bucket-3 query (changed
+# after its green row — including the value-neutral r6 materialization
+# refactor) is deliberately ABSENT here — the convention is that
 # changed-since-green means not-green, regardless of prior rows.
 _DRIVER_GREEN = {
     "transfer_volume_hourly",
@@ -97,8 +110,8 @@ _DRIVER_GREEN = {
     "rolling_var_cvar_partitioned", "var_cvar_scalar", "stress_test_table",
     "il_curve", "mev_scores", "distinct_counts", "summary_stats",
     "selector_map_lookup", "json_props_extract", "time_formats",
-    "last_k_events", "routed_union", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash_signatures", "dedup_simhash_weighted",
+    "last_k_events", "routed_union", "dedup_exact",
+    "dedup_simhash_signatures", "dedup_simhash_weighted",
     "dedup_char_jaccard", "dedup_simhash_pairs", "similarity_topk",
     "similarity_lsh_pairs", "text_profile", "lang_id", "doc_fingerprint",
     "multimodal_meta", "multimodal_decode_fake", "multimodal_decode_real",
@@ -115,12 +128,12 @@ _DRIVER_GREEN = {
     "token_vocab_topk", "cohort_retention", "segment_name_listagg",
     "source_numeric_profile",
     "user_click_purchase_ratio", "contamination_overlap",
-    "token_shard_assignment", "curation_funnel", "dedup_clusters",
+    "token_shard_assignment", "curation_funnel",
     "transfer_decode_roundtrip", "swap_decode_roundtrip",
     # -- green in r03 (driver rows in CORRECTNESS_r03.json) --
     "rolling_var_minperiods_partitioned", "similarity_ann_ivf_fullprobe",
     "token_entropy", "salted_join_brand_qty", "asof_price_join_forward",
-    "pagerank_nation_graph", "contamination_bloom_gated",
+    "contamination_bloom_gated",
     "curation_pipeline_e2e", "source_mix_rebalance",
     "dedup_char_jaccard_capped",
     "similarity_ann_pq", "similarity_ann_recall",
@@ -154,9 +167,20 @@ _DRIVER_GREEN = {
     "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
     "order_price_histogram", "returnflag_metrics_unpivot",
     "pricing_summary", "shipping_priority", "local_supplier_volume",
-    # semdedup_pairs_trained / semdedup_recall_trained: green r04, but
-    # their oracle changed in r5 (_km_ctes cast fix) → _PRIORITY bucket 3
+    # semdedup_pairs_trained / semdedup_recall_trained: green r04, oracle
+    # changed in r5 (_km_ctes cast fix), r5 slots OOM'd → _PRIORITY tail
     "eip55_checksum_addresses",
+    # -- green in r05 (driver rows in CORRECTNESS_r05.json; the 25 slots
+    #    that survived the sweep OOM), MINUS the 7 touched by the r6
+    #    materialization refactor (those re-run via _PRIORITY bucket 3) --
+    "transpiled_hourly_rollup", "transpiled_user_buckets",
+    "transpiled_monthly_orders", "transpiled_rank_over",
+    "linestatus_priority_counts", "bpe_encode_segments",
+    "dedup_incremental", "doc_bigram_logprob", "embedding_mean_pool",
+    "gopher_quality_flags", "knn_label_accuracy", "minhash_containment",
+    "multimodal_resize_real", "reciprocal_trade_pairs",
+    "schema_evolution_read", "similarity_ann_ivf",
+    "similarity_ann_ivf_trained", "transpiled_listagg",
     # rows-only by design (no oracle possible): keep at the tail — the
     # *_check companion carries the value evidence.  (bpe_vocab and
     # similarity_ann_ivf left this set in r4 session 2: both gained

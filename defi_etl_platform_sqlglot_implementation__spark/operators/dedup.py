@@ -33,6 +33,8 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import disk_ckpt, track
+
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 16  # rows per band = 32/16 = 2
 
@@ -262,7 +264,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     if max_shingle_df is not None:
         sh = _drop_common_shingles(sh, max_shingle_df)
     if cache_shingles:
-        sh = sh.persist()
+        sh = track(sh.persist())
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -365,10 +367,10 @@ def minhash_lsh_pairs(
     # explode AND both sides of candidate verification (3 plan branches —
     # uncached, Spark would re-run the shingling per branch; at 100 TB
     # MEMORY_AND_DISK spills instead of recomputing the corpus scan).
-    arr = _spread(docs, id_col).select(
+    arr = track(_spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         token_shingles(text_col, n).alias("sharr"),
-    ).persist()
+    ).persist())
     sig = minhash_signatures(arr, num_hashes)
 
     band_cols = F.array(*[
@@ -380,10 +382,10 @@ def minhash_lsh_pairs(
     ])
     # persisted: the banded table is both sides of the bucket self-join —
     # uncached, the minhash signature map stage would run once per side.
-    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
+    banded = track(sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).persist()
-    cand = (
+    ).persist())
+    cand = track(
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.band") == F.col("b.band"))
@@ -579,24 +581,22 @@ def connected_components(
     # dedup_embedding_canonical — would otherwise recompute diameter+1
     # times. Edge lists are (long, long) rows, tiny next to their
     # producing join, so this is safe to hold even at cluster scale.
-    sym = sym.localCheckpoint()
-    cur = (
+    sym = disk_ckpt(sym)
+    cur = disk_ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
     )
     prev_total = None
     for _ in range(max_iter):
         pushed = sym.join(cur, sym.b == cur.node).select(
             F.col("a").alias("node"), F.col("lbl")
         )
-        cur = (
+        cur = disk_ckpt(
             cur.select("node", "lbl")
             .unionAll(pushed)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
         total = cur.agg(F.sum("lbl")).first()[0]
         if total == prev_total:

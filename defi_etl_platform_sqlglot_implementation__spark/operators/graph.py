@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import disk_ckpt
+
 
 def pagerank(
     edges: DataFrame,
@@ -51,17 +53,16 @@ def pagerank(
     # pin what the loop RE-READS, not just the evolving state). The edge
     # producer itself runs exactly once: nodes/outdeg/weighted all derive
     # from the checkpointed distinct edge list.
-    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-         .distinct().localCheckpoint())
+    e = disk_ckpt(edges.select(F.col(src).alias("_s"),
+                           F.col(dst).alias("_d")).distinct())
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
-    nodes = (
+    nodes = disk_ckpt(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     scores = nodes.withColumn("score", F.lit(1.0))
-    weighted = e.join(outdeg, "_s").localCheckpoint()  # (_s, _d, _deg): static per run
+    weighted = disk_ckpt(e.join(outdeg, "_s"))  # (_s, _d, _deg): static per run
     for i in range(iterations):
         contribs = (
             weighted.join(scores.withColumnRenamed("node", "_s"), "_s")
@@ -78,7 +79,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            scores = scores.localCheckpoint()
+            scores = disk_ckpt(scores)
     return scores
 
 
@@ -105,26 +106,25 @@ def bfs_levels(
     EAGER, like :func:`pagerank`: sources and the edge projection
     materialize at call time, and downstream plans bottom out at
     checkpointed-RDD scans — audit the edge producer's plan directly."""
-    dist = sources.select(
+    dist = disk_ckpt(sources.select(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint()
+    ))
     frontier = dist.select("node")
     # static per run; pinned so each frontier expansion re-reads the
     # materialized edge list, not its producer (the CC-edges lesson)
-    e = edges.select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d")).localCheckpoint()
+    e = disk_ckpt(edges.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")))
     for d in range(1, max_iters + 1):
-        nxt = (
+        nxt = disk_ckpt(
             frontier.join(e, frontier["node"] == e["_s"])
             .select(F.col("_d").cast("long").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")
-            .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(
-            nxt.withColumn("dist", F.lit(d).cast("long"))).localCheckpoint()
+        dist = disk_ckpt(dist.unionByName(
+            nxt.withColumn("dist", F.lit(d).cast("long"))))
         frontier = nxt
     return dist

@@ -152,6 +152,54 @@ def cosine_topk(
     )
 
 
+def _centroid_matrix(centroids: DataFrame, vec_col: str, id_col: str):
+    """Collect the (tiny, k-row) centroid frame to the driver, sorted by
+    ascending centroid id — the tie-break order of every assignment
+    oracle (``ORDER BY csim DESC, cid ASC``).  Centroid state is always
+    driver-sized (k x dim doubles; the kmeans_micro contract), so this is
+    the sanctioned collect class, same as the training loop's own."""
+    rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
+    rows.sort(key=lambda r: int(r[id_col]))
+    cids = [int(r[id_col]) for r in rows]
+    mat = [[float(x) for x in r[vec_col]] for r in rows]
+    return cids, mat
+
+
+def _assign_sims(cids: list, mat: list):
+    """Closure computing the n x k cosine matrix for an Arrow batch of
+    embeddings, replaying the ``DOT`` fold's float chain EXACTLY (the
+    fold_dot_udf device, extended across the centroid axis): float32 ->
+    float64 widening, one correctly-rounded multiply per element, the
+    sequential left-assoc sum starting from the first product, then
+    ``dot / (enorm * cnorm)`` in that operation order.  Centroid norms
+    use the same per-centroid sequential chain, computed once here."""
+    import numpy as np
+
+    Cm = np.asarray(mat, dtype=np.float64)  # k x d
+    k, d = Cm.shape
+    CC = Cm * Cm
+    cacc = CC[:, 0].copy()
+    for i in range(1, d):
+        cacc += CC[:, i]
+    cnorm = np.sqrt(cacc)  # k
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    def sims(col) -> "np.ndarray":
+        E = np.stack(col.to_numpy()).astype(np.float64)  # n x d
+        P = E[:, None, :] * Cm[None, :, :]  # n x k x d
+        acc = P[:, :, 0].copy()
+        for i in range(1, d):
+            acc += P[:, :, i]
+        EE = E * E
+        ee = EE[:, 0].copy()
+        for i in range(1, d):
+            ee += EE[:, i]
+        enorm = np.sqrt(ee)
+        return acc / (enorm[:, None] * cnorm[None, :])
+
+    return cid_arr, sims
+
+
 def assign_clusters(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -159,27 +207,50 @@ def assign_clusters(
     id_col: str = "vec_id",
     keep_sim: bool = False,
 ) -> DataFrame:
-    """IVF coarse assignment: nearest centroid by cosine (broadcast+argmax).
+    """IVF coarse assignment: nearest centroid by cosine, centroid-id
+    tie-break.  ``keep_sim`` additionally returns the winning cosine as
+    ``csim`` — the assignment-quality signal cluster-distance QC consumes.
 
-    ``keep_sim`` additionally returns the winning cosine as ``csim`` —
-    the assignment-quality signal cluster-distance QC consumes."""
-    from pyspark.sql import Window
+    MAP-ONLY since r6: the centroid codebook is driver-sized (k x dim),
+    so it rides in the closure of ONE Arrow-vectorized projection — no
+    corpus x k row blowup, no shuffle, no per-vector window.  That is
+    both the fixed-latency fix (the old broadcast-NLJ + window argmax
+    cost ~2 s per k-means iteration at ANY scale) and the correct 100 TB
+    plan: assignment is embarrassingly parallel, and this expresses it
+    as a scan-speed map stage.  Values are bit-identical to the old
+    plan and to the oracles' unrolled assignment CTEs (the fold chain
+    is replayed exactly — see _assign_sims; ties break on ascending
+    centroid id via stable argsort over the cid-sorted codebook)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    c = with_norm(
-        centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")),
-        "ce", "cnorm",
-    )
-    e = with_norm(embeddings, vec_col, "enorm")
-    sim = (dot(vec_col, "ce") / (F.col("enorm") * F.col("cnorm"))).alias("csim")
-    scored = e.join(F.broadcast(c)).select(F.col(id_col), F.col(vec_col), sim,
-                                           F.col("centroid_id"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
-    out_cols = [id_col, vec_col, F.col("centroid_id").alias("cluster_id")]
+    cid_arr, sims = _assign_sims(*_centroid_matrix(centroids, vec_col, id_col))
+
+    def _best(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(col):
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
+                                 "csim": pd.Series([], dtype="float64")})
+        s = sims(col)
+        order = np.argsort(-s, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame({
+            "cluster_id": cid_arr[order],
+            "csim": s[np.arange(len(order)), order],
+        })
+
+    _best.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(StructType([
+        StructField("cluster_id", LongType()),
+        StructField("csim", DoubleType()),
+    ]))(_best)
+    out_cols = [F.col(id_col), F.col(vec_col),
+                F.col("_a.cluster_id").alias("cluster_id")]
     if keep_sim:
-        out_cols.append("csim")
+        out_cols.append(F.col("_a.csim").alias("csim"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        embeddings.withColumn("_a", udf(F.col(vec_col)))
         .select(*out_cols)
     )
 
@@ -200,24 +271,32 @@ def assign_clusters_probe(
     driver corpus, pair recall rises from 30.5% (hard, trained) to the
     semdedup_recall_probed figure at nprobe=2 for a bounded ~nprobe^2x
     candidate fan-out.  Returns (vec_id, vec_col, cluster_id, probe_rank)
-    with nprobe rows per vector."""
-    from pyspark.sql import Window
+    with nprobe rows per vector.  Map-only like :func:`assign_clusters`
+    (one Arrow projection returning the rank-ordered probe ids, then a
+    row-local posexplode) — no join, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
 
-    c = with_norm(
-        centroids.select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("ce")),
-        "ce", "cnorm",
-    )
-    e = with_norm(embeddings, vec_col, "enorm")
-    sim = (dot(vec_col, "ce") / (F.col("enorm") * F.col("cnorm"))).alias("csim")
-    scored = e.join(F.broadcast(c)).select(F.col(id_col), F.col(vec_col), sim,
-                                           F.col("centroid_id"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    cid_arr, sims = _assign_sims(*_centroid_matrix(centroids, vec_col, id_col))
+
+    def _probes(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(col):
+            return pd.Series([], dtype=object)
+        s = sims(col)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cid_arr[row].tolist() for row in order])
+
+    _probes.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    udf = pandas_udf(ArrayType(LongType()))(_probes)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"),
-                F.col("rn").alias("probe_rank"))
+        embeddings.withColumn("_p", udf(F.col(vec_col)))
+        .select(F.col(id_col), F.col(vec_col),
+                F.posexplode("_p").alias("_pos", "cluster_id"))
+        .select(id_col, vec_col, "cluster_id",
+                (F.col("_pos") + 1).cast("integer").alias("probe_rank"))
     )
 
 
@@ -518,8 +597,6 @@ def _kmeans_micro_train(
     id_col: str,
     scale: float,
 ) -> DataFrame:
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_row[0]["d"] if dim_row else 0
     spark = embeddings.sparkSession
 
     def q(col: Column) -> Column:
@@ -532,10 +609,15 @@ def _kmeans_micro_train(
 
         return int(math.copysign(math.floor(abs(v) + 0.5), v))
 
+    # ONE collect seeds the centroids AND supplies the dimensionality
+    # (was a separate limit(1) probe job — the training loop is fixed-
+    # latency job-scheduling bound, so every saved job is wall-clock)
+    seed_rows = embeddings.orderBy(id_col).limit(k).collect()
+    dim = len(seed_rows[0][vec_col]) if seed_rows else 0
     cents = [
         (int(r[id_col]),
          [_round_half_away(float(x) * scale) / scale for x in r[vec_col]])
-        for r in embeddings.orderBy(id_col).limit(k).collect()
+        for r in seed_rows
     ]
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, ["centroid_id", "ce"])

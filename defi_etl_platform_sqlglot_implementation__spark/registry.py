@@ -35,10 +35,21 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        # query_scope bounds materialization lifetime to one driver-
+        # contract call: entering a new top-level query releases the
+        # PREVIOUS query's scoped_persist frames, so a 50-query sweep in
+        # one SparkSession holds at most one gate's intermediates (the
+        # r5 sweep OOM'd the host precisely because it didn't — see
+        # operators/materialize.py).  Both the registry dict entry and
+        # the module-level name get the wrapped fn, so direct cross-
+        # gate composition stays inside the outer scope via _DEPTH.
+        from .operators.materialize import query_scope
+
+        wrapped = query_scope(fn)
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
     return deco
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.materialize import scoped_persist
 from .registry import register, t
 
 # =========================================================================
@@ -1080,11 +1081,11 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     _, seqs = train_bpe(docs, n_merges=6)
     out = vocab_from_sequences(seqs)
-    # materialize (lineage-truncated, vocab-cardinality blocks) before
-    # unpersisting the training frame it reads from — same device as
-    # dedup_clusters; a plain persist() here would leak cached partitions
-    # across driver-contract calls
-    out = out.localCheckpoint()
+    # materialize (vocab-cardinality blocks) before unpersisting the
+    # training frame it reads from; scoped_persist releases the blocks
+    # when the NEXT driver-contract query starts, so a 50-gate sweep in
+    # one session never accumulates them (r5's OOM)
+    out = scoped_persist(out)
     seqs.unpersist()
     return out
 
@@ -1375,8 +1376,9 @@ def semdedup_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE training run feeds the found-pair count AND the cluster-size
     # stat (review fix: calling semdedup_pairs_trained here re-ran the
     # whole kmeans_micro training for bit-identical centroids); the
-    # checkpoint materializes the assignment once for its three readers
-    assigned = _trained_assigned(spark, sf_dir).localCheckpoint()
+    # scoped persist materializes the assignment once for its three
+    # readers and is released when the next driver-contract query starts
+    assigned = scoped_persist(_trained_assigned(spark, sf_dir))
     found_cnt = (
         _cluster_pairs(assigned)
         .join(a, "d1").join(b, "d2")
@@ -1456,10 +1458,11 @@ def semdedup_pairs_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dot, with_norm
 
     # materialize the probed assignment before the self-join: both join
-    # sides read it, and without the checkpoint the kmeans cross-join +
-    # per-vector window subplan would execute once per side (review fix —
-    # the same double-work the recall gate's localCheckpoint removes)
-    assigned = _probe_assigned(spark, sf_dir).localCheckpoint()
+    # sides read it, and without the materialization the kmeans
+    # cross-join + per-vector window subplan would execute once per side
+    # (review fix — the same double-work the recall gate's persist
+    # removes); query-scoped so the blocks die with the gate
+    assigned = scoped_persist(_probe_assigned(spark, sf_dir))
     cand = _cluster_pairs(assigned, distinct=True)
     e = t(spark, sf_dir, "embeddings")
     ea = with_norm(e.select(F.col("vec_id").alias("d1"),
@@ -1533,11 +1536,11 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE probed assignment feeds both counts (review fix: calling
     # semdedup_pairs_probed here re-ran kmeans_micro and rebuilt the
     # identical candidate set — the two most expensive stages — twice;
-    # and the old cand.persist() was never released. localCheckpoint
-    # materializes the candidate pairs once, lineage-truncated, with no
-    # persistent cache pin).
+    # and the old cand.persist() was never released).  scoped_persist
+    # materializes the candidate pairs once and releases them when the
+    # next driver-contract query starts.
     assigned = _probe_assigned(spark, sf_dir)
-    cand = _cluster_pairs(assigned, distinct=True).localCheckpoint()
+    cand = scoped_persist(_cluster_pairs(assigned, distinct=True))
     found_cnt = (
         cand.join(a, "d1").join(b, "d2")
         .filter(cos >= 4e-1)
@@ -1627,7 +1630,7 @@ def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
     from .operators.similarity import dot, with_norm
 
-    assigned = _probe_assigned(spark, sf_dir).localCheckpoint()
+    assigned = scoped_persist(_probe_assigned(spark, sf_dir))
     cand = _cluster_pairs(assigned, distinct=True)
     e = t(spark, sf_dir, "embeddings")
     ea = with_norm(e.select(F.col("vec_id").alias("d1"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.materialize import scoped_persist
 from .registry import register, t
 from .registry_llm import _SHINGLES_CTE
 from .registry_llm6 import _NTOK_DUCK, _NTOK_SPARK, _SPLIT_CASE_DUCK, _split_col
@@ -199,12 +200,13 @@ def cluster_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, cents.select(F.col("centroid_id").alias("vec_id"), "embedding"),
         keep_sim=True)
     # the assignment feeds BOTH the per-cluster aggregate and the final
-    # join; localCheckpoint evaluates the k x dim cosine argmax once
-    # (the semdedup precedent), instead of once per plan branch
-    d = a.select(
+    # join; the query-scoped persist evaluates the k x dim cosine argmax
+    # once (the semdedup precedent), instead of once per plan branch —
+    # and is released when the next driver-contract query starts
+    d = scoped_persist(a.select(
         "vec_id", "cluster_id",
         F.round((F.lit(1.0) - F.col("csim")) * 1e6).cast("long")
-        .alias("dist_micro")).localCheckpoint()
+        .alias("dist_micro")))
     cl = d.groupBy("cluster_id").agg(F.count("*").alias("n_c"),
                                      F.sum("dist_micro").alias("s_c"))
     return d.join(cl, "cluster_id").select(

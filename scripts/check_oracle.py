@@ -107,10 +107,58 @@ def compare(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> dict:
     return out
 
 
+def _proc_tree_rss_kb() -> int:
+    """RSS of this process plus every descendant (the Spark JVM and its
+    Python workers are children), via /proc — no psutil in the container.
+    This is the quantity whose unbounded growth burned 25 of r5's 50
+    driver oracle slots (host OOM), so the soak mode tracks it per gate."""
+    import os
+
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    rss: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        pid = int(d)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid = int(parts[1])
+            with open(f"/proc/{pid}/statm") as f:
+                pages = int(f.read().split()[1])
+        except OSError:
+            continue
+        children.setdefault(ppid, []).append(pid)
+        rss[pid] = pages * 4  # 4 KiB pages -> KiB
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += rss.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+def _mem_available_kb() -> int:
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("MemAvailable:"):
+                return int(line.split()[1])
+    return -1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument("--sweep", type=int, default=None, metavar="N",
+                    help="soak mode: run the FIRST N entries of "
+                         "__spark_entry__.queries() — the exact order the "
+                         "driver's correctness window uses — in ONE "
+                         "SparkSession, printing process-tree RSS and host "
+                         "MemAvailable after every gate.  Reproduces (or "
+                         "proves fixed) the r5 sweep OOM before the real "
+                         "driver runs.")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -150,8 +198,24 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    names = args.queries or list(queries)
+    if args.sweep is not None:
+        names = list(queries)[: args.sweep]
+    else:
+        names = args.queries or list(queries)
     n_pass = n_fail = n_approx = n_rowsonly = 0
+    rss0 = _proc_tree_rss_kb() if args.sweep is not None else 0
+    rss_peak = rss_end = rss0
+
+    def soak_line() -> None:
+        nonlocal rss_peak, rss_end
+        if args.sweep is None:
+            return
+        rss_end = _proc_tree_rss_kb()
+        rss_peak = max(rss_peak, rss_end)
+        print(f"      rss_tree={rss_end / 1048576:.2f}GiB "
+              f"(d{(rss_end - rss0) / 1048576:+.2f}) "
+              f"mem_avail={_mem_available_kb() / 1048576:.2f}GiB")
+
     for name in names:
         fn = queries[name]
         t0 = time.time()
@@ -160,11 +224,13 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
             n_fail += 1
+            soak_line()
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle — rows-only check) "
                   f"[{time.time()-t0:.1f}s]")
             n_rowsonly += 1
+            soak_line()
             continue
         con = None
         try:
@@ -173,6 +239,7 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL  {name}: oracle raised {type(exc).__name__}: {exc}")
             n_fail += 1
+            soak_line()
             continue
         finally:
             # close on BOTH paths: a failing oracle must not keep its
@@ -192,8 +259,14 @@ def main() -> int:
             print(f"FAIL  {name}: rows {r['rows']}, schema_match={r['schema_match']} "
                   f"{r.get('detail','')} [{dt:.1f}s]")
             n_fail += 1
+        soak_line()
     print(f"\n{n_pass} exact, {n_approx} approx-only, {n_rowsonly} rows-only, "
           f"{n_fail} fail / {len(names)} total")
+    if args.sweep is not None:
+        print(f"soak: rss start {rss0 / 1048576:.2f}GiB, "
+              f"end {rss_end / 1048576:.2f}GiB, peak {rss_peak / 1048576:.2f}GiB "
+              f"(growth {(rss_end - rss0) / 1048576:+.2f}GiB over "
+              f"{len(names)} gates)")
     return 1 if n_fail or n_approx else 0
 
 

@@ -188,10 +188,16 @@ def test_split_leakage_pairs_equikeyed(spark):
 
 def test_cluster_distance_outliers_bounded_nlj(spark):
     plan = _executed(spark, "cluster_distance_outliers")
-    # the only nested-loop join allowed is the corpus x k centroid attach
-    # (k constant); the per-cluster stats attach must be an equi-join
-    assert _count(plan, "BroadcastNestedLoopJoin BuildRight") \
-        == _count(plan, "BroadcastNestedLoopJoin") <= 1
+    # r6: the corpus x k centroid attach is MAP-ONLY (the k x dim codebook
+    # rides in an Arrow UDF closure — operators/similarity.assign_clusters),
+    # so there must be NO nested-loop join at all; the assignment appears
+    # as an ArrowEvalPython projection, its output is a query-scoped
+    # persist (InMemoryTableScan), and the per-cluster stats attach stays
+    # an equi-join on cluster_id.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "InMemoryTableScan" in plan
     assert "SortMergeJoin [cluster_id" in plan \
         or "BroadcastHashJoin [cluster_id" in plan \
         or "ShuffledHashJoin [cluster_id" in plan
