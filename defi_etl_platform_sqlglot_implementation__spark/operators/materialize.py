@@ -52,7 +52,7 @@ _DEPTH: int = 0
 
 
 def scoped_persist(df: DataFrame, eager: bool = True,
-                   level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+                   level: StorageLevel = StorageLevel.DISK_ONLY
                    ) -> DataFrame:
     """Persist ``df`` for the duration of the current registry query.
 
@@ -62,6 +62,14 @@ def scoped_persist(df: DataFrame, eager: bool = True,
     populate them.  Released by :func:`release_scoped` at the next
     top-level registry call; until then it behaves exactly like
     ``persist()``.
+
+    DISK_ONLY by default: a JVM never hands heap high-water back to the
+    OS, so in a long shared session every MEMORY_* materialization
+    permanently raises process RSS even after release — the sweep-killer
+    observed in round 5.  These frames are KB–MB sized and re-read
+    within one query; the OS page cache serves them at near-RAM speed
+    without growing the heap.  Callers with a genuinely hot, large,
+    repeatedly-scanned frame can pass MEMORY_AND_DISK explicitly.
     """
     out = df.persist(level)
     if eager:
