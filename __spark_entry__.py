@@ -90,6 +90,11 @@ _PRIORITY = [
     "dedup_embedding_canonical", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_canonical",
     "curation_pipeline_v2", "pagerank_nation_graph", "bfs_trade_distance",
+    # transitively changed via ann_ivf -> assign_clusters (map-only
+    # rewrite) and the stand-in-centroid blocking (6)
+    "semdedup_pairs", "semdedup_recall", "similarity_ann_ivf",
+    "similarity_ann_recall", "similarity_ann_ivf_fullprobe",
+    "similarity_ann_ivf_trained",
     # -- bucket 5: heavy unrolled-k-means oracles, deliberately LAST (4) --
     "cluster_distance_outliers",
     "semdedup_pairs_trained", "semdedup_recall_trained",
@@ -131,12 +136,12 @@ _DRIVER_GREEN = {
     "token_shard_assignment", "curation_funnel",
     "transfer_decode_roundtrip", "swap_decode_roundtrip",
     # -- green in r03 (driver rows in CORRECTNESS_r03.json) --
-    "rolling_var_minperiods_partitioned", "similarity_ann_ivf_fullprobe",
+    "rolling_var_minperiods_partitioned",
     "token_entropy", "salted_join_brand_qty", "asof_price_join_forward",
     "contamination_bloom_gated",
     "curation_pipeline_e2e", "source_mix_rebalance",
     "dedup_char_jaccard_capped",
-    "similarity_ann_pq", "similarity_ann_recall",
+    "similarity_ann_pq",
     "transfer_volume_hourly_approx_check",
     # dedup_embedding_cosine_blocked: green r03, but re-keyed in r5
     # (cluster blocking) → _PRIORITY bucket 3, deliberately absent here
@@ -146,7 +151,7 @@ _DRIVER_GREEN = {
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
-    "semdedup_pairs", "semdedup_recall", "token_freq_cms",
+    "token_freq_cms",
     "substring_dup_spans", "curation_clip_spans", "linear_model_confusion",
     "scd2_history", "grouping_sets_metrics",
     # -- green in r04 (driver rows in CORRECTNESS_r04.json; 45 of the 50
@@ -179,8 +184,7 @@ _DRIVER_GREEN = {
     "dedup_incremental", "doc_bigram_logprob", "embedding_mean_pool",
     "gopher_quality_flags", "knn_label_accuracy", "minhash_containment",
     "multimodal_resize_real", "reciprocal_trade_pairs",
-    "schema_evolution_read", "similarity_ann_ivf",
-    "similarity_ann_ivf_trained", "transpiled_listagg",
+    "schema_evolution_read", "transpiled_listagg",
     # rows-only by design (no oracle possible): keep at the tail — the
     # *_check companion carries the value evidence.  (bpe_vocab and
     # similarity_ann_ivf left this set in r4 session 2: both gained
