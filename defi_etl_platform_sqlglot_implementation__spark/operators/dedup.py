@@ -567,10 +567,15 @@ def connected_components(
     favors pointer-jumping variants does not arise from similarity edges.
 
     Each round is one shuffle (join on the edge endpoint) + one min
-    aggregate, both keyed on node id. ``localCheckpoint`` truncates the
-    lineage per round so the plan does not grow exponentially; convergence
-    is detected by the (monotonically decreasing, non-negative) label sum
-    going stationary — one scalar agg per round, no row-diff join.
+    aggregate, both keyed on node id.  Rounds run in BATCHES of two per
+    materialization: the checkpoint (lineage truncation) and the
+    convergence probe are per-batch driver jobs whose ~constant cost
+    dominated small-input latency, and batching is sound because labels
+    are monotone non-increasing — the label sum is stationary across a
+    batch iff NO round inside it changed anything, so the detected
+    fixpoint is identical.  Convergence = the (monotonically decreasing,
+    non-negative) label sum going stationary — one scalar agg per batch,
+    no row-diff join.
     """
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -581,23 +586,27 @@ def connected_components(
     # dedup_embedding_canonical — would otherwise recompute diameter+1
     # times. Edge lists are (long, long) rows, tiny next to their
     # producing join, so this is safe to hold even at cluster scale.
+    # The init frame stays LAZY: its lineage is one distinct over the
+    # checkpointed edges, and the first batch's checkpoint captures it.
     sym = disk_ckpt(sym)
-    cur = disk_ckpt(
+    cur = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
     prev_total = None
     for _ in range(max_iter):
-        pushed = sym.join(cur, sym.b == cur.node).select(
-            F.col("a").alias("node"), F.col("lbl")
-        )
-        cur = disk_ckpt(
-            cur.select("node", "lbl")
-            .unionAll(pushed)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
+        for _ in range(2):  # two propagation rounds per batch
+            pushed = sym.join(cur, sym.b == cur.node).select(
+                F.col("a").alias("node"), F.col("lbl")
+            )
+            cur = (
+                cur.select("node", "lbl")
+                .unionAll(pushed)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+        cur = disk_ckpt(cur)
         total = cur.agg(F.sum("lbl")).first()[0]
         if total == prev_total:
             break
