@@ -573,7 +573,9 @@ def connected_components(
     dominated small-input latency, and batching is sound because labels
     are monotone non-increasing — the label sum is stationary across a
     batch iff NO round inside it changed anything, so the detected
-    fixpoint is identical.  Convergence = the (monotonically decreasing,
+    fixpoint is identical.  ``max_iter`` caps total PROPAGATION ROUNDS
+    (the documented unit — an odd cap makes the final batch one round),
+    not batches.  Convergence = the (monotonically decreasing,
     non-negative) label sum going stationary — one scalar agg per batch,
     no row-diff join.
     """
@@ -595,8 +597,11 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
     )
     prev_total = None
-    for _ in range(max_iter):
-        for _ in range(2):  # two propagation rounds per batch
+    rounds_left = max_iter
+    while rounds_left > 0:
+        batch = min(2, rounds_left)  # two propagation rounds per batch
+        rounds_left -= batch
+        for _ in range(batch):
             pushed = sym.join(cur, sym.b == cur.node).select(
                 F.col("a").alias("node"), F.col("lbl")
             )

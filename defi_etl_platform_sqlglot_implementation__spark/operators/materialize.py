@@ -44,6 +44,12 @@ from pyspark.storagelevel import StorageLevel
 # Module-level on purpose: the registry decorator (registry.py) is the
 # single writer of the scope boundary, and the driver harness is
 # single-threaded per session (as are bench.py / scripts/check_oracle.py).
+# NOT thread-safe — concurrent registry queries from multiple Python
+# threads would interleave _DEPTH/_SCOPED; the driver contract is
+# single-threaded and so is this module.  Library consumers calling the
+# tracked operators OUTSIDE the registry (tests, notebooks) should wrap
+# their usage in :func:`material_scope` so refs do not accumulate until
+# an unrelated registry call happens to drain them.
 _SCOPED: list[DataFrame] = []
 
 # re-entrancy depth: registered queries may call shared helpers that are
@@ -122,6 +128,41 @@ def query_scope(fn):
             _DEPTH -= 1
 
     return wrapped
+
+
+def material_scope():
+    """Context manager bounding scoped-persist lifetimes for NON-registry
+    consumers (tests, notebooks, library callers of e.g.
+    ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs``, whose internal
+    ``track``/``scoped_persist`` calls otherwise append to the module
+    scope until the next top-level registry query drains it)::
+
+        with material_scope():
+            pairs = minhash_lsh_pairs(docs).collect()
+
+    On exit every frame scoped inside the block is unpersisted.  Safe
+    even if a lazy DataFrame escapes the block: persisted frames keep
+    their lineage, so a late action recomputes instead of failing.
+    Nests with registry queries the same way composed gates do (inner
+    scopes keep the outer scope alive via ``_DEPTH``).  Single-threaded,
+    like the rest of this module.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        global _DEPTH
+        if _DEPTH == 0:
+            release_scoped()
+        _DEPTH += 1
+        try:
+            yield
+        finally:
+            _DEPTH -= 1
+            if _DEPTH == 0:
+                release_scoped()
+
+    return _scope()
 
 
 def disk_ckpt(df: DataFrame) -> DataFrame:

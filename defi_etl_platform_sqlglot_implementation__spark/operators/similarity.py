@@ -172,9 +172,28 @@ def _assign_sims(cids: list, mat: list):
     float64 widening, one correctly-rounded multiply per element, the
     sequential left-assoc sum starting from the first product, then
     ``dot / (enorm * cnorm)`` in that operation order.  Centroid norms
-    use the same per-centroid sequential chain, computed once here."""
+    use the same per-centroid sequential chain, computed once here.
+
+    Peak memory is O(n*k) per Arrow batch: the fold accumulates one
+    dimension at a time (``acc += E[:, i:i+1] * Cm[None, :, i]`` — the
+    identical multiplies and left-assoc adds, just never materializing
+    the n x k x d product tensor, which at k=256/d=768 would be multi-GB
+    per 10k-row batch and per executor core).
+
+    Degenerate inputs FAIL LOUDLY, by decision: a NULL or wrong-length
+    embedding raises ValueError naming the offense (the pre-r6
+    broadcast-join plan silently produced NULL cosines there), and a
+    zero-norm vector raises too (the old plan raised DIVIDE_BY_ZERO
+    under Spark 4 ANSI mode — raising keeps Spark and the DuckDB
+    oracles, whose unrolled CTEs assume well-formed vectors, in
+    agreement by making the disagreement impossible to reach silently).
+    """
     import numpy as np
 
+    if not cids:
+        raise ValueError(
+            "assign_clusters: empty centroid frame (k == 0) — a codebook "
+            "with at least one centroid is required for assignment")
     Cm = np.asarray(mat, dtype=np.float64)  # k x d
     k, d = Cm.shape
     CC = Cm * Cm
@@ -182,19 +201,27 @@ def _assign_sims(cids: list, mat: list):
     for i in range(1, d):
         cacc += CC[:, i]
     cnorm = np.sqrt(cacc)  # k
+    if not np.all(cnorm > 0.0):
+        raise ValueError("assign_clusters: zero-norm centroid in codebook")
     cid_arr = np.asarray(cids, dtype=np.int64)
 
     def sims(col) -> "np.ndarray":
-        E = np.stack(col.to_numpy()).astype(np.float64)  # n x d
-        P = E[:, None, :] * Cm[None, :, :]  # n x k x d
-        acc = P[:, :, 0].copy()
+        av = col.to_numpy()
+        for x in av:
+            if x is None or len(x) != d:
+                raise ValueError(
+                    "assign_clusters: NULL or wrong-length embedding "
+                    f"(expected dim {d}, got "
+                    f"{'NULL' if x is None else len(x)})")
+        E = np.stack(av).astype(np.float64)  # n x d
+        acc = E[:, 0:1] * Cm[None, :, 0]  # n x k — dim-0 products
+        ee = E[:, 0] * E[:, 0]
         for i in range(1, d):
-            acc += P[:, :, i]
-        EE = E * E
-        ee = EE[:, 0].copy()
-        for i in range(1, d):
-            ee += EE[:, i]
+            acc += E[:, i:i + 1] * Cm[None, :, i]
+            ee += E[:, i] * E[:, i]
         enorm = np.sqrt(ee)
+        if not np.all(enorm > 0.0):
+            raise ValueError("assign_clusters: zero-norm embedding")
         return acc / (enorm[:, None] * cnorm[None, :])
 
     return cid_arr, sims

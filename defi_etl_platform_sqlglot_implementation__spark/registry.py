@@ -43,6 +43,8 @@ def register(name: str, oracle: str | None = None):
         # operators/materialize.py).  Both the registry dict entry and
         # the module-level name get the wrapped fn, so direct cross-
         # gate composition stays inside the outer scope via _DEPTH.
+        # Single-threaded by contract (as is the driver harness):
+        # the scope state is module-global, not thread-local.
         from .operators.materialize import query_scope
 
         wrapped = query_scope(fn)

@@ -218,3 +218,80 @@ def test_fold_dot_udf_null_algebra_matches_expr(spark):
     assert vals[3] == (None, None)
     assert vals[4] == (0.0, 0.0)
     assert vals[5] == (2.0, 2.0)
+
+
+class TestAssignmentGuards:
+    """Degenerate-input semantics of the map-only assignment are a
+    DECISION (fail loudly), not an accident: the pre-r6 broadcast-join
+    plan silently produced NULL cosines for NULL/ragged vectors and
+    raised DIVIDE_BY_ZERO (ANSI) for zero-norm ones.  The Arrow closure
+    now raises a named error for all three, so Spark and the DuckDB
+    oracles (whose unrolled CTEs assume well-formed vectors) can never
+    silently diverge."""
+
+    def _cents(self, spark):
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+
+    def test_empty_codebook_raises_at_build(self, spark):
+        import pytest
+
+        empty = self._cents(spark).filter("vec_id < 0")
+        corpus = self._cents(spark)
+        with pytest.raises(ValueError, match="k == 0"):
+            assign_clusters(corpus, empty)
+
+    def test_zero_norm_centroid_raises_at_build(self, spark):
+        import pytest
+
+        cents = spark.createDataFrame(
+            [(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="zero-norm centroid"):
+            assign_clusters(self._cents(spark), cents)
+
+    def test_null_embedding_raises_in_task(self, spark):
+        import pytest
+
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 1.0]), (11, None)],
+            "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match="NULL or wrong-length"):
+            assign_clusters(corpus, self._cents(spark)).collect()
+
+    def test_ragged_embedding_raises_in_task(self, spark):
+        import pytest
+
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 1.0]), (11, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match="NULL or wrong-length"):
+            assign_clusters(corpus, self._cents(spark)).collect()
+
+    def test_zero_norm_embedding_raises_in_task(self, spark):
+        import pytest
+
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 1.0]), (11, [0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match="zero-norm embedding"):
+            assign_clusters(corpus, self._cents(spark)).collect()
+
+
+def test_material_scope_releases_library_persists(spark):
+    """Library consumers outside the registry bound their tracked
+    persists with material_scope(); on exit nothing stays pinned."""
+    from defi_etl_platform_sqlglot_implementation__spark.operators import materialize as M
+    from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    before = len(M._SCOPED)
+    with M.material_scope():
+        pairs = minhash_lsh_pairs(docs)
+        n_inside = pairs.count()
+        assert len(M._SCOPED) > before  # operators tracked their persists
+    assert len(M._SCOPED) == 0
+    # escaping frame still usable after release (lineage recompute)
+    assert pairs.count() == n_inside
