@@ -38,6 +38,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm10  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm11  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm12  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm13  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm14  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,69 +46,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived from CORRECTNESS_r05: queries with no
-# valid green driver row come first, LIGHT-ORACLE-FIRST / HEAVY-LAST —
-# the r5 sweep burned 25 of 50 slots when host memory ran out mid-window
-# (unreleased materializations + the three unrolled-k-means oracles
-# sitting in the MIDDLE of the window; VERDICT r5 "What's wrong" #1).
-# r6 fixes the leak (operators/materialize.py, registry.register's
-# query_scope) and orders the window so the cheap evidence lands before
-# any heavyweight oracle runs.  Buckets:
-#   1. the 21 light wave-6–10 gates whose r5 slots were burned by the
-#      host OOM — all sf1-exact locally (STRESS_r05.txt), tiny oracles;
-#   2. the 7 wave-11–13 gates registered past r5's 50-slot window —
-#      never driver-checked, all sf0.01/sf1-exact locally;
-#   3. r5-green gates whose implementation was touched by the r6
-#      materialization-lifetime refactor (scoped_persist / DISK_ONLY
-#      loop checkpoints — value-neutral by construction, re-verified
-#      exact locally, but changed-since-green means not-green);
-#   4. anything not listed below (new this round) via _ordered();
-#   5. TAIL of the priority list: the four heavy-oracle gates (unrolled
-#      k-means CTE replays) — last, so if anything still degrades the
-#      sweep they burn only their own slots.
+# Verification priority, re-derived for round 7 from CORRECTNESS_r06
+# (50/50 green; whole registry soaked exact in one session — STRESS_r06).
+# Convention unchanged: no-green-row-under-current-code first,
+# LIGHT-ORACLE-FIRST / HEAVY-LAST; the list is exactly 50 entries so the
+# window composition is fully pinned.  Buckets:
+#   1. the 6 wave-14 gates, new this round (URL dedup, normalized
+#      MinHash, paragraph dedup, incremental decontamination);
+#   2. r6-green gates whose implementation r7 touched: the O(n*k)
+#      assignment-fold rewrite (operators/similarity._assign_sims —
+#      bit-exact by construction, every gate re-verified exact locally)
+#      reaches everything routed through assign_clusters / kmeans_micro /
+#      ann_ivf; the connected_components round-budget fix reaches the CC
+#      family.  Light oracles first;
+#   3. cheap long-green re-confirmations to fill the window so that
+#   4. the 6 heavy unrolled-k-means oracles sit in the LAST slots —
+#      any residual sweep degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: light r5 OOM victims, never green (21) --
+    # -- bucket 1: wave-14, new this round (6) --
+    "url_canonicalize", "url_domain_dedup", "paragraph_dup_spans",
+    "paragraph_dedup_reassembly", "decontamination_incremental",
+    "dedup_minhash_normalized",
+    # -- bucket 2: r7-touched (assignment fold + CC round budget),
+    #    light oracles (15) --
+    "knn_label_accuracy", "linear_model_confusion", "similarity_ann_pq",
+    "similarity_ann_ivf", "similarity_ann_recall",
+    "similarity_ann_ivf_fullprobe", "semdedup_pairs", "semdedup_recall",
+    "semdedup_pairs_probed", "semdedup_recall_probed",
+    "dedup_clusters", "dedup_keep_canonical", "dup_cluster_size_histogram",
+    "curation_pipeline_v2", "bpe_vocab",
+    # -- bucket 3: cheap long-green re-confirmations (23) --
+    "transfer_volume_hourly", "topk_parts_by_quantity", "hour_spine_join",
+    "order_lineitem_pairing", "event_projection", "block_range_scan",
+    "distinct_counts", "summary_stats", "selector_map_lookup",
+    "json_props_extract", "time_formats", "last_k_events", "routed_union",
+    "dedup_exact", "text_profile", "lang_id", "doc_fingerprint",
+    "region_enrichment", "mev_scores", "var_cvar_scalar",
+    "stress_test_table", "il_curve", "swap_price_impact",
+    # -- bucket 4: heavy unrolled-k-means oracles, deliberately LAST (6) --
+    "semdedup_pairs_trained", "similarity_ann_ivf_trained",
+    "dedup_embedding_canonical", "cluster_distance_outliers",
+    "semdedup_recall_trained", "similarity_ann_recall_trained",
+]
+
+
+# Green driver row exists (r01 ∪ … ∪ r06) and the implementation is
+# unchanged since that row.  NOTE: every _PRIORITY bucket-2/4 query
+# (changed after its green row — including the bit-exact r7 assignment
+# rewrite) is deliberately ABSENT here — the convention is that
+# changed-since-green means not-green, regardless of prior rows.
+_DRIVER_GREEN = {
+    # -- green in r06 (CORRECTNESS_r06.json), untouched by the r7
+    #    assignment-fold / CC-round-budget changes --
     "sequence_packing", "tokens_per_source_budget", "ngram_novelty",
     "minhash_estimate_error", "lang_confusion_matrix",
     "embedding_norm_outliers", "stratified_split_assignment",
     "split_leakage_pairs", "oov_rate", "doc_length_percentile_clip",
     "cross_source_dup_matrix", "perplexity_bucket_mix",
     "spearman_len_distinct", "bpe_fertility_by_lang",
-    "dup_cluster_size_histogram", "source_temperature_weights",
-    "vocab_growth_curve", "split_decontamination_report",
-    "length_bucket_batching", "vocab_coverage_curve",
-    "embedding_dim_stats",
-    # -- bucket 2: wave-11–13, never windowed (7) --
+    "source_temperature_weights", "vocab_growth_curve",
+    "split_decontamination_report", "length_bucket_batching",
+    "vocab_coverage_curve", "embedding_dim_stats",
     "deterministic_downsample", "dsir_importance_weights",
     "embedding_sq8_error", "heldout_bigram_perplexity",
     "source_sampling_plan", "winnowing_fingerprints",
-    "winnowing_candidate_pairs",
-    # -- bucket 3: r5-green, impl touched by the r6 scoped-persist /
-    #    disk-checkpoint refactor (direct sites + gates routed through
-    #    the changed operators ngram_jaccard_pairs / minhash_lsh_pairs /
-    #    connected_components / pagerank / bfs_levels) (11) --
-    "bpe_vocab", "semdedup_pairs_probed", "semdedup_recall_probed",
-    "dedup_embedding_canonical", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_canonical",
-    "curation_pipeline_v2", "pagerank_nation_graph", "bfs_trade_distance",
-    # transitively changed via ann_ivf -> assign_clusters (map-only
-    # rewrite) and the stand-in-centroid blocking (6)
-    "semdedup_pairs", "semdedup_recall", "similarity_ann_ivf",
-    "similarity_ann_recall", "similarity_ann_ivf_fullprobe",
-    "similarity_ann_ivf_trained",
-    # -- bucket 5: heavy unrolled-k-means oracles, deliberately LAST (4) --
-    "cluster_distance_outliers",
-    "semdedup_pairs_trained", "semdedup_recall_trained",
-    "similarity_ann_recall_trained",
-]
-
-
-# Green driver row exists (r01 ∪ … ∪ r05) and the implementation is
-# unchanged since that row.  NOTE: every _PRIORITY bucket-3 query (changed
-# after its green row — including the value-neutral r6 materialization
-# refactor) is deliberately ABSENT here — the convention is that
-# changed-since-green means not-green, regardless of prior rows.
-_DRIVER_GREEN = {
+    "winnowing_candidate_pairs", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "pagerank_nation_graph", "bfs_trade_distance",
     "transfer_volume_hourly",
     "topk_parts_by_quantity", "hour_spine_join",
     "order_lineitem_pairing", "event_projection", "block_range_scan",
@@ -141,7 +145,7 @@ _DRIVER_GREEN = {
     "contamination_bloom_gated",
     "curation_pipeline_e2e", "source_mix_rebalance",
     "dedup_char_jaccard_capped",
-    "similarity_ann_pq",
+    # similarity_ann_pq: green r03, touched in r7 (assignment fold) -> _PRIORITY
     "transfer_volume_hourly_approx_check",
     # dedup_embedding_cosine_blocked: green r03, but re-keyed in r5
     # (cluster blocking) → _PRIORITY bucket 3, deliberately absent here
@@ -152,7 +156,7 @@ _DRIVER_GREEN = {
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
     "token_freq_cms",
-    "substring_dup_spans", "curation_clip_spans", "linear_model_confusion",
+    "substring_dup_spans", "curation_clip_spans",
     "scd2_history", "grouping_sets_metrics",
     # -- green in r04 (driver rows in CORRECTNESS_r04.json; 45 of the 50
     #    window entries — the 5 fails are _PRIORITY bucket 1) --
@@ -182,7 +186,7 @@ _DRIVER_GREEN = {
     "transpiled_monthly_orders", "transpiled_rank_over",
     "linestatus_priority_counts", "bpe_encode_segments",
     "dedup_incremental", "doc_bigram_logprob", "embedding_mean_pool",
-    "gopher_quality_flags", "knn_label_accuracy", "minhash_containment",
+    "gopher_quality_flags", "minhash_containment",
     "multimodal_resize_real", "reciprocal_trade_pairs",
     "schema_evolution_read", "transpiled_listagg",
     # rows-only by design (no oracle possible): keep at the tail — the

@@ -57,8 +57,21 @@ _SCOPED: list[DataFrame] = []
 _DEPTH: int = 0
 
 
+def _default_level() -> StorageLevel:
+    """Resolve the scoped-persist StorageLevel at CALL time from
+    ``$SPARK_GRAFT_PERSIST_LEVEL`` (default DISK_ONLY).  Values are
+    level-independent by construction — the knob exists so bench/one-shot
+    runs can trade the long-session RSS discipline (DISK_ONLY — see the
+    module docstring) for MEMORY_AND_DISK reread speed, and so the r6→r7
+    bench-regression A/B (VERDICT r6 #2) is a measurement, not a guess."""
+    import os
+
+    name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "DISK_ONLY")
+    return getattr(StorageLevel, name)
+
+
 def scoped_persist(df: DataFrame, eager: bool = True,
-                   level: StorageLevel = StorageLevel.DISK_ONLY
+                   level: StorageLevel | None = None
                    ) -> DataFrame:
     """Persist ``df`` for the duration of the current registry query.
 
@@ -77,6 +90,8 @@ def scoped_persist(df: DataFrame, eager: bool = True,
     without growing the heap.  Callers with a genuinely hot, large,
     repeatedly-scanned frame can pass MEMORY_AND_DISK explicitly.
     """
+    if level is None:
+        level = _default_level()
     out = df.persist(level)
     if eager:
         out.count()

@@ -208,3 +208,52 @@ def test_sequence_packing_windows_inside_source_partitions(spark):
     # global exchange may feed its sort
     plan = _executed(spark, "sequence_packing")
     assert "SinglePartition" not in plan, plan
+
+
+# -------------------------------------------------------------------------
+# Wave-14 shape pins (r7): URL dedup, paragraph dedup, incremental
+# decontamination — the new gates keep their hash-keyed shapes.
+# -------------------------------------------------------------------------
+
+def test_url_domain_dedup_hash_agg_no_global_sort(spark):
+    plan = _executed(spark, "url_domain_dedup")
+    # the canonical_url/domain group-by must stay a HashAggregate (domain
+    # rides as a group key precisely so no string MIN demotes it), and the
+    # per-domain rank window sorts partition-locally
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "Sort [" in ln:
+            assert " true, " not in ln, f"global sort: {ln}"
+
+
+def test_paragraph_dedup_equikeyed_hash_aggs(spark):
+    for name in ("paragraph_dup_spans", "paragraph_dedup_reassembly"):
+        plan = _executed(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # canonical argmin = numeric MIN over the packed key, hash-agg'd;
+        # reassembly's collect_list is ObjectHashAggregate — neither may
+        # fall back to SortAggregate
+        assert "SortAggregate" not in plan, name
+
+
+def test_decontamination_incremental_shares_shingle_scan(spark):
+    plan = _executed(spark, "decontamination_incremental")
+    # tr_first / hits feed three result branches: they must come from the
+    # query-scoped persist (InMemoryTableScan), not three re-scans of the
+    # corpus shingle pipeline
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_minhash_normalized_banded_join(spark):
+    plan = _executed(spark, "dedup_minhash_normalized")
+    # same banded-LSH discipline as dedup_minhash_lsh: equi-joins only,
+    # and the normalization stays a row-local projection (no Python)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
