@@ -552,18 +552,37 @@ def _semdedup_assigned_ctes(n_centroids: int = 16) -> str:
     assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM asg WHERE rn = 1)"""
 
 
+def _normed_cte() -> str:
+    """`normed`: embeddings + the per-vector norm fold, MATERIALIZED.
+
+    Exactly the Spark side's `with_norm` hoist: sqrt of the identical
+    left-assoc self-dot chain, evaluated once per VECTOR.  Every pair
+    expression then divides by `ea.nrm * eb.nrm` — bit-identical to the
+    inline per-pair form (the same operations on the same floats, just
+    not recomputed per pair), and 3x fewer 64-term chains in any O(n^2)
+    CTE: the brute-force ground-truth replays of the recall gates were
+    the two slowest sf1 stress oracles (612.6 s / 494.1 s, VERDICT r6
+    #4) precisely because of the per-pair norm recomputation."""
+    from .registry_llm import _dot_chain
+
+    return (f"normed AS MATERIALIZED (SELECT vec_id, embedding,"
+            f" sqrt({_dot_chain('e', 'e')}) AS nrm FROM embeddings e)")
+
+
 def _semdedup_pairs_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
-    WITH {_semdedup_assigned_ctes()}
+    WITH {_semdedup_assigned_ctes()},
+    {_normed_cte()}
     SELECT a.cluster_id, a.vec_id AS d1, b.vec_id AS d2, {cos} AS cosine
     FROM assigned a
     JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    JOIN embeddings ea ON ea.vec_id = a.vec_id
-    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    JOIN normed ea ON ea.vec_id = a.vec_id
+    JOIN normed eb ON eb.vec_id = b.vec_id
     WHERE {cos} >= 4e-1
     """
 
@@ -602,30 +621,32 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_recall_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
     WITH {_semdedup_assigned_ctes()},
+    {_normed_cte()},
     assigned4 AS (SELECT vec_id, centroid_id AS cluster_id FROM asg WHERE rn <= 4),
     true_pairs AS (
         SELECT ea.vec_id AS d1, eb.vec_id AS d2
-        FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        FROM normed ea JOIN normed eb ON ea.vec_id < eb.vec_id
         WHERE {cos} >= 4e-1
     ),
     found1 AS (
         SELECT a.vec_id AS d1, b.vec_id AS d2
         FROM assigned a
         JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        JOIN normed ea ON ea.vec_id = a.vec_id
+        JOIN normed eb ON eb.vec_id = b.vec_id
         WHERE {cos} >= 4e-1
     ),
     found4 AS (
         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
         FROM assigned4 a
         JOIN assigned4 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        JOIN normed ea ON ea.vec_id = a.vec_id
+        JOIN normed eb ON eb.vec_id = b.vec_id
         WHERE {cos} >= 4e-1
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true,
@@ -1250,15 +1271,17 @@ def _km_ctes() -> str:
 def _semdedup_trained_pairs_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
-    WITH {_km_ctes()}
+    WITH {_km_ctes()},
+    {_normed_cte()}
     SELECT a.cid AS cluster_id, a.vec_id AS d1, b.vec_id AS d2, {cos} AS cosine
     FROM tassigned a
     JOIN tassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    JOIN embeddings ea ON ea.vec_id = a.vec_id
-    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    JOIN normed ea ON ea.vec_id = a.vec_id
+    JOIN normed eb ON eb.vec_id = b.vec_id
     WHERE {cos} >= 4e-1
     """
 
@@ -1326,21 +1349,23 @@ def semdedup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_trained_recall_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
     WITH {_km_ctes()},
+    {_normed_cte()},
     true_pairs AS MATERIALIZED (
         SELECT ea.vec_id AS d1, eb.vec_id AS d2
-        FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        FROM normed ea JOIN normed eb ON ea.vec_id < eb.vec_id
         WHERE {cos} >= 4e-1
     ),
     found AS MATERIALIZED (
         SELECT a.vec_id AS d1, b.vec_id AS d2
         FROM tassigned a
         JOIN tassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        JOIN normed ea ON ea.vec_id = a.vec_id
+        JOIN normed eb ON eb.vec_id = b.vec_id
         WHERE {cos} >= 4e-1
     ),
     csize AS (SELECT cid, COUNT(*) AS n FROM tassigned GROUP BY cid)
@@ -1414,10 +1439,12 @@ _SD_NPROBE = 2
 def _semdedup_probed_pairs_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
     WITH {_km_ctes()},
+    {_normed_cte()},
     {_km_assign_probe_cte("passigned", f"tc{_KM_ITERS}", _SD_NPROBE)},
     cand AS (
         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -1426,8 +1453,8 @@ def _semdedup_probed_pairs_sql() -> str:
     )
     SELECT d1, d2, {cos} AS cosine
     FROM cand
-    JOIN embeddings ea ON ea.vec_id = d1
-    JOIN embeddings eb ON eb.vec_id = d2
+    JOIN normed ea ON ea.vec_id = d1
+    JOIN normed eb ON eb.vec_id = d2
     WHERE {cos} >= 4e-1
     """
 
@@ -1481,10 +1508,12 @@ def semdedup_pairs_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_probed_recall_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
     WITH {_km_ctes()},
+    {_normed_cte()},
     {_km_assign_probe_cte("passigned", f"tc{_KM_ITERS}", _SD_NPROBE)},
     cand AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -1493,14 +1522,14 @@ def _semdedup_probed_recall_sql() -> str:
     ),
     true_pairs AS MATERIALIZED (
         SELECT ea.vec_id AS d1, eb.vec_id AS d2
-        FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        FROM normed ea JOIN normed eb ON ea.vec_id < eb.vec_id
         WHERE {cos} >= 4e-1
     ),
     found AS MATERIALIZED (
         SELECT c.d1, c.d2
         FROM cand c
-        JOIN embeddings ea ON ea.vec_id = c.d1
-        JOIN embeddings eb ON eb.vec_id = c.d2
+        JOIN normed ea ON ea.vec_id = c.d1
+        JOIN normed eb ON eb.vec_id = c.d2
         WHERE {cos} >= 4e-1
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true,
@@ -1566,10 +1595,12 @@ def semdedup_recall_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_canonical_sql() -> str:
     from .registry_llm import _dot_chain
 
-    cos = (f"({_dot_chain('ea', 'eb')})"
-           f" / (sqrt({_dot_chain('ea', 'ea')}) * sqrt({_dot_chain('eb', 'eb')}))")
+    # norms hoisted per vector via the `normed` CTE (bit-identical; see
+    # _normed_cte) — 3x fewer fold chains in the pair hot loop
+    cos = f"({_dot_chain('ea', 'eb')}) / (ea.nrm * eb.nrm)"
     return f"""
     WITH RECURSIVE {_km_ctes()},
+    {_normed_cte()},
     {_km_assign_probe_cte("passigned", f"tc{_KM_ITERS}", _SD_NPROBE)},
     cand AS (
         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -1578,8 +1609,8 @@ def _embedding_canonical_sql() -> str:
     ),
     edges AS MATERIALIZED (
         SELECT d1, d2 FROM cand
-        JOIN embeddings ea ON ea.vec_id = d1
-        JOIN embeddings eb ON eb.vec_id = d2
+        JOIN normed ea ON ea.vec_id = d1
+        JOIN normed eb ON eb.vec_id = d2
         WHERE {cos} >= 4e-1
     ),
     sym AS (
