@@ -39,6 +39,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm11  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm12  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm13  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm14  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm15  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -63,10 +64,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the 6 heavy unrolled-k-means oracles sit in the LAST slots —
 #      any residual sweep degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: wave-14, new this round (6) --
+    # -- bucket 1: waves 14-15, new this round (10) --
     "url_canonicalize", "url_domain_dedup", "paragraph_dup_spans",
     "paragraph_dedup_reassembly", "decontamination_incremental",
     "dedup_minhash_normalized",
+    "domain_token_budget", "paragraph_dup_rate_filter",
+    "simhash_recall", "dedup_variant_agreement",
     # -- bucket 2: r7-touched (assignment fold + CC round budget),
     #    light oracles (15) --
     "knn_label_accuracy", "linear_model_confusion", "similarity_ann_pq",
@@ -75,14 +78,13 @@ _PRIORITY = [
     "semdedup_pairs_probed", "semdedup_recall_probed",
     "dedup_clusters", "dedup_keep_canonical", "dup_cluster_size_histogram",
     "curation_pipeline_v2", "bpe_vocab",
-    # -- bucket 3: cheap long-green re-confirmations (23) --
+    # -- bucket 3: cheap long-green re-confirmations (19) --
     "transfer_volume_hourly", "topk_parts_by_quantity", "hour_spine_join",
     "order_lineitem_pairing", "event_projection", "block_range_scan",
     "distinct_counts", "summary_stats", "selector_map_lookup",
     "json_props_extract", "time_formats", "last_k_events", "routed_union",
     "dedup_exact", "text_profile", "lang_id", "doc_fingerprint",
-    "region_enrichment", "mev_scores", "var_cvar_scalar",
-    "stress_test_table", "il_curve", "swap_price_impact",
+    "region_enrichment", "swap_price_impact",
     # -- bucket 4: heavy unrolled-k-means oracles, deliberately LAST (6) --
     "semdedup_pairs_trained", "similarity_ann_ivf_trained",
     "dedup_embedding_canonical", "cluster_distance_outliers",
