@@ -47,57 +47,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived for round 7 from CORRECTNESS_r06
-# (50/50 green; whole registry soaked exact in one session — STRESS_r06).
-# Convention unchanged: no-green-row-under-current-code first,
-# LIGHT-ORACLE-FIRST / HEAVY-LAST; the list is exactly 50 entries so the
-# window composition is fully pinned.  Buckets:
-#   1. the 6 wave-14 gates, new this round (URL dedup, normalized
-#      MinHash, paragraph dedup, incremental decontamination);
-#   2. r6-green gates whose implementation r7 touched: the O(n*k)
-#      assignment-fold rewrite (operators/similarity._assign_sims —
-#      bit-exact by construction, every gate re-verified exact locally)
-#      reaches everything routed through assign_clusters / kmeans_micro /
-#      ann_ivf; the connected_components round-budget fix reaches the CC
-#      family.  Light oracles first;
-#   3. cheap long-green re-confirmations to fill the window so that
-#   4. the 6 heavy unrolled-k-means oracles sit in the LAST slots —
-#      any residual sweep degradation burns only their own slots.
+# Verification priority, re-derived for round 8 from CORRECTNESS_r07
+# (50/50 green — the whole r7 window, including all wave-14/15 gates and
+# the assignment-fold/CC-touched families, is hash-exact).  Convention
+# unchanged: no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
+# HEAVY-LAST; the list is exactly 50 entries so the window composition
+# is fully pinned.  Buckets:
+#   1. wave-16 gates, new this round;
+#   2. r7-green gates whose implementation r8 touched: the
+#      connected_components 1,1,2,2 batch schedule (operators/dedup.py)
+#      reaches the CC family; the port-stripped-domain +
+#      single-label-host fix (registry_llm14 _CANON_DUCK /
+#      canonicalize_urls) reaches the URL family; the simhash_recall
+#      zero-denominator guard reaches itself.  Light oracles first;
+#   3. cheap re-confirmations (= _RECONFIRM exactly — driver-green,
+#      deliberately re-occupying window slots; oldest green rows first:
+#      the r03/r04 cohort has not been re-windowed since) so that
+#   4. the heavy unrolled-k-means oracle sits in the LAST slots —
+#      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 14-15, new this round (10) --
-    "url_canonicalize", "url_domain_dedup", "paragraph_dup_spans",
-    "paragraph_dedup_reassembly", "decontamination_incremental",
-    "dedup_minhash_normalized",
-    "domain_token_budget", "paragraph_dup_rate_filter",
-    "simhash_recall", "dedup_variant_agreement",
-    # -- bucket 2: r7-touched (assignment fold + CC round budget),
-    #    light oracles (15) --
-    "knn_label_accuracy", "linear_model_confusion", "similarity_ann_pq",
-    "similarity_ann_ivf", "similarity_ann_recall",
-    "similarity_ann_ivf_fullprobe", "semdedup_pairs", "semdedup_recall",
-    "semdedup_pairs_probed", "semdedup_recall_probed",
+    # -- bucket 1: wave 16, new this round (names appended as built) --
+    # -- bucket 2: r8-touched, light oracles (8) --
+    "url_canonicalize", "url_domain_dedup", "domain_token_budget",
+    "simhash_recall",
     "dedup_clusters", "dedup_keep_canonical", "dup_cluster_size_histogram",
-    "curation_pipeline_v2", "bpe_vocab",
-    # -- bucket 3: cheap long-green re-confirmations (19) --
-    "transfer_volume_hourly", "topk_parts_by_quantity", "hour_spine_join",
-    "order_lineitem_pairing", "event_projection", "block_range_scan",
-    "distinct_counts", "summary_stats", "selector_map_lookup",
-    "json_props_extract", "time_formats", "last_k_events", "routed_union",
-    "dedup_exact", "text_profile", "lang_id", "doc_fingerprint",
-    "region_enrichment", "swap_price_impact",
-    # -- bucket 4: heavy unrolled-k-means oracles, deliberately LAST (6) --
-    "semdedup_pairs_trained", "similarity_ann_ivf_trained",
-    "dedup_embedding_canonical", "cluster_distance_outliers",
-    "semdedup_recall_trained", "similarity_ann_recall_trained",
+    "curation_pipeline_v2",
+    # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
+    #    then r04) --
+    "rolling_var_minperiods_partitioned", "token_entropy",
+    "salted_join_brand_qty", "asof_price_join_forward",
+    "contamination_bloom_gated", "curation_pipeline_e2e",
+    "source_mix_rebalance", "dedup_char_jaccard_capped",
+    "transfer_volume_hourly_approx_check", "twap_per_user",
+    "funnel_view_click_purchase", "event_transition_matrix",
+    "hourly_locf_fill", "user_share_of_type_value",
+    "value_quantiles_approx_check", "tfidf_top_terms",
+    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
+    "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
+    "scd2_history", "grouping_sets_metrics",
+    "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
+    "column_profile", "zorder_locality", "fuzzy_customer_pairs",
+    "pagerank_nation_graph", "bfs_trade_distance",
+    # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
+    "dedup_embedding_canonical",
+]
+
+# Driver-green gates deliberately RE-OCCUPYING window slots this round
+# (cheap evidence refresh for the oldest green rows).  Must be exactly
+# the _PRIORITY ∩ _DRIVER_GREEN overlap — tests/test_entry_order.py
+# enforces that, so a name can never sit ambiguously in both ledgers
+# again (the r7 bookkeeping failure).
+_RECONFIRM = [
+    "rolling_var_minperiods_partitioned", "token_entropy",
+    "salted_join_brand_qty", "asof_price_join_forward",
+    "contamination_bloom_gated", "curation_pipeline_e2e",
+    "source_mix_rebalance", "dedup_char_jaccard_capped",
+    "transfer_volume_hourly_approx_check", "twap_per_user",
+    "funnel_view_click_purchase", "event_transition_matrix",
+    "hourly_locf_fill", "user_share_of_type_value",
+    "value_quantiles_approx_check", "tfidf_top_terms",
+    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
+    "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
+    "scd2_history", "grouping_sets_metrics",
+    "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
+    "column_profile", "zorder_locality", "fuzzy_customer_pairs",
+    "pagerank_nation_graph", "bfs_trade_distance",
 ]
 
 
-# Green driver row exists (r01 ∪ … ∪ r06) and the implementation is
+# Green driver row exists (r01 ∪ … ∪ r07) and the implementation is
 # unchanged since that row.  NOTE: every _PRIORITY bucket-2/4 query
-# (changed after its green row — including the bit-exact r7 assignment
-# rewrite) is deliberately ABSENT here — the convention is that
-# changed-since-green means not-green, regardless of prior rows.
+# (changed after its green row — the r8 CC batch-schedule, URL-domain
+# and simhash_recall-guard edits) is deliberately ABSENT here — the
+# convention is that changed-since-green means not-green, regardless of
+# prior rows.  _RECONFIRM names ARE here (green + unchanged) AND in
+# _PRIORITY bucket 3 — that overlap is exactly the _RECONFIRM ledger,
+# enforced by tests/test_entry_order.py.
 _DRIVER_GREEN = {
+    # -- green in r07 (CORRECTNESS_r07.json, 50/50), untouched by the
+    #    r8 CC/URL/simhash edits --
+    "paragraph_dup_spans", "paragraph_dedup_reassembly",
+    "decontamination_incremental", "dedup_minhash_normalized",
+    "paragraph_dup_rate_filter", "dedup_variant_agreement",
+    "knn_label_accuracy", "linear_model_confusion", "similarity_ann_pq",
+    "similarity_ann_ivf", "similarity_ann_recall",
+    "similarity_ann_ivf_fullprobe", "semdedup_pairs", "semdedup_recall",
+    "semdedup_pairs_probed", "semdedup_recall_probed", "bpe_vocab",
+    "semdedup_pairs_trained", "similarity_ann_ivf_trained",
+    "cluster_distance_outliers", "semdedup_recall_trained",
+    "similarity_ann_recall_trained",
     # -- green in r06 (CORRECTNESS_r06.json), untouched by the r7
     #    assignment-fold / CC-round-budget changes --
     "sequence_packing", "tokens_per_source_budget", "ngram_novelty",
@@ -147,10 +189,7 @@ _DRIVER_GREEN = {
     "contamination_bloom_gated",
     "curation_pipeline_e2e", "source_mix_rebalance",
     "dedup_char_jaccard_capped",
-    # similarity_ann_pq: green r03, touched in r7 (assignment fold) -> _PRIORITY
     "transfer_volume_hourly_approx_check",
-    # dedup_embedding_cosine_blocked: green r03, but re-keyed in r5
-    # (cluster blocking) → _PRIORITY bucket 3, deliberately absent here
     "twap_per_user", "funnel_view_click_purchase", "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
@@ -178,8 +217,6 @@ _DRIVER_GREEN = {
     "avg_yearly_small_qty", "rich_idle_customers", "returnflag_cube",
     "order_price_histogram", "returnflag_metrics_unpivot",
     "pricing_summary", "shipping_priority", "local_supplier_volume",
-    # semdedup_pairs_trained / semdedup_recall_trained: green r04, oracle
-    # changed in r5 (_km_ctes cast fix), r5 slots OOM'd → _PRIORITY tail
     "eip55_checksum_addresses",
     # -- green in r05 (driver rows in CORRECTNESS_r05.json; the 25 slots
     #    that survived the sweep OOM), MINUS the 7 touched by the r6

@@ -74,9 +74,31 @@ BENCH_QUERIES = SHARED_QUERIES + [
 ]
 
 
+def _wait_for_quiet_host() -> dict:
+    """Load-average guard (VERDICT r7 #3/#4): BENCH_r07.json was recorded
+    under heavy host load (shared core 23.6 s vs 15.0 s quiet) and cost a
+    round of perf signal.  Block until the 1-min load drops below
+    ``$SPARK_GRAFT_BENCH_MAX_LOAD`` (default 4.0) or ``..._MAX_WAIT``
+    seconds (default 900) elapse, then record what was observed — the
+    artifact always says which regime it was measured in."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= max_load and time.time() - t0 < max_wait:
+        print(f"bench: host load {load:.1f} >= {max_load:g}, waiting...",
+              file=sys.stderr)
+        time.sleep(30)
+        load = os.getloadavg()[0]
+    return {"start_load1": round(load, 2),
+            "waited_sec": round(time.time() - t0, 1),
+            "max_load": max_load}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    host_load = _wait_for_quiet_host()
 
     from pyspark.sql import SparkSession
 
@@ -190,6 +212,10 @@ def main() -> None:
         "shared_subtotal": round(
             sum(timings[q] for q in SHARED_QUERIES) + dt, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement regime: load when timing began / ended, and how long
+        # the quiet-host guard waited — a loaded-host artifact says so
+        "host_load": {**host_load,
+                      "end_load1": round(os.getloadavg()[0], 2)},
     }))
 
 

@@ -567,17 +567,23 @@ def connected_components(
     favors pointer-jumping variants does not arise from similarity edges.
 
     Each round is one shuffle (join on the edge endpoint) + one min
-    aggregate, both keyed on node id.  Rounds run in BATCHES of two per
-    materialization: the checkpoint (lineage truncation) and the
-    convergence probe are per-batch driver jobs whose ~constant cost
-    dominated small-input latency, and batching is sound because labels
-    are monotone non-increasing — the label sum is stationary across a
-    batch iff NO round inside it changed anything, so the detected
-    fixpoint is identical.  ``max_iter`` caps total PROPAGATION ROUNDS
-    (the documented unit — an odd cap makes the final batch one round),
-    not batches.  Convergence = the (monotonically decreasing,
-    non-negative) label sum going stationary — one scalar agg per batch,
-    no row-diff join.
+    aggregate, both keyed on node id.  Rounds run in BATCHES per
+    materialization on a 1, 1, 2, 2, ... schedule: the checkpoint
+    (lineage truncation) and the convergence probe are per-batch driver
+    jobs whose ~constant cost dominated small-input latency.  The two
+    single-round batches up front let the dominant diameter-1 graph
+    (cliquish near-dup components) stop at the provable minimum —
+    2 rounds + 2 probes — while deeper graphs amortize probes two
+    rounds per batch from the third batch on.  Batching is sound
+    because labels are monotone non-increasing — the label sum is
+    stationary across a batch iff NO round inside it changed anything,
+    so the detected fixpoint is identical.  ``max_iter`` caps total
+    PROPAGATION ROUNDS (the documented unit — the final batch shrinks
+    to the remaining budget), not batches.  Convergence = the
+    (monotonically decreasing, non-negative) label sum going stationary
+    — one scalar agg per batch, no row-diff join.  Exhausting
+    ``max_iter`` without stationarity warns loudly: a truncated
+    labeling must not masquerade as converged output.
     """
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -598,8 +604,13 @@ def connected_components(
     )
     prev_total = None
     rounds_left = max_iter
+    batch_no = 0
+    converged = False
     while rounds_left > 0:
-        batch = min(2, rounds_left)  # two propagation rounds per batch
+        # 1, 1, 2, 2, ... — single-round batches first (fast stop for
+        # diameter-1 graphs), probe amortization afterwards.
+        batch = min(1 if batch_no < 2 else 2, rounds_left)
+        batch_no += 1
         rounds_left -= batch
         for _ in range(batch):
             pushed = sym.join(cur, sym.b == cur.node).select(
@@ -614,6 +625,16 @@ def connected_components(
         cur = disk_ckpt(cur)
         total = cur.agg(F.sum("lbl")).first()[0]
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} propagation "
+            "rounds without the label sum going stationary — the returned "
+            "cluster ids may be UNCONVERGED (some components split). Raise "
+            "max_iter for graphs with diameter > max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return cur.select(F.col("node"), F.col("lbl").alias("cluster_id"))

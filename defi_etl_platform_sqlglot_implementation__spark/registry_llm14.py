@@ -153,8 +153,16 @@ _CANON_DUCK = """
     ),
     urls AS (
         SELECT doc_id, url, host,
+               -- domain = last two labels of the PORT-STRIPPED host
+               -- ('sub.example.com:8443' -> 'example.com', not
+               -- 'example.com:8443'); greatest(1, ..) start: a
+               -- single-label host ('localhost') yields start 0, which
+               -- Spark's slice() rejects — both engines must return the
+               -- host itself on that edge
                array_to_string(
-                   string_split(host, '.')[len(string_split(host, '.')) - 1:],
+                   string_split(split_part(host, ':', 1), '.')[greatest(
+                       1, len(string_split(split_part(host, ':', 1), '.'))
+                       - 1):],
                    '.') AS domain,
                path,
                scheme || '://' || host || path
@@ -206,8 +214,10 @@ def canonicalize_urls(urls: DataFrame) -> DataFrame:
     )
     return u.select(
         "doc_id", "url", "host",
-        F.expr("array_join(slice(split(host, '\\\\.'),"
-               " size(split(host, '\\\\.')) - 1, 2), '.')").alias("domain"),
+        F.expr("array_join(slice(split(split_part(host, ':', 1), '\\\\.'),"
+               " greatest(1, size(split(split_part(host, ':', 1),"
+               " '\\\\.')) - 1), 2), '.')")
+        .alias("domain"),
         "path",
         F.expr("scheme || '://' || host || path"
                " || CASE WHEN q <> '' THEN '?' || q ELSE '' END")

@@ -197,12 +197,16 @@ def paragraph_dup_rate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM simp) AS n_simhash,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_overlap,
-           CAST(round(1e4 * (SELECT COUNT(*) FROM hit)
-                          / (SELECT COUNT(*) FROM truth)) AS BIGINT)
-               AS recall_bp,
-           CAST(round(1e4 * (SELECT COUNT(*) FROM hit)
-                          / (SELECT COUNT(*) FROM simp)) AS BIGINT)
-               AS precision_bp
+           -- zero-denominator guard, identical on both engines: an
+           -- empty truth/candidate set reads as 0 bp, not null/inf
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0
+                ELSE round(1e4 * (SELECT COUNT(*) FROM hit)
+                               / (SELECT COUNT(*) FROM truth)) END
+                AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM simp) = 0 THEN 0
+                ELSE round(1e4 * (SELECT COUNT(*) FROM hit)
+                               / (SELECT COUNT(*) FROM simp)) END
+                AS BIGINT) AS precision_bp
     """,
 )
 def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,9 +230,13 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_true.crossJoin(n_sim).crossJoin(n_hit)
         .select(
             "n_true", "n_simhash", "n_overlap",
-            F.round(F.lit(1e4) * F.col("n_overlap") / F.col("n_true"))
+            # zero-denominator guard mirrors the oracle: 0 bp, not null
+            F.when(F.col("n_true") == 0, F.lit(0)).otherwise(
+                F.round(F.lit(1e4) * F.col("n_overlap") / F.col("n_true")))
             .cast("long").alias("recall_bp"),
-            F.round(F.lit(1e4) * F.col("n_overlap") / F.col("n_simhash"))
+            F.when(F.col("n_simhash") == 0, F.lit(0)).otherwise(
+                F.round(F.lit(1e4) * F.col("n_overlap")
+                        / F.col("n_simhash")))
             .cast("long").alias("precision_bp"),
         )
     )

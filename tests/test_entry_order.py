@@ -1,7 +1,15 @@
 """Driver-window accounting invariants for __spark_entry__._ordered:
-the verification priority is derived data (CORRECTNESS_r01–r04 union),
-and a stale name in either list silently wastes 50-slot window capacity
-— these checks make that failure loud at test time instead."""
+the verification priority is derived data (CORRECTNESS_r01–r07 union),
+and a stale name in either ledger silently wastes 50-slot window capacity
+— these checks make that failure loud at test time instead.
+
+Three ledgers:
+  _PRIORITY     — the pinned window head (unproven gates + _RECONFIRM).
+  _DRIVER_GREEN — green driver row exists AND implementation unchanged.
+  _RECONFIRM    — driver-green gates deliberately re-occupying window
+                  slots; must be EXACTLY the _PRIORITY ∩ _DRIVER_GREEN
+                  overlap, so a name can never sit ambiguously in both
+                  ledgers (the r7 bookkeeping failure)."""
 
 from __future__ import annotations
 
@@ -14,26 +22,34 @@ def test_priority_and_green_names_resolve():
     names = set(registry.QUERIES)
     missing_priority = [n for n in entry._PRIORITY if n not in names]
     missing_green = [n for n in entry._DRIVER_GREEN if n not in names]
+    missing_reconfirm = [n for n in entry._RECONFIRM if n not in names]
     assert not missing_priority, missing_priority
     assert not missing_green, missing_green
-    # a name in both buckets would be ordered twice / miscounted
+    assert not missing_reconfirm, missing_reconfirm
+    # the ONLY allowed priority/green overlap is the explicit reconfirm
+    # ledger — anything else is the r7 double-bookkeeping bug
     overlap = set(entry._PRIORITY) & entry._DRIVER_GREEN
-    assert not overlap, overlap
-    # no duplicate priority entries (dict-ordering would silently dedup)
+    assert overlap == set(entry._RECONFIRM), (
+        overlap ^ set(entry._RECONFIRM))
+    assert set(entry._RECONFIRM) <= set(entry._PRIORITY)
+    # no duplicate entries (dict-ordering would silently dedup)
     assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
+    assert len(entry._RECONFIRM) == len(set(entry._RECONFIRM))
 
 
 def test_unproven_queries_lead_the_window():
     q = entry.queries()
     ordered = list(q)
-    n_unproven = len([n for n in ordered if n not in entry._DRIVER_GREEN])
-    head, tail = ordered[:n_unproven], ordered[n_unproven:]
-    # every unproven query sorts before every driver-green one
-    assert all(n not in entry._DRIVER_GREEN for n in head)
+    # the explicit priority bucket is the pinned window head, verbatim
+    pinned = [n for n in entry._PRIORITY if n in q]
+    assert ordered[:len(pinned)] == pinned
+    # after the pinned head: every unproven (implicit-new) query sorts
+    # before every remaining driver-green one
+    rest = ordered[len(pinned):]
+    n_unproven = len([n for n in rest if n not in entry._DRIVER_GREEN])
+    head, tail = rest[:n_unproven], rest[n_unproven:]
+    assert all(n not in entry._DRIVER_GREEN for n in head), head
     assert all(n in entry._DRIVER_GREEN for n in tail)
-    # and the explicit priority bucket leads the unproven block
-    assert head[:len(entry._PRIORITY)] == [
-        n for n in entry._PRIORITY if n in q]
 
 
 def test_oracles_follow_query_order():

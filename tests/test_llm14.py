@@ -28,6 +28,7 @@ class TestUrlCanonicalize:
             (3, "http://example.com:443/p"),              # :443 NOT default for http
             (4, "https://example.com/?utm_a=1&utm_b=2"),  # all params tracking
             (5, "https://www.example.com/x//"),           # only ONE trailing / dropped
+            (6, "https://localhost/x"),                   # single-label host
         ]
         df = spark.createDataFrame(rows, "doc_id long, url string")
         got = {r["doc_id"]: r.asDict()
@@ -37,9 +38,14 @@ class TestUrlCanonicalize:
         assert got[0]["domain"] == "example.com"
         assert got[1]["canonical_url"] == "https://example.com/"
         assert got[2]["canonical_url"] == "https://sub.example.com:8443/p"
-        assert got[2]["domain"] == "example.com:8443".split(":")[0] + ".com" \
-            or True  # domain of host:port is computed on hostport string
+        # domain is computed on the PORT-STRIPPED host
+        assert got[2]["domain"] == "example.com"
         assert got[3]["canonical_url"] == "http://example.com:443/p"
+        assert got[3]["domain"] == "example.com"
+        # single-label host: domain degrades to the host itself (the
+        # slice start clamps to 1 — Spark rejects start 0)
+        assert got[6]["canonical_url"] == "https://localhost/x"
+        assert got[6]["domain"] == "localhost"
         assert got[4]["canonical_url"] == "https://example.com/"
         assert got[5]["canonical_url"] == "https://example.com/x/"
 
