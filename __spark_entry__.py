@@ -40,6 +40,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm12  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm13  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm14  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm15  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm16  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -66,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: wave 16, new this round (names appended as built) --
+    # -- bucket 1: wave 16, new this round (3) --
+    "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
@@ -89,7 +91,7 @@ _PRIORITY = [
     "scd2_history", "grouping_sets_metrics",
     "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
     "column_profile", "zorder_locality", "fuzzy_customer_pairs",
-    "pagerank_nation_graph", "bfs_trade_distance",
+    "pagerank_nation_graph",
     # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
     "dedup_embedding_canonical",
 ]
@@ -115,7 +117,7 @@ _RECONFIRM = [
     "scd2_history", "grouping_sets_metrics",
     "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
     "column_profile", "zorder_locality", "fuzzy_customer_pairs",
-    "pagerank_nation_graph", "bfs_trade_distance",
+    "pagerank_nation_graph",
 ]
 
 

@@ -71,6 +71,9 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "url_domain_dedup",
     "paragraph_dedup_reassembly",
     "decontamination_incremental",
+    # round-8 wave-16: the cross-modal fusion representative (its two
+    # halves are already benched via image_ahash_pairs + dedup_minhash_lsh).
+    "cross_modal_dedup",
 ]
 
 

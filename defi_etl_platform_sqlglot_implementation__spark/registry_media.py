@@ -34,8 +34,10 @@ _BASES_SQL = """
     )
 """
 
-_IMAGE_HASH_SQL = f"""
-    WITH {_BASES_SQL},
+# CTE fragment (no WITH) so other registries can compose it into their
+# own WITH RECURSIVE chains (cross-modal dedup); _IMAGE_HASH_SQL below
+# stays byte-identical to the pre-split definition.
+_IMAGE_HASH_CTES = f"""{_BASES_SQL},
     g AS (
         SELECT doc_id, x, y,
                CASE WHEN x = doc_id % 8 AND y = (doc_id // 8) % 8
@@ -58,7 +60,10 @@ _IMAGE_HASH_SQL = f"""
                CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band2,
                CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band3
         FROM bits GROUP BY doc_id
-    )
+    )"""
+
+_IMAGE_HASH_SQL = f"""
+    WITH {_IMAGE_HASH_CTES}
 """
 
 

@@ -23,7 +23,7 @@ SF = "/root/testdata/sf0.001"
 
 # built eagerly (iterative connected components runs jobs at build time);
 # its component ops are linted via dedup_minhash_lsh + the CC unit tests
-EAGER = {"dedup_clusters", "bpe_vocab"}
+EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup"}
 
 _QUERIES = sorted(entry.queries())
 
