@@ -41,6 +41,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm13  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm14  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm15  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm16  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm17  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -67,8 +68,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: wave 16, new this round (3) --
+    # -- bucket 1: waves 16-17, new this round (6) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
+    "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
@@ -90,8 +92,7 @@ _PRIORITY = [
     "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
     "scd2_history", "grouping_sets_metrics",
     "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
-    "column_profile", "zorder_locality", "fuzzy_customer_pairs",
-    "pagerank_nation_graph",
+    "column_profile",
     # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
     "dedup_embedding_canonical",
 ]
@@ -116,8 +117,7 @@ _RECONFIRM = [
     "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
     "scd2_history", "grouping_sets_metrics",
     "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
-    "column_profile", "zorder_locality", "fuzzy_customer_pairs",
-    "pagerank_nation_graph",
+    "column_profile",
 ]
 
 
