@@ -42,6 +42,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm14  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm15  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm16  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm17  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm18  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -68,9 +69,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-17, new this round (6) --
+    # -- bucket 1: waves 16-18, new this round (9) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
     "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
+    "nb_source_classifier", "random_projection_recall",
+    "pair_alignment_spans",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
@@ -91,8 +94,7 @@ _PRIORITY = [
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
     "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
     "scd2_history", "grouping_sets_metrics",
-    "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
-    "column_profile",
+    "winsorized_stats", "mad_robust",
     # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
     "dedup_embedding_canonical",
 ]
@@ -116,8 +118,7 @@ _RECONFIRM = [
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
     "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
     "scd2_history", "grouping_sets_metrics",
-    "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
-    "column_profile",
+    "winsorized_stats", "mad_robust",
 ]
 
 

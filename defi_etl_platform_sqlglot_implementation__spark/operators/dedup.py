@@ -65,6 +65,26 @@ def token_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def positional_token_shingles(text_col: str, n: int = 3) -> Column:
+    """NON-distinct word n-gram shingles in document order — the array to
+    ``posexplode`` when the shingle's POSITION matters (span alignment,
+    substring dedup).  Same tokenization, truncating-slice semantics, and
+    O(words) zip_with shape as :func:`token_shingles`; the only
+    difference is the missing ``array_distinct`` (positions of repeated
+    shingles are distinct even when their text is not)."""
+    assert n == 3, "positional_token_shingles is specialized to 3-grams"
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"slice("
+        f"zip_with({toks}, "
+        f"         zip_with(slice({toks}, 2, size({toks})), "
+        f"                  slice({toks}, 3, size({toks})), "
+        f"                  (y, z) -> concat_ws(' ', y, z)), "
+        f"         (x, yz) -> concat_ws(' ', x, yz)), "
+        f"1, greatest(1, size({toks}) - {n - 1}))"
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: digest -> canonical (min) id + copy count."""
     return (

@@ -257,3 +257,36 @@ def test_dedup_minhash_normalized_banded_join(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_nb_source_classifier_scoring_is_equikeyed(spark):
+    plan = _executed(spark, "nb_source_classifier")
+    # the per-class token-likelihood attach is a LEFT equi-join on
+    # (cls, tok); the class fan-out rides a broadcast of the |classes|-row
+    # prior table (BroadcastNestedLoopJoin over 20 rows is the intended
+    # shape, not a corpus-side cartesian)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 1
+
+
+def test_random_projection_recall_is_map_only_plus_broadcast(spark):
+    plan = _executed(spark, "random_projection_recall")
+    # projection = row-local fused dot chains (no Python, no shuffle);
+    # the 5 projected queries broadcast onto the corpus side
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pair_alignment_spans_matches_are_equikeyed(spark):
+    plan = _executed(spark, "pair_alignment_spans")
+    # positional shingles semi-reduce to the pair inventory's docs via a
+    # broadcast hash join; the match join is keyed on (doc, shingle) —
+    # never an unkeyed positions x positions product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 2
