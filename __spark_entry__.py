@@ -43,6 +43,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm15  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm16  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm17  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm18  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm19  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -69,11 +70,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-18, new this round (9) --
+    # -- bucket 1: waves 16-19, new this round (12; the unrolled-k-means
+    #    pruning gate sorts LAST within the bucket to keep the heavy
+    #    oracle away from the cheap re-proofs) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
     "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
     "nb_source_classifier", "random_projection_recall",
-    "pair_alignment_spans",
+    "pair_alignment_spans", "span_corruption_plan",
+    "doc_prefix_containment", "cluster_prototype_pruning",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
@@ -93,8 +97,7 @@ _PRIORITY = [
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
     "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
-    "scd2_history", "grouping_sets_metrics",
-    "winsorized_stats", "mad_robust",
+    "scd2_history",
     # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
     "dedup_embedding_canonical",
 ]
@@ -117,8 +120,7 @@ _RECONFIRM = [
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
     "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
-    "scd2_history", "grouping_sets_metrics",
-    "winsorized_stats", "mad_robust",
+    "scd2_history",
 ]
 
 

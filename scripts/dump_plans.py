@@ -73,6 +73,10 @@ SHOWCASE = [
     "nb_source_classifier",        # train-count equi-joins + broadcast class fan-out
     "random_projection_recall",    # map-only JL projection + broadcast probe
     "pair_alignment_spans",        # pair-reduced positional match + diagonal islands
+    # round-8 wave-19 additions
+    "cluster_prototype_pruning",   # map-only assign + per-cluster rank window
+    "span_corruption_plan",        # row-local mask explode + doc-partitioned islands
+    "doc_prefix_containment",      # first-4-token block join + row-local verify
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -290,3 +290,35 @@ def test_pair_alignment_spans_matches_are_equikeyed(spark):
     assert "BatchEvalPython" not in plan
     assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
         + _count(plan, "ShuffledHashJoin") >= 2
+
+
+def test_cluster_prototype_pruning_map_only_assign(spark):
+    plan = _executed(spark, "cluster_prototype_pruning")
+    # assignment is the map-only Arrow argmax (codebook in the UDF
+    # closure); the window partitions by cluster_id, the size aggregate
+    # joins back on it — no cartesian, no row-UDF, assignment evaluated
+    # once via the query-scoped persist
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_span_corruption_plan_is_row_local_plus_doc_window(spark):
+    plan = _executed(spark, "span_corruption_plan")
+    # position explode + md5 predicate are row-local; the islands window
+    # partitions by doc_id; the one join is the per-doc LEFT re-attach
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_doc_prefix_containment_blocked_join(spark):
+    plan = _executed(spark, "doc_prefix_containment")
+    # one equi-join on the first-4-token md5 block key; the prefix
+    # verify is a post-join row-local string compare
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 1
