@@ -44,6 +44,8 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm16  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm17  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm18  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm19  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm20  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm21  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,14 +72,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-19, new this round (12; the unrolled-k-means
-    #    pruning gate sorts LAST within the bucket to keep the heavy
-    #    oracle away from the cheap re-proofs) --
+    # -- bucket 1: waves 16-21, new this round (18; the two unrolled-
+    #    k-means gates sort LAST within the bucket to keep the heavy
+    #    oracles away from the cheap re-proofs) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
     "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
     "nb_source_classifier", "random_projection_recall",
     "pair_alignment_spans", "span_corruption_plan",
-    "doc_prefix_containment", "cluster_prototype_pruning",
+    "doc_prefix_containment", "quality_token_budget_cutoff",
+    "boilerplate_block_removal", "dedup_minhash_incremental",
+    "epoch_repetition_plan", "contrastive_pair_mining",
+    "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
@@ -85,9 +90,6 @@ _PRIORITY = [
     "curation_pipeline_v2",
     # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
     #    then r04) --
-    "rolling_var_minperiods_partitioned", "token_entropy",
-    "salted_join_brand_qty", "asof_price_join_forward",
-    "contamination_bloom_gated", "curation_pipeline_e2e",
     "source_mix_rebalance", "dedup_char_jaccard_capped",
     "transfer_volume_hourly_approx_check", "twap_per_user",
     "funnel_view_click_purchase", "event_transition_matrix",
@@ -108,9 +110,6 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM = [
-    "rolling_var_minperiods_partitioned", "token_entropy",
-    "salted_join_brand_qty", "asof_price_join_forward",
-    "contamination_bloom_gated", "curation_pipeline_e2e",
     "source_mix_rebalance", "dedup_char_jaccard_capped",
     "transfer_volume_hourly_approx_check", "twap_per_user",
     "funnel_view_click_purchase", "event_transition_matrix",

@@ -282,6 +282,64 @@ def assign_clusters(
     )
 
 
+def assign_clusters_top2(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard assignment PLUS the runner-up: per vector the nearest and
+    second-nearest centroids with their cosines — the inputs of
+    silhouette-style cluster-quality scoring (a = distance to own
+    centroid, b = distance to the nearest OTHER centroid).  Same
+    map-only Arrow shape and bit-exact fold chain as
+    :func:`assign_clusters` (one projection, codebook in the closure,
+    stable argsort with ascending-centroid-id tie-break); requires
+    k >= 2 and fails loudly otherwise."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cid_arr, sims = _assign_sims(*_centroid_matrix(centroids, vec_col, id_col))
+    if len(cid_arr) < 2:
+        raise ValueError(
+            "assign_clusters_top2: needs at least 2 centroids "
+            f"(got {len(cid_arr)}) — a runner-up must exist")
+
+    def _top2(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(col):
+            empty_l = pd.Series([], dtype="int64")
+            empty_d = pd.Series([], dtype="float64")
+            return pd.DataFrame({"cluster_id": empty_l, "csim": empty_d,
+                                 "second_id": empty_l, "csim2": empty_d})
+        s = sims(col)
+        order = np.argsort(-s, axis=1, kind="stable")
+        i1, i2 = order[:, 0], order[:, 1]
+        rows = np.arange(len(i1))
+        return pd.DataFrame({
+            "cluster_id": cid_arr[i1], "csim": s[rows, i1],
+            "second_id": cid_arr[i2], "csim2": s[rows, i2],
+        })
+
+    _top2.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(StructType([
+        StructField("cluster_id", LongType()),
+        StructField("csim", DoubleType()),
+        StructField("second_id", LongType()),
+        StructField("csim2", DoubleType()),
+    ]))(_top2)
+    return (
+        embeddings.withColumn("_a", udf(F.col(vec_col)))
+        .select(F.col(id_col), F.col(vec_col),
+                F.col("_a.cluster_id").alias("cluster_id"),
+                F.col("_a.csim").alias("csim"),
+                F.col("_a.second_id").alias("second_id"),
+                F.col("_a.csim2").alias("csim2"))
+    )
+
+
 def assign_clusters_probe(
     embeddings: DataFrame,
     centroids: DataFrame,

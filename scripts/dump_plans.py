@@ -77,6 +77,14 @@ SHOWCASE = [
     "cluster_prototype_pruning",   # map-only assign + per-cluster rank window
     "span_corruption_plan",        # row-local mask explode + doc-partitioned islands
     "doc_prefix_containment",      # first-4-token block join + row-local verify
+    # round-8 wave-20 additions
+    "quality_token_budget_cutoff", # score-spine cumsum, no global doc sort
+    "boilerplate_block_removal",   # block-hash prevalence join + per-doc agg
+    "kmeans_silhouette",           # map-only top-2 assign + row-local ratio
+    # round-8 wave-21 additions
+    "dedup_minhash_incremental",   # arrival-ordered groupBy over LSH pairs
+    "epoch_repetition_plan",       # |sources|-row arithmetic off one agg
+    "contrastive_pair_mining",     # shortlist-sized label joins off topk
 ]
 
 SF = "/root/testdata/sf0.001"

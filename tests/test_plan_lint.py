@@ -322,3 +322,71 @@ def test_doc_prefix_containment_blocked_join(spark):
     assert "BatchEvalPython" not in plan
     assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
         + _count(plan, "ShuffledHashJoin") >= 1
+
+
+def test_quality_budget_cutoff_no_global_doc_sort(spark):
+    plan = _executed(spark, "quality_token_budget_cutoff")
+    # the only global window runs over the score-domain spine (<= 10^4+1
+    # rows); per-doc state is a window PARTITIONED by score plus two
+    # broadcast attaches (spine + budget scalar) — no row-UDF, and the
+    # doc-side join on uniq_bp is a broadcast hash join, not a sort-merge
+    # over the corpus
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_removal_equi_keyed(spark):
+    plan = _executed(spark, "boilerplate_block_removal")
+    # prevalence join is keyed on (source, block_hash); the per-doc
+    # re-attach is keyed on doc_id — no cartesian, no nested loop, no
+    # Python anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 2
+
+
+def test_kmeans_silhouette_map_only(spark):
+    plan = _executed(spark, "kmeans_silhouette")
+    # top-2 assignment is ONE Arrow projection (codebook in the closure);
+    # everything after it is row-local integer math — no join of any
+    # kind, no shuffle-bearing operator in the post-assignment plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        == 0
+
+
+def test_dedup_incremental_nearline_is_one_reduction(spark):
+    plan = _executed(spark, "dedup_minhash_incremental")
+    # the verdict is one groupBy(d2) + one left join over the banded LSH
+    # pair stream; the only nested-loop join is the sanctioned 1-row
+    # n_docs scalar attach
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 2
+
+
+def test_epoch_plan_is_sources_sized(spark):
+    plan = _executed(spark, "epoch_repetition_plan")
+    # one hash aggregate to |sources| rows, one 1-row denominator attach,
+    # row-local arithmetic after — no corpus-sized join or window
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_contrastive_mining_shortlist_sized(spark):
+    plan = _executed(spark, "contrastive_pair_mining")
+    # the corpus appears once (the broadcast-query topk scan); all mining
+    # joins are equi-keyed over the k-row-per-query shortlist
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 3
