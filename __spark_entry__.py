@@ -46,6 +46,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm18  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm19  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm20  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm21  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm22  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -72,7 +73,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-21, new this round (18; the two unrolled-
+    # -- bucket 1: waves 16-22, new this round (20; the two unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
     #    oracles away from the cheap re-proofs) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
@@ -82,6 +83,7 @@ _PRIORITY = [
     "doc_prefix_containment", "quality_token_budget_cutoff",
     "boilerplate_block_removal", "dedup_minhash_incremental",
     "epoch_repetition_plan", "contrastive_pair_mining",
+    "ngram_novelty_profile", "embedding_batch_drift",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
@@ -90,7 +92,6 @@ _PRIORITY = [
     "curation_pipeline_v2",
     # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
     #    then r04) --
-    "source_mix_rebalance", "dedup_char_jaccard_capped",
     "transfer_volume_hourly_approx_check", "twap_per_user",
     "funnel_view_click_purchase", "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
@@ -110,7 +111,6 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM = [
-    "source_mix_rebalance", "dedup_char_jaccard_capped",
     "transfer_volume_hourly_approx_check", "twap_per_user",
     "funnel_view_click_purchase", "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",

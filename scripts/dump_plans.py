@@ -85,6 +85,9 @@ SHOWCASE = [
     "dedup_minhash_incremental",   # arrival-ordered groupBy over LSH pairs
     "epoch_repetition_plan",       # |sources|-row arithmetic off one agg
     "contrastive_pair_mining",     # shortlist-sized label joins off topk
+    # round-8 wave-22 additions
+    "ngram_novelty_profile",       # shingle-keyed train-membership join
+    "embedding_batch_drift",       # (batch, dim) moment agg + tiny self-join
 ]
 
 SF = "/root/testdata/sf0.001"

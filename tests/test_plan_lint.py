@@ -390,3 +390,26 @@ def test_contrastive_mining_shortlist_sized(spark):
     assert "BatchEvalPython" not in plan
     assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
         + _count(plan, "ShuffledHashJoin") >= 3
+
+
+def test_novelty_profile_shingle_keyed(spark):
+    plan = _executed(spark, "ngram_novelty_profile")
+    # train-set membership is one equi-join on the shingle string + one
+    # per-doc aggregate — linear in tokens, no cartesian, no Python
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "ShuffledHashJoin") >= 2
+
+
+def test_batch_drift_is_dims_sized(spark):
+    plan = _executed(spark, "embedding_batch_drift")
+    # one (batch, dim) hash aggregate; the consecutive-batch compare is a
+    # self-join of the 4x64-row moment frame; the only nested-loop is the
+    # sanctioned 1-row n_vecs scalar attach
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
