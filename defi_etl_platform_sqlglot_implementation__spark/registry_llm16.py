@@ -132,14 +132,22 @@ def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both pair streams are banded/bucketed (never all-pairs); the
     union adds one map-side concat; CC is the bounded-shuffle
     min-label loop.  The oracle brute-forces both pair sets and walks a
-    recursive closure — sf-scale only, like every CC oracle here."""
+    recursive closure — sf-scale only, like every CC oracle here.
+
+    Each pair stream feeds TWO plan branches (the CC edge union and its
+    modality-tag doc set), so both are query-scoped persisted — without
+    it the banded candidate joins re-execute per branch (and the edge
+    list is tiny next to the joins that produce it)."""
     from .operators.dedup import connected_components, minhash_lsh_pairs
+    from .operators.materialize import scoped_persist
     from .operators.media_dedup import ahash_near_pairs, image_ahash_signatures
 
     docs = t(spark, sf_dir, "documents")
-    img = ahash_near_pairs(image_ahash_signatures(docs), max_hamming=3) \
-        .select(F.col("doc_a").alias("d1"), F.col("doc_b").alias("d2"))
-    txt = minhash_lsh_pairs(docs, threshold=0.5).select("d1", "d2")
+    img = scoped_persist(
+        ahash_near_pairs(image_ahash_signatures(docs), max_hamming=3)
+        .select(F.col("doc_a").alias("d1"), F.col("doc_b").alias("d2")))
+    txt = scoped_persist(
+        minhash_lsh_pairs(docs, threshold=0.5).select("d1", "d2"))
     edges = img.unionAll(txt)
     cc = connected_components(edges).withColumnRenamed("node", "doc_id")
     img_docs = (

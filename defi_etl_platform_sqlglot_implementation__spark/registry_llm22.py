@@ -147,7 +147,14 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     run in decimal(38,0) on Spark / HUGEINT on DuckDB (the
     embedding_dim_stats device) so the cross-moment products stay exact
     far past any realistic corpus; the drift flag is a pure integer
-    inequality."""
+    inequality.
+
+    Domain note: the id-quartile spine (vec_id * N // n_vecs) yields
+    CONSECUTIVE batches only over a dense id space (the driver corpus).
+    On a sparse/sharded id space (e.g. the key-shifted sf1 stress
+    corpus) batches are non-adjacent and the consecutive-batch join is
+    correctly empty on BOTH engines — production callers batch by
+    ingest time/file and should substitute their own batch column."""
     e = t(spark, sf_dir, "embeddings")
     n = e.agg(F.count("*").alias("n_vecs"))
     el = (

@@ -8,6 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm3  # noqa: F401 — fills QUERIES (substring_dup_spans twin)
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm16  # noqa: F401 — fills QUERIES
 from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
 
