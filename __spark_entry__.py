@@ -47,6 +47,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm19  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm20  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm21  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm22  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm23  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -73,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-22, new this round (20; the two unrolled-
+    # -- bucket 1: waves 16-23, new this round (23; the two unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
     #    oracles away from the cheap re-proofs) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
@@ -84,6 +85,8 @@ _PRIORITY = [
     "boilerplate_block_removal", "dedup_minhash_incremental",
     "epoch_repetition_plan", "contrastive_pair_mining",
     "ngram_novelty_profile", "embedding_batch_drift",
+    "repetition_tail_truncation", "label_balance_plan",
+    "hash_shard_skew",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
@@ -92,8 +95,7 @@ _PRIORITY = [
     "curation_pipeline_v2",
     # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
     #    then r04) --
-    "transfer_volume_hourly_approx_check", "twap_per_user",
-    "funnel_view_click_purchase", "event_transition_matrix",
+    "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
@@ -111,8 +113,7 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM = [
-    "transfer_volume_hourly_approx_check", "twap_per_user",
-    "funnel_view_click_purchase", "event_transition_matrix",
+    "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",

@@ -88,6 +88,10 @@ SHOWCASE = [
     # round-8 wave-22 additions
     "ngram_novelty_profile",       # shingle-keyed train-membership join
     "embedding_batch_drift",       # (batch, dim) moment agg + tiny self-join
+    # round-8 wave-23 additions
+    "repetition_tail_truncation",  # (doc, shingle) window + per-doc MIN
+    "label_balance_plan",          # |labels|-row agg + totals attach
+    "hash_shard_skew",             # 16-row hash agg + totals attach
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -413,3 +413,24 @@ def test_batch_drift_is_dims_sized(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_tail_truncation_is_doc_windowed(spark):
+    plan = _executed(spark, "repetition_tail_truncation")
+    # one (doc, shingle)-partitioned window + one per-doc MIN + one
+    # doc-keyed left join — linear in tokens, no cartesian, no Python
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_balance_reports_are_group_sized(spark):
+    for name in ("label_balance_plan", "hash_shard_skew"):
+        plan = _executed(spark, name)
+        # one hash aggregate to |labels| / 16 rows; the only nested-loop
+        # is the sanctioned 1-row totals attach
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "HashAggregate" in plan, name
