@@ -48,6 +48,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm20  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm21  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm22  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm23  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm24  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -86,7 +87,7 @@ _PRIORITY = [
     "epoch_repetition_plan", "contrastive_pair_mining",
     "ngram_novelty_profile", "embedding_batch_drift",
     "repetition_tail_truncation", "label_balance_plan",
-    "hash_shard_skew",
+    "hash_shard_skew", "bpe_vocab_pruning_curve",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
@@ -95,7 +96,6 @@ _PRIORITY = [
     "curation_pipeline_v2",
     # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
     #    then r04) --
-    "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
@@ -113,7 +113,6 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM = [
-    "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",

@@ -92,6 +92,8 @@ SHOWCASE = [
     "repetition_tail_truncation",  # (doc, shingle) window + per-doc MIN
     "label_balance_plan",          # |labels|-row agg + totals attach
     "hash_shard_skew",             # 16-row hash agg + totals attach
+    # round-8 wave-24 additions
+    "bpe_vocab_pruning_curve",     # one train pass, k fold-chain variants
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -434,3 +434,15 @@ def test_balance_reports_are_group_sized(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "HashAggregate" in plan, name
+
+
+def test_bpe_pruning_curve_word_table_scoped(spark):
+    plan = _executed(spark, "bpe_vocab_pruning_curve")
+    # every curve point re-folds the persisted DISTINCT-word table
+    # row-locally (codegen aggregate lambdas); the corpus is scanned for
+    # the (word, count) aggregate, never per curve point — no Python,
+    # no cartesian beyond the sanctioned 1-row stat attaches
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
