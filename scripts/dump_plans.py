@@ -94,6 +94,8 @@ SHOWCASE = [
     "hash_shard_skew",             # 16-row hash agg + totals attach
     # round-8 wave-24 additions
     "bpe_vocab_pruning_curve",     # one train pass, k fold-chain variants
+    # round-8 wave-25 addition
+    "curation_pipeline_v3",        # quality->boiler->dup->budget funnel
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -446,3 +446,14 @@ def test_bpe_pruning_curve_word_table_scoped(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_curation_v3_composes_clean_shapes(spark):
+    plan = _executed(spark, "curation_pipeline_v3")
+    # the funnel is the union of its component shapes: banded LSH join,
+    # block-hash prevalence join, survivor-scoped budget windows — no
+    # cartesian, no row-UDF, no Python at all
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan   # q and st are scoped-persisted
