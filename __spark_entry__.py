@@ -50,6 +50,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm22  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm23  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm24  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm25  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm26  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -89,7 +90,7 @@ _PRIORITY = [
     "ngram_novelty_profile", "embedding_batch_drift",
     "repetition_tail_truncation", "label_balance_plan",
     "hash_shard_skew", "bpe_vocab_pruning_curve",
-    "curation_pipeline_v3",
+    "curation_pipeline_v3", "pii_inventory", "ingest_transitivity_gap",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
@@ -98,8 +99,7 @@ _PRIORITY = [
     "curation_pipeline_v2",
     # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
     #    then r04) --
-    "user_share_of_type_value",
-    "value_quantiles_approx_check", "tfidf_top_terms",
+    "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
@@ -115,8 +115,7 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM = [
-    "user_share_of_type_value",
-    "value_quantiles_approx_check", "tfidf_top_terms",
+    "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",

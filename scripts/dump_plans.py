@@ -96,6 +96,8 @@ SHOWCASE = [
     "bpe_vocab_pruning_curve",     # one train pass, k fold-chain variants
     # round-8 wave-25 addition
     "curation_pipeline_v3",        # quality->boiler->dup->budget funnel
+    # round-8 wave-26 addition
+    "pii_inventory",               # row-local regex/Luhn + per-source agg
 ]
 
 SF = "/root/testdata/sf0.001"

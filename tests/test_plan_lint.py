@@ -23,7 +23,8 @@ SF = "/root/testdata/sf0.001"
 
 # built eagerly (iterative connected components runs jobs at build time);
 # its component ops are linted via dedup_minhash_lsh + the CC unit tests
-EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup"}
+EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup",
+         "ingest_transitivity_gap"}
 
 _QUERIES = sorted(entry.queries())
 
@@ -457,3 +458,15 @@ def test_curation_v3_composes_clean_shapes(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "InMemoryTableScan" in plan   # q and st are scoped-persisted
+
+
+def test_pii_inventory_row_local_plus_one_agg(spark):
+    plan = _executed(spark, "pii_inventory")
+    # planting + regex detection + the unrolled Luhn sum are row-local
+    # column expressions; the only wide op is the per-source aggregate
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        == 0
