@@ -51,6 +51,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm23  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm24  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm25  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm26  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm27  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -77,7 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-23, new this round (23; the two unrolled-
+    # -- bucket 1: waves 16-27, new this round (30; the two unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
     #    oracles away from the cheap re-proofs) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
@@ -91,6 +92,8 @@ _PRIORITY = [
     "repetition_tail_truncation", "label_balance_plan",
     "hash_shard_skew", "bpe_vocab_pruning_curve",
     "curation_pipeline_v3", "pii_inventory", "ingest_transitivity_gap",
+    "ccnet_perplexity_buckets", "source_overlap_matrix",
+    "doc_length_histogram",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
@@ -103,8 +106,7 @@ _PRIORITY = [
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
-    "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
-    "scd2_history",
+    "token_freq_cms",
     # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
     "dedup_embedding_canonical",
 ]
@@ -119,8 +121,7 @@ _RECONFIRM = [
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
-    "token_freq_cms", "substring_dup_spans", "curation_clip_spans",
-    "scd2_history",
+    "token_freq_cms",
 ]
 
 

@@ -98,6 +98,10 @@ SHOWCASE = [
     "curation_pipeline_v3",        # quality->boiler->dup->budget funnel
     # round-8 wave-26 addition
     "pii_inventory",               # row-local regex/Luhn + per-source agg
+    # round-8 wave-27 additions
+    "ccnet_perplexity_buckets",    # bigram-LM joins + lang-partitioned ntile
+    "source_overlap_matrix",       # banded pair stream + source-pair aggs
+    "doc_length_histogram",        # row-local bin() bucket + one agg
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -470,3 +470,39 @@ def test_pii_inventory_row_local_plus_one_agg(spark):
     assert "HashAggregate" in plan
     assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
         == 0
+
+
+def test_ccnet_buckets_window_is_lang_partitioned(spark):
+    plan = _executed(spark, "ccnet_perplexity_buckets")
+    # LM scoring is two LEFT equi-joins + one 1-row broadcast scalar;
+    # the NTILE window hash-partitions by lang — no global sort, no
+    # Python anywhere
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "ntile(3)" in plan
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sort_lines and all("], false, " in ln for ln in sort_lines), \
+        "ntile sort must be partition-local (global flag = false)"
+
+
+def test_source_overlap_matrix_banded_join_only(spark):
+    plan = _executed(spark, "source_overlap_matrix")
+    # the pair inventory is the banded LSH path (equi-joins), the source
+    # attach is an equi-join, and the sole crossJoin is the sanctioned
+    # 1-row total attach; the tagged pair stream is scoped-persisted
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_doc_length_histogram_is_joinless(spark):
+    plan = _executed(spark, "doc_length_histogram")
+    # row-local tokenize + bin() bucket, one aggregate — nothing wide
+    # but the groupBy exchange
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") == 0
