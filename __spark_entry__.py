@@ -52,6 +52,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm24  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm25  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm26  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm27  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm28  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -78,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-27, new this round (30; the two unrolled-
+    # -- bucket 1: waves 16-28, new this round (33; the two unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
     #    oracles away from the cheap re-proofs) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
@@ -94,6 +95,8 @@ _PRIORITY = [
     "curation_pipeline_v3", "pii_inventory", "ingest_transitivity_gap",
     "ccnet_perplexity_buckets", "source_overlap_matrix",
     "doc_length_histogram",
+    "event_debounce", "embedding_dim_correlation",
+    "token_pmi_collocations",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
@@ -105,8 +108,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
-    "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
-    "token_freq_cms",
+    "inverted_index_postings",
     # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
     "dedup_embedding_canonical",
 ]
@@ -120,8 +122,7 @@ _RECONFIRM = [
     "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
-    "inverted_index_postings", "weighted_sample_topk", "hybrid_search_rrf",
-    "token_freq_cms",
+    "inverted_index_postings",
 ]
 
 

@@ -102,6 +102,10 @@ SHOWCASE = [
     "ccnet_perplexity_buckets",    # bigram-LM joins + lang-partitioned ntile
     "source_overlap_matrix",       # banded pair stream + source-pair aggs
     "doc_length_histogram",        # row-local bin() bucket + one agg
+    # round-8 wave-28 additions
+    "event_debounce",              # grouped Arrow kernel, sequential state
+    "embedding_dim_correlation",   # vec-keyed self-join + (i,j) moment agg
+    "token_pmi_collocations",      # marginal joins + TakeOrdered top-k
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -506,3 +506,32 @@ def test_doc_length_histogram_is_joinless(spark):
     assert "HashAggregate" in plan
     assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
         + _count(plan, "BroadcastHashJoin") == 0
+
+
+def test_event_debounce_is_arrow_grouped_kernel(spark):
+    plan = _executed(spark, "event_debounce")
+    # the sequential greedy state runs in ONE grouped Arrow kernel —
+    # never a row-at-a-time UDF, never a cartesian
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_correlation_self_join_is_keyed(spark):
+    plan = _executed(spark, "embedding_dim_correlation")
+    # the pair fan-out is a vec_id-keyed self-join (co-partitioned
+    # equi-join), then one (i,j) hash aggregate — no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pmi_collocations_topk_is_take_ordered(spark):
+    plan = _executed(spark, "token_pmi_collocations")
+    # the LIMIT 20 must be a TakeOrderedAndProject (per-partition top-k
+    # + driver merge), never a global sort that materializes the ranking
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
