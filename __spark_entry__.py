@@ -53,6 +53,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm25  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm26  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm27  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm28  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm29  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -79,9 +80,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-28, new this round (33; the two unrolled-
+    # -- bucket 1: waves 16-29, new this round (35; the two unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
-    #    oracles away from the cheap re-proofs) --
+    #    oracles away from the cheap re-proofs; wave 29's unrolled-MMR
+    #    gate sits in bucket 4) --
     "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
     "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
     "nb_source_classifier", "random_projection_recall",
@@ -97,19 +99,22 @@ _PRIORITY = [
     "doc_length_histogram",
     "event_debounce", "embedding_dim_correlation",
     "token_pmi_collocations",
+    "source_unigram_kl", "quality_dup_quartiles",
     "cluster_prototype_pruning", "kmeans_silhouette",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
     "dedup_clusters", "dedup_keep_canonical", "dup_cluster_size_histogram",
     "curation_pipeline_v2",
-    # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort, then r04,
-    #    then r04) --
+    # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort —
+    #    doc_chunks / bm25_search / inverted_index_postings yielded
+    #    their slots to wave 29) --
     "tfidf_top_terms",
-    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub", "bm25_search",
-    "inverted_index_postings",
-    # -- bucket 4: heavy unrolled-k-means oracle (CC-touched), LAST --
+    "doc_unigram_surprise", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub",
+    # -- bucket 4: heavy oracles LAST — the new unrolled-MMR gate, then
+    #    the unrolled-k-means CC-touched gate --
+    "mmr_diverse_selection",
     "dedup_embedding_canonical",
 ]
 
@@ -120,9 +125,8 @@ _PRIORITY = [
 # again (the r7 bookkeeping failure).
 _RECONFIRM = [
     "tfidf_top_terms",
-    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub", "bm25_search",
-    "inverted_index_postings",
+    "doc_unigram_surprise", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub",
 ]
 
 

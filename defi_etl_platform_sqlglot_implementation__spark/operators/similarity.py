@@ -823,3 +823,77 @@ def lsh_bucket_pairs(
         .select("d1", "d2", cos)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def mmr_select(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection over per-query
+    candidate shortlists (Carbonell & Goldstein 1998) — the diverse
+    few-shot / retrieval-reranking step an LLM data pipeline runs on
+    top of its ANN shortlists.
+
+    Inputs: ``cand`` carries one row per (query_id, cid) with the
+    candidate's integer relevance ``rel_micro`` (micro-quantized query
+    cosine); ``sims`` carries (query_id, a, b, sim_micro) for every
+    ordered candidate pair a != b within a query (micro-quantized
+    candidate-candidate cosine).  All scoring is pure-integer:
+    ``score = lam_num * rel_micro - (lam_den - lam_num) * maxsim_micro``
+    with the max over the already-selected set (0 for the first pick,
+    which therefore is argmax relevance), ties broken by ascending
+    candidate id — fully deterministic and bit-exact cross-engine.
+
+    Spark-first shape: the shortlists are tiny BY CONSTRUCTION (the
+    cosine_topk contract: k' candidates per query, so k'*(k'-1) pair
+    rows per group), while the number of standing queries is unbounded
+    — so the greedy scan (genuinely sequential state: pick i depends on
+    picks 1..i-1) runs as ONE grouped Arrow kernel via
+    ``applyInPandas``, parallelism = query count, and everything
+    upstream (shortlist + pair cosines) stays in built-in operators.
+    Tier (b) of the custom-operator ladder (SURVEY §7), same class as
+    operators/debounce.py.
+
+    Returns (query_id, step, selected_id, rel_micro, maxsim_micro,
+    mmr_score) with step = 1..min(k, |candidates|).
+    """
+    div_num = lam_den - lam_num
+    joined = cand.select("query_id", "cid", "rel_micro").join(
+        sims.select("query_id", F.col("a").alias("cid"), "b", "sim_micro"),
+        ["query_id", "cid"], "left")
+    out_schema = ("query_id long, step long, selected_id long, "
+                  "rel_micro long, maxsim_micro long, mmr_score long")
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[int(row.cid)] = int(row.rel_micro)
+            if row.b == row.b and row.b is not None:  # non-NaN pair row
+                sim[(int(row.cid), int(row.b))] = int(row.sim_micro)
+        remaining = sorted(rel)
+        selected = []
+        out = []
+        qid = int(pdf["query_id"].iloc[0])
+        for step in range(1, min(k, len(remaining) + len(selected)) + 1):
+            best = None
+            for c in remaining:
+                ms = max((sim[(c, s)] for s in selected), default=0)
+                score = lam_num * rel[c] - div_num * ms
+                key = (score, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, ms, score)
+            _, c, ms, score = best
+            remaining.remove(c)
+            selected.append(c)
+            out.append((qid, step, c, rel[c], ms, score))
+        return pd.DataFrame(out, columns=[
+            "query_id", "step", "selected_id", "rel_micro",
+            "maxsim_micro", "mmr_score"])
+
+    return joined.groupBy("query_id").applyInPandas(greedy, schema=out_schema)

@@ -106,6 +106,10 @@ SHOWCASE = [
     "event_debounce",              # grouped Arrow kernel, sequential state
     "embedding_dim_correlation",   # vec-keyed self-join + (i,j) moment agg
     "token_pmi_collocations",      # marginal joins + TakeOrdered top-k
+    # round-8 wave-29 additions
+    "mmr_diverse_selection",       # shortlist-local grouped greedy kernel
+    "source_unigram_kl",           # token-keyed join + broadcast totals
+    "quality_dup_quartiles",       # spine-decomposed ntile x dup-flag join
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -535,3 +535,33 @@ def test_pmi_collocations_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_mmr_selection_is_grouped_kernel_over_shortlists(spark):
+    plan = _executed(spark, "mmr_diverse_selection")
+    # the sequential greedy runs in ONE grouped Arrow kernel; everything
+    # upstream (shortlist + pair cosines) is built-in operators
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_kl_is_token_keyed_plus_broadcast_scalars(spark):
+    plan = _executed(spark, "source_unigram_kl")
+    # token-keyed equi-join + broadcast source totals + broadcast scalar;
+    # no global sort, no Python
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Sort " not in plan.split("HashAggregate")[0]
+
+
+def test_quality_dup_quartiles_sorts_only_the_score_spine(spark):
+    plan = _executed(spark, "quality_dup_quartiles")
+    # the ntile decomposition: within-score windows partitioned BY score
+    # (hash-exchanged), the only global window over the <=10^4+1-row
+    # spine; the doc stream itself is never globally sorted
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ntile" not in plan.lower()
