@@ -54,6 +54,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm26  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm27  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm28  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm29  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm30  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,7 +81,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-29, new this round (35; the two unrolled-
+    # -- bucket 1: waves 16-30, new this round (37; the three unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
     #    oracles away from the cheap re-proofs; wave 29's unrolled-MMR
     #    gate sits in bucket 4) --
@@ -100,7 +101,9 @@ _PRIORITY = [
     "event_debounce", "embedding_dim_correlation",
     "token_pmi_collocations",
     "source_unigram_kl", "quality_dup_quartiles",
+    "distinct_ngram_diversity",
     "cluster_prototype_pruning", "kmeans_silhouette",
+    "ivf_nprobe_recall_curve",
     # -- bucket 2: r8-touched, light oracles (8) --
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
@@ -108,10 +111,10 @@ _PRIORITY = [
     "curation_pipeline_v2",
     # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort —
     #    doc_chunks / bm25_search / inverted_index_postings yielded
-    #    their slots to wave 29) --
+    #    their slots to wave 29, doc_repetition_profile / pii_scrub to
+    #    wave 30) --
     "tfidf_top_terms",
     "doc_unigram_surprise", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub",
     # -- bucket 4: heavy oracles LAST — the new unrolled-MMR gate, then
     #    the unrolled-k-means CC-touched gate --
     "mmr_diverse_selection",
@@ -126,7 +129,6 @@ _PRIORITY = [
 _RECONFIRM = [
     "tfidf_top_terms",
     "doc_unigram_surprise", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub",
 ]
 
 

@@ -110,6 +110,9 @@ SHOWCASE = [
     "mmr_diverse_selection",       # shortlist-local grouped greedy kernel
     "source_unigram_kl",           # token-keyed join + broadcast totals
     "quality_dup_quartiles",       # spine-decomposed ntile x dup-flag join
+    # round-8 wave-30 additions
+    "ivf_nprobe_recall_curve",     # one codebook, three map-only probes
+    "distinct_ngram_diversity",    # joinless three-branch explode + agg
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -565,3 +565,25 @@ def test_quality_dup_quartiles_sorts_only_the_score_spine(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ntile" not in plan.lower()
+
+
+def test_nprobe_curve_is_map_only_assign_plus_shortlist_joins(spark):
+    plan = _executed(spark, "ivf_nprobe_recall_curve")
+    # three thresholds of ONE trained codebook: Arrow-batched map-only
+    # assignment (codebook in the closure), shortlist-sized hit joins —
+    # never a cartesian, never a row-UDF
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_distinct_ngram_diversity_is_joinless(spark):
+    plan = _executed(spark, "distinct_ngram_diversity")
+    # three explode branches over one token scan + one hash aggregate;
+    # no join of any kind
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "BroadcastNestedLoopJoin") == 0
