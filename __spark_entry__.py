@@ -55,6 +55,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm27  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm28  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm29  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm30  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm31  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -81,7 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. the heavy unrolled-k-means oracle sits in the LAST slots —
 #      any residual sweep degradation burns only its own slot.
 _PRIORITY = [
-    # -- bucket 1: waves 16-30, new this round (37; the three unrolled-
+    # -- bucket 1: waves 16-31, new this round (40; the three unrolled-
     #    k-means gates sort LAST within the bucket to keep the heavy
     #    oracles away from the cheap re-proofs; wave 29's unrolled-MMR
     #    gate sits in bucket 4) --
@@ -102,6 +103,7 @@ _PRIORITY = [
     "token_pmi_collocations",
     "source_unigram_kl", "quality_dup_quartiles",
     "distinct_ngram_diversity",
+    "zipf_fit_by_source", "ngram_entropy_curve", "dedup_rate_by_batch",
     "cluster_prototype_pruning", "kmeans_silhouette",
     "ivf_nprobe_recall_curve",
     # -- bucket 2: r8-touched, light oracles (8) --
@@ -109,12 +111,11 @@ _PRIORITY = [
     "simhash_recall",
     "dedup_clusters", "dedup_keep_canonical", "dup_cluster_size_histogram",
     "curation_pipeline_v2",
-    # -- bucket 3: _RECONFIRM (oldest-green first; r03 cohort —
-    #    doc_chunks / bm25_search / inverted_index_postings yielded
-    #    their slots to wave 29, doc_repetition_profile / pii_scrub to
-    #    wave 30) --
-    "tfidf_top_terms",
-    "doc_unigram_surprise", "embedding_int8_quantize",
+    # -- bucket 3: _RECONFIRM — EMPTY this round: every remaining slot
+    #    went to new wave-29/30/31 gates (doc_chunks / bm25_search /
+    #    inverted_index_postings yielded to wave 29,
+    #    doc_repetition_profile / pii_scrub to wave 30, tfidf_top_terms /
+    #    doc_unigram_surprise / embedding_int8_quantize to wave 31) --
     # -- bucket 4: heavy oracles LAST — the new unrolled-MMR gate, then
     #    the unrolled-k-means CC-touched gate --
     "mmr_diverse_selection",
@@ -126,10 +127,7 @@ _PRIORITY = [
 # the _PRIORITY ∩ _DRIVER_GREEN overlap — tests/test_entry_order.py
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
-_RECONFIRM = [
-    "tfidf_top_terms",
-    "doc_unigram_surprise", "embedding_int8_quantize",
-]
+_RECONFIRM: list[str] = []
 
 
 # Green driver row exists (r01 ∪ … ∪ r07) and the implementation is

@@ -113,6 +113,10 @@ SHOWCASE = [
     # round-8 wave-30 additions
     "ivf_nprobe_recall_curve",     # one codebook, three map-only probes
     "distinct_ngram_diversity",    # joinless three-branch explode + agg
+    # round-8 wave-31 additions
+    "zipf_fit_by_source",          # source-partitioned rank + moment agg
+    "ngram_entropy_curve",         # joinless gram agg + micro-nat entropy
+    "dedup_rate_by_batch",         # 8-row cumulative window over verdicts
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -587,3 +587,34 @@ def test_distinct_ngram_diversity_is_joinless(spark):
     assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
         + _count(plan, "BroadcastHashJoin") \
         + _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_zipf_fit_window_is_source_partitioned(spark):
+    plan = _executed(spark, "zipf_fit_by_source")
+    # the rank window hash-partitions by source (vocabulary-sized within
+    # a source); sums are plain hash aggregates — no Python, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_ngram_entropy_is_joinless(spark):
+    plan = _executed(spark, "ngram_entropy_curve")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_dedup_rate_by_batch_window_is_batch_summary_sized(spark):
+    plan = _executed(spark, "dedup_rate_by_batch")
+    # the cumulative window runs over the 8-row per-batch summary, AFTER
+    # the batch aggregate — never over the per-doc verdict stream (the
+    # printed tree is root-first, so the Window node must appear ABOVE
+    # the first HashAggregate)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
