@@ -74,6 +74,12 @@ BENCH_QUERIES = SHARED_QUERIES + [
     # round-8 wave-16: the cross-modal fusion representative (its two
     # halves are already benched via image_ahash_pairs + dedup_minhash_lsh).
     "cross_modal_dedup",
+    # round-8 waves 29-31: one representative per new family (grouped-
+    # kernel MMR rerank, spine-decomposed quality x dup composition,
+    # source-partitioned corpus statistics).
+    "mmr_diverse_selection",
+    "quality_dup_quartiles",
+    "zipf_fit_by_source",
 ]
 
 
