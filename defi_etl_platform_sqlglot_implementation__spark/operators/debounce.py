@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 DEFAULT_WINDOW_S = 86_400   # one day — ~30% suppression on the driver corpus
 
 
+def greedy_kept_positions(ts_seq, delta, seed=None) -> list[int]:
+    """Positions kept by greedy debounce over an ORDERED sequence: the
+    first element past ``seed + delta`` (or the first element when seed
+    is None), then every element >= the last KEPT + delta.
+
+    This is THE sequential core — shared verbatim by the batch kernel
+    below and the streaming per-batch kernel (streaming/debounce.py),
+    so the two surfaces cannot drift; its greedy certificate and
+    split-invariance (greedy(all) == greedy(prefix) ++ greedy(suffix
+    seeded with the prefix's last kept)) are hypothesis-pinned in
+    tests/test_sequential_kernels.py.  Works over any ordered domain
+    with ``+`` (timestamps + Timedelta, plain numbers)."""
+    kept: list[int] = []
+    last = seed
+    for i, ts in enumerate(ts_seq):
+        if last is None or ts >= last + delta:
+            kept.append(i)
+            last = ts
+    return kept
+
+
 def debounce_events(
     events: DataFrame,
     window_s: int = DEFAULT_WINDOW_S,
@@ -57,21 +78,11 @@ def debounce_events(
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        kept_idx: list[int] = []
-        suppressed: list[int] = []
-        kept_ts = None
-        n_sup = 0
-        for i, ts in enumerate(pdf[ts_col].tolist()):
-            if kept_ts is None or ts >= kept_ts + delta:
-                if kept_idx:
-                    suppressed.append(n_sup)
-                kept_idx.append(i)
-                kept_ts = ts
-                n_sup = 0
-            else:
-                n_sup += 1
-        if kept_idx:
-            suppressed.append(n_sup)
+        n = len(pdf)
+        kept_idx = greedy_kept_positions(pdf[ts_col].tolist(), delta)
+        # suppressed trailing each kept = gap to the next kept position
+        suppressed = [nxt - cur - 1 for cur, nxt in
+                      zip(kept_idx, kept_idx[1:] + [n])]
         out = pdf.iloc[kept_idx][[k0, k1, id_col, ts_col]].copy()
         out["n_suppressed"] = suppressed
         return out

@@ -825,6 +825,38 @@ def lsh_bucket_pairs(
     )
 
 
+def greedy_mmr(rel: dict, sim: dict, k: int,
+               lam_num: int = 7, lam_den: int = 10) -> list[tuple]:
+    """Pure greedy MMR over integer relevance/pair-similarity maps —
+    THE sequential core of :func:`mmr_select`, factored out so the
+    grouped Arrow kernel and the hypothesis property tests
+    (tests/test_sequential_kernels.py: per-step argmax certificate,
+    λ=1 degeneration to pure top-k) share one implementation.
+
+    ``rel``: candidate id -> rel_micro; ``sim``: (a, b) -> sim_micro
+    for every ordered pair a != b of candidates.  Returns
+    [(step, selected_id, rel_micro, maxsim_micro, score), ...] with
+    step = 1..min(k, |rel|); score = lam_num·rel − (lam_den−lam_num)·
+    max(sim to selected) (0 at step 1), ties → lower id."""
+    div_num = lam_den - lam_num
+    remaining = sorted(rel)
+    selected: list = []
+    out: list[tuple] = []
+    for step in range(1, min(k, len(remaining)) + 1):
+        best = None
+        for c in remaining:
+            ms = max((sim[(c, s)] for s in selected), default=0)
+            score = lam_num * rel[c] - div_num * ms
+            key = (score, -c)
+            if best is None or key > best[0]:
+                best = (key, c, ms, score)
+        _, c, ms, score = best
+        remaining.remove(c)
+        selected.append(c)
+        out.append((step, c, rel[c], ms, score))
+    return out
+
+
 def mmr_select(
     cand: DataFrame,
     sims: DataFrame,
@@ -860,7 +892,6 @@ def mmr_select(
     Returns (query_id, step, selected_id, rel_micro, maxsim_micro,
     mmr_score) with step = 1..min(k, |candidates|).
     """
-    div_num = lam_den - lam_num
     joined = cand.select("query_id", "cid", "rel_micro").join(
         sims.select("query_id", F.col("a").alias("cid"), "b", "sim_micro"),
         ["query_id", "cid"], "left")
@@ -876,22 +907,9 @@ def mmr_select(
             rel[int(row.cid)] = int(row.rel_micro)
             if row.b == row.b and row.b is not None:  # non-NaN pair row
                 sim[(int(row.cid), int(row.b))] = int(row.sim_micro)
-        remaining = sorted(rel)
-        selected = []
-        out = []
         qid = int(pdf["query_id"].iloc[0])
-        for step in range(1, min(k, len(remaining) + len(selected)) + 1):
-            best = None
-            for c in remaining:
-                ms = max((sim[(c, s)] for s in selected), default=0)
-                score = lam_num * rel[c] - div_num * ms
-                key = (score, -c)
-                if best is None or key > best[0]:
-                    best = (key, c, ms, score)
-            _, c, ms, score = best
-            remaining.remove(c)
-            selected.append(c)
-            out.append((qid, step, c, rel[c], ms, score))
+        out = [(qid, *picked) for picked in
+               greedy_mmr(rel, sim, k, lam_num, lam_den)]
         return pd.DataFrame(out, columns=[
             "query_id", "step", "selected_id", "rel_micro",
             "maxsim_micro", "mmr_score"])

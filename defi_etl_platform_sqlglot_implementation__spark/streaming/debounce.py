@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.debounce import DEFAULT_WINDOW_S
+from ..operators.debounce import DEFAULT_WINDOW_S, greedy_kept_positions
 
 
 class DebounceState:
@@ -74,12 +74,9 @@ class DebounceState:
         def scan(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             seed = pdf["last_ts"].iloc[0]
-            kept_ts = None if pd.isna(seed) else seed
-            kept_idx = []
-            for i, ts in enumerate(pdf["ts"].tolist()):
-                if kept_ts is None or ts >= kept_ts + delta:
-                    kept_idx.append(i)
-                    kept_ts = ts
+            kept_idx = greedy_kept_positions(
+                pdf["ts"].tolist(), delta,
+                seed=None if pd.isna(seed) else seed)
             return pdf.iloc[kept_idx][
                 ["user_id", "event_type", "event_id", "ts"]]
 
