@@ -80,6 +80,12 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "mmr_diverse_selection",
     "quality_dup_quartiles",
     "zipf_fit_by_source",
+    # round-9 (VERDICT r8 #6): the SCALE-path twins of the two
+    # reference-parity unpartitioned windows — benched so the form a 100 TB
+    # deployment would actually run is tracked round over round, not just
+    # the single-partition parity form.
+    "rolling_p90_partitioned",
+    "rolling_var_cvar_partitioned",
 ]
 
 

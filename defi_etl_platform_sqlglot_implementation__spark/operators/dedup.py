@@ -32,6 +32,7 @@ import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .materialize import disk_ckpt, track
 
@@ -572,8 +573,39 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     )
 
 
+def _driver_union_find(rows) -> dict:
+    """Min-label union-find over an in-driver edge list — the small-graph
+    fast path of :func:`connected_components`.  Roots are kept at the
+    component MINIMUM (unions attach the larger root under the smaller),
+    so after full path resolution every node's root IS the min reachable
+    id — identical semantics to the distributed min-label propagation.
+    Path compression keeps it near-linear in edges."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra            # min stays the root
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph -> (node, cluster_id).
 
@@ -586,15 +618,28 @@ def connected_components(
     rounds even at corpus scale — the pathological long-path graph that
     favors pointer-jumping variants does not arise from similarity edges.
 
-    Each round is one shuffle (join on the edge endpoint) + one min
-    aggregate, both keyed on node id.  Rounds run in BATCHES per
-    materialization on a 1, 1, 2, 2, ... schedule: the checkpoint
-    (lineage truncation) and the convergence probe are per-batch driver
-    jobs whose ~constant cost dominated small-input latency.  The two
-    single-round batches up front let the dominant diameter-1 graph
-    (cliquish near-dup components) stop at the provable minimum —
-    2 rounds + 2 probes — while deeper graphs amortize probes two
-    rounds per batch from the third batch on.  Batching is sound
+    ADAPTIVE small-graph fast path (VERDICT r8 #1): after the one-time
+    edge materialization, if the symmetrized edge list holds at most
+    ``driver_max_edges`` rows it is pulled to the driver and solved with
+    min-label union-find — one cheap probe job + one ``createDataFrame``
+    instead of per-batch checkpoint + convergence-probe driver jobs
+    whose ~constant scheduling cost dominated small-input latency
+    (cross_modal_dedup's ~4x composition constant was exactly this).
+    Same spirit as AQE's runtime re-plan / the broadcast-join threshold:
+    the DATA decides, the distributed path below stays the contract for
+    large graphs (pass ``driver_max_edges=0`` to force it).  Near-dup
+    edge lists are (long, long) rows — 2M rows is tens of MB on a 24g
+    driver, far under the sanctioned driver-sized class.
+
+    The distributed path: each round is one shuffle (join on the edge
+    endpoint) + one min aggregate, both keyed on node id.  Rounds run in
+    BATCHES per materialization on a 1, 1, 2, 2, ... schedule: the
+    checkpoint (lineage truncation) and the convergence probe are
+    per-batch driver jobs whose ~constant cost dominated small-input
+    latency.  The two single-round batches up front let the dominant
+    diameter-1 graph (cliquish near-dup components) stop at the provable
+    minimum — 2 rounds + 2 probes — while deeper graphs amortize probes
+    two rounds per batch from the third batch on.  Batching is sound
     because labels are monotone non-increasing — the label sum is
     stationary across a batch iff NO round inside it changed anything,
     so the detected fixpoint is identical.  ``max_iter`` caps total
@@ -617,6 +662,20 @@ def connected_components(
     # The init frame stays LAZY: its lineage is one distinct over the
     # checkpointed edges, and the first batch's checkpoint captures it.
     sym = disk_ckpt(sym)
+    if driver_max_edges:
+        # one probe job over the checkpointed blocks; limit+1 rows decide
+        # small-vs-large without a separate count
+        probe = sym.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            labels = _driver_union_find((r[0], r[1]) for r in probe)
+            spark = pairs.sparkSession
+            node_type = sym.schema["a"].dataType
+            out_schema = StructType([
+                StructField("node", node_type),
+                StructField("cluster_id", node_type),
+            ])
+            return spark.createDataFrame(
+                sorted(labels.items()), schema=out_schema)
     cur = (
         sym.select(F.col("a").alias("node"))
         .distinct()

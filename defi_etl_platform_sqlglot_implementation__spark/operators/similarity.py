@@ -837,15 +837,31 @@ def greedy_mmr(rel: dict, sim: dict, k: int,
     for every ordered pair a != b of candidates.  Returns
     [(step, selected_id, rel_micro, maxsim_micro, score), ...] with
     step = 1..min(k, |rel|); score = lam_num·rel − (lam_den−lam_num)·
-    max(sim to selected) (0 at step 1), ties → lower id."""
+    max(sim to selected) (0 at step 1), ties → lower id.
+
+    ``sim`` MUST cover every ordered pair of distinct candidates; a
+    missing pair raises a descriptive KeyError (naming the pair) so a
+    caller's incomplete pair set surfaces as a contract error rather
+    than an opaque executor PythonException inside the Arrow kernel."""
     div_num = lam_den - lam_num
     remaining = sorted(rel)
     selected: list = []
     out: list[tuple] = []
+
+    def _pair_sim(c, s):
+        try:
+            return sim[(c, s)]
+        except KeyError:
+            raise KeyError(
+                f"greedy_mmr: sim map is missing pair ({c!r}, {s!r}); the "
+                f"contract requires sim_micro for every ordered pair of "
+                f"distinct candidates within a query"
+            ) from None
+
     for step in range(1, min(k, len(remaining)) + 1):
         best = None
         for c in remaining:
-            ms = max((sim[(c, s)] for s in selected), default=0)
+            ms = max((_pair_sim(c, s) for s in selected), default=0)
             score = lam_num * rel[c] - div_num * ms
             key = (score, -c)
             if best is None or key > best[0]:

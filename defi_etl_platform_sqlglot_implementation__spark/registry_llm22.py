@@ -14,8 +14,11 @@ profiling and per-batch embedding drift detection.
   round.
 
 - ``embedding_batch_drift``: data-drift monitoring over the ingest
-  spine — vectors arrive in 4 doc-id-monotone batches (vec_id * 4 //
-  n_vecs), each batch reduces to per-dimension integer micro-moment
+  spine — vectors arrive in 4 id-ordered RANK-based batches
+  ((rank-1) * 4 // n_vecs with rank = ROW_NUMBER() OVER (ORDER BY
+  vec_id); VERDICT r8 #3 — the old id-VALUE quartile spine went empty
+  on sparse/sharded id domains, and at 100 TB ids are never dense),
+  each batch reduces to per-dimension integer micro-moment
   sums (the ``embedding_dim_stats`` decimal/HUGEINT device), and
   consecutive batches are compared per dimension with the
   cross-multiplied mean inequality |s_cur * n_prev - s_prev * n_cur| >
@@ -114,12 +117,17 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIFT_SQL = f"""
     WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    rk AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+        FROM embeddings
+    ),
     el AS (
-        SELECT e.vec_id * {_N_EB} // n.n_vecs AS batch,
+        SELECT (rk.rnk - 1) * {_N_EB} // n.n_vecs AS batch,
                r.i - 1 AS dim,
                CAST(round(CAST(e.embedding[r.i] AS DOUBLE) * 1000000)
                     AS BIGINT) AS q
-        FROM embeddings e CROSS JOIN n,
+        FROM embeddings e JOIN rk USING (vec_id) CROSS JOIN n,
              (SELECT unnest(range(1, 65)) AS i) r
     ),
     st AS (
@@ -149,18 +157,41 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     far past any realistic corpus; the drift flag is a pure integer
     inequality.
 
-    Domain note: the id-quartile spine (vec_id * N // n_vecs) yields
-    CONSECUTIVE batches only over a dense id space (the driver corpus).
-    On a sparse/sharded id space (e.g. the key-shifted sf1 stress
-    corpus) batches are non-adjacent and the consecutive-batch join is
-    correctly empty on BOTH engines — production callers batch by
-    ingest time/file and should substitute their own batch column."""
+    Domain note (VERDICT r8 #3): batches are RANK-based — batch =
+    (rank-1) * N // n_vecs with rank the id-order ordinal — so the
+    spine is dense and the consecutive-batch join non-empty on ANY id
+    domain, dense or sparse/sharded (the old value-quartile spine
+    returned an empty — silent — monitor on the key-shifted sf1
+    corpus).  The rank needs no global row window on Spark: the
+    wave-20 spine decomposition over the monotone coarse key
+    vec_id div 1024 (per-shard counts -> cum_before over the tiny
+    shard spine -> within-shard row_number) equals ROW_NUMBER() OVER
+    (ORDER BY vec_id) exactly, because the shard key is monotone in
+    vec_id.  Production callers batch by ingest time/file and
+    substitute their own batch column."""
+    from pyspark.sql import Window
+
     e = t(spark, sf_dir, "embeddings")
     n = e.agg(F.count("*").alias("n_vecs"))
+    ids = e.select("vec_id").withColumn(
+        "shard", F.expr("vec_id div 1024"))
+    spine = ids.groupBy("shard").agg(F.count("*").alias("cnt"))
+    w_spine = (Window.orderBy("shard")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spine = spine.withColumn(
+        "cum_before", F.sum("cnt").over(w_spine) - F.col("cnt"))
+    w_in = Window.partitionBy("shard").orderBy("vec_id")
+    ranked = (
+        ids.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(spine.select("shard", "cum_before")), "shard")
+        .select("vec_id",
+                (F.col("cum_before") + F.col("rn")).alias("rnk"))
+    )
     el = (
-        e.crossJoin(F.broadcast(n))
+        e.join(ranked, "vec_id")
+        .crossJoin(F.broadcast(n))
         .select(
-            F.expr(f"(vec_id * {_N_EB}) div n_vecs").alias("batch"),
+            F.expr(f"((rnk - 1) * {_N_EB}) div n_vecs").alias("batch"),
             F.posexplode("embedding").alias("dim", "x"))
         .select(
             "batch", "dim",

@@ -283,7 +283,16 @@ def quality_dup_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states global NTILE(4); here the rank comes from the
     wave-20 spine decomposition (cum_before(score) + within-score
     row_number) and the closed-form ntile bucket formula, so the only
-    globally-ordered state is the score spine (≤ 10^4 + 1 rows)."""
+    globally-ordered state is the score spine (≤ 10^4 + 1 rows).
+
+    Banding caveat (ADVICE r8): the dup set comes from MinHash-LSH
+    candidates at threshold 0.5 with the module defaults b=16 bands ×
+    r=2 rows, where a true pair at exactly j=0.5 survives banding with
+    probability 1−(1−0.5²)^16 ≈ 99.0% (vs ≈1−8e-8 at j=0.8, the figure
+    the dedup.py S-curve note quotes).  Gate parity is therefore
+    data-dependent in principle; both engines share the identical md5
+    hash family, so on any FIXED corpus (including the driver's) the
+    candidate sets — and the gate — are deterministic and equal."""
     from .operators.dedup import minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")

@@ -324,6 +324,104 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_CAP = 128  # fixed eval-benchmark size — scale-INDEPENDENT by contract
+
+_KNN_CAPPED_SQL = f"""
+    WITH q AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+        ORDER BY vec_id LIMIT {_KNN_CAP}
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               tr.vec_id AS nid, tr.label AS nlabel,
+               ({_dot_chain('q', 'tr')})
+               / (sqrt({_dot_chain('q', 'q')}) * sqrt({_dot_chain('tr', 'tr')}))
+                   AS cosine
+        FROM q, embeddings tr
+        WHERE tr.vec_id % 10 <> 0
+    ),
+    top AS (
+        SELECT qid, qlabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT qid, qlabel, nlabel, COUNT(*) AS v
+        FROM top WHERE rk <= 5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT qid, qlabel, nlabel AS plabel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY v DESC, nlabel) AS pr
+        FROM votes
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS accuracy
+    FROM pred WHERE pr = 1
+    GROUP BY qlabel
+"""
+
+
+@register("knn_label_accuracy_capped_eval", _KNN_CAPPED_SQL)
+def knn_label_accuracy_capped_eval(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """The PRODUCTION form of kNN eval (VERDICT r8 #4): the eval set is
+    a FIXED-size benchmark — the {_KNN_CAP} lowest-vec_id held-out
+    vectors — so total cost is O(cap x train) = LINEAR in corpus size,
+    unlike :func:`knn_label_accuracy` whose corpus-proportional eval
+    split makes eval x train quadratic in sf (kept registered as the
+    pricing twin; SCALE.md attributes its sf1 53x to exactly this).
+    Scoring semantics are byte-identical to the uncapped gate (same
+    fold-order cosine, same rank tie-breaks, same majority vote), so
+    the capped per-query predictions are a strict subset — pinned in
+    tests/test_llm5.py.  Shape: the cap is a distributed top-K
+    (TakeOrderedAndProject — no global sort), the {_KNN_CAP}-row eval
+    frame is broadcast against the training scan, and the two ranking
+    windows run on the per-query side (cap x 5 rows)."""
+    from .operators.similarity import dot, with_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    q = with_norm(
+        e.filter(F.col("vec_id") % 10 == 0)
+        .orderBy("vec_id").limit(_KNN_CAP)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+            F.col("embedding").alias("eq")), "eq", "nq")
+    tr = with_norm(
+        e.filter(F.col("vec_id") % 10 != 0).select(
+            F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+            F.col("embedding").alias("etr")), "etr", "ntr")
+    scored = tr.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "nid", "nlabel",
+        (dot("eq", "etr", vectorized=True)
+         / (F.col("nq") * F.col("ntr"))).alias("cosine"),
+    )
+    top = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))),
+    ).filter(F.col("rk") <= 5)
+    votes = top.groupBy("qid", "qlabel", "nlabel").agg(F.count("*").alias("v"))
+    pred = votes.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("nlabel"))),
+    ).filter(F.col("pr") == 1)
+    correct = F.sum(
+        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        correct.cast("long").alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )
+
+
 # =========================================================================
 # Per-group per-dimension embedding mean pooling
 # =========================================================================

@@ -83,6 +83,29 @@ class TestConnectedComponents:
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
+    def test_driver_fast_path_equals_distributed(self, spark):
+        """The r9 adaptive small-graph union-find (driver_max_edges) must
+        agree label-for-label with the distributed min-label loop on a
+        graph mixing diameters (path, clique, pair, self-contained dup
+        edges)."""
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # path, diameter 5
+             (10, 11), (11, 12), (10, 12), (10, 12),       # clique + dup edge
+             (20, 21), (30, 31), (31, 32), (30, 32)],
+            ["d1", "d2"],
+        )
+        fast = {r["node"]: r["cluster_id"]
+                for r in connected_components(edges).collect()}
+        dist = {r["node"]: r["cluster_id"]
+                for r in connected_components(
+                    edges, driver_max_edges=0).collect()}
+        assert fast == dist
+        assert fast[6] == 1 and fast[32] == 30
+
     def test_cluster_query_partitions_pairs(self, spark):
         from defi_etl_platform_sqlglot_implementation__spark.registry import QUERIES
 

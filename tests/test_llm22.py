@@ -79,9 +79,12 @@ class TestEmbeddingBatchDrift:
                 for r in spark.read.parquet(f"{SF}/embeddings.parquet")
                 .select("vec_id", "embedding").collect()}
         n = len(vecs)
+        # rank-based batching (VERDICT r8 #3): batch from the id-order
+        # ordinal, not the id VALUE — stays dense on sparse id domains
+        rank = {vid: i + 1 for i, vid in enumerate(sorted(vecs))}
         st = defaultdict(lambda: [0, 0])            # (batch, dim) -> [n, s]
         for vid, emb in vecs.items():
-            b = vid * self.N_EB // n
+            b = (rank[vid] - 1) * self.N_EB // n
             for dim, x in enumerate(emb):
                 q = _half_away(float(x) * 1e6)
                 st[(b, dim)][0] += 1
@@ -105,6 +108,23 @@ class TestEmbeddingBatchDrift:
             lhs = abs(r.sum_cur_micro * r.n_prev - r.sum_prev_micro * r.n_cur)
             assert r.drifted == (1 if lhs > self.TAU * r.n_cur * r.n_prev
                                  else 0)
+
+    def test_sparse_id_domain_not_silent(self, spark, tmp_path):
+        """VERDICT r8 #3 regression: on a sparse/sharded vec_id domain
+        (the sf1 key-shift class) the old value-quartile spine produced
+        an EMPTY monitor; the rank-based spine must yield all
+        (N_EB-1) x dims consecutive-batch rows regardless of id gaps."""
+        rows = [(vid, [float(vid % 7) / 10.0] * 4)
+                for vid in (5, 900, 41_000, 41_003, 2_000_000,
+                            2_000_001, 90_000_000, 123_456_789)]
+        (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+         .write.parquet(str(tmp_path / "embeddings.parquet")))
+        got = QUERIES["embedding_batch_drift"](
+            spark, str(tmp_path)).collect()
+        assert len(got) == (self.N_EB - 1) * 4
+        # per-batch counts follow the rank spine: 8 ids -> 2 per batch
+        assert {(r.batch, r.n_cur, r.n_prev) for r in got} \
+            == {(b, 2, 2) for b in (1, 2, 3)}
 
 
 class TestStreamingNearDupIngest:

@@ -67,6 +67,29 @@ def test_knn_accuracy_counts_consistent(spark):
         assert abs(r.accuracy - r.n_correct / r.n_eval) < 1e-15
 
 
+def test_knn_capped_eval_degenerates_to_uncapped_when_cap_not_binding(spark):
+    """sf0.001 has 50 eval vectors < the 128 cap, so the capped gate must
+    equal the uncapped gate row-for-row — the scoring semantics are
+    byte-identical by construction and this pins it."""
+    capped = {r.label: (r.n_eval, r.n_correct, r.accuracy)
+              for r in m.knn_label_accuracy_capped_eval(spark, SF).collect()}
+    full = {r.label: (r.n_eval, r.n_correct, r.accuracy)
+            for r in m.knn_label_accuracy(spark, SF).collect()}
+    assert capped == full
+
+
+def test_knn_capped_eval_cap_binds_at_sf01(spark):
+    """At sf0.1 the eval split (200 of 2000 vectors) exceeds the 128
+    cap: exactly 128 queries are scored — the linear-cost contract.
+    (sf0.001/sf0.01 both carry 500 embeddings = 50 eval, under the cap.)"""
+    rows = m.knn_label_accuracy_capped_eval(
+        spark, "/root/testdata/sf0.1").collect()
+    assert sum(r.n_eval for r in rows) == m._KNN_CAP
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_eval
+        assert abs(r.accuracy - r.n_correct / r.n_eval) < 1e-15
+
+
 def test_mean_pool_reconstructs_per_label_counts(spark):
     rows = m.embedding_mean_pool(spark, SF).collect()
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
