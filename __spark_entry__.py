@@ -56,6 +56,9 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm28  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm29  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm30  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm31  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm32  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm33  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm34  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -63,61 +66,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived for round 8 from CORRECTNESS_r07
-# (50/50 green — the whole r7 window, including all wave-14/15 gates and
-# the assignment-fold/CC-touched families, is hash-exact).  Convention
+# Verification priority, re-derived for round 9 from CORRECTNESS_r08
+# (50/50 green) + the r8 Run J 260-gate one-session soak.  Convention
 # unchanged: no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
 # HEAVY-LAST; the list is exactly 50 entries so the window composition
 # is fully pinned.  Buckets:
-#   1. wave-16 gates, new this round;
-#   2. r7-green gates whose implementation r8 touched: the
-#      connected_components 1,1,2,2 batch schedule (operators/dedup.py)
-#      reaches the CC family; the port-stripped-domain +
-#      single-label-host fix (registry_llm14 _CANON_DUCK /
-#      canonicalize_urls) reaches the URL family; the simhash_recall
-#      zero-denominator guard reaches itself.  Light oracles first;
-#   3. cheap re-confirmations (= _RECONFIRM exactly — driver-green,
-#      deliberately re-occupying window slots; oldest green rows first:
-#      the r03/r04 cohort has not been re-windowed since) so that
-#   4. the heavy unrolled-k-means oracle sits in the LAST slots —
-#      any residual sweep degradation burns only its own slot.
+#   1. waves 32-35 + the capped-eval family, new this round (10);
+#   2. r8-green gates whose implementation r9 touched: the adaptive
+#      driver union-find fast path (operators/dedup.py
+#      connected_components) reaches every CC consumer; the rank-based
+#      batch spine rewrite reaches embedding_batch_drift; the
+#      _nb_scored extraction reaches nb_source_classifier.  Light
+#      oracles first;
+#   3. _RECONFIRM (VERDICT r8 #3/#5): the ENTIRE r03 cohort — 30 gates
+#      whose last driver rows date to CORRECTNESS_r03 (the oldest green
+#      evidence in the ledger; r8's final window evicted all of them
+#      for wave gates) — re-occupies the remaining slots;
+#   4. heavy unrolled oracles LAST — the MMR gate (greedy_mmr error-path
+#      edit) and the unrolled-k-means CC-touched canonical gate — so
+#      any residual sweep degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: waves 16-31, new this round (40; the three unrolled-
-    #    k-means gates sort LAST within the bucket to keep the heavy
-    #    oracles away from the cheap re-proofs; wave 29's unrolled-MMR
-    #    gate sits in bucket 4) --
-    "dup_span_granularity", "doremi_source_weights", "cross_modal_dedup",
-    "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
-    "nb_source_classifier", "random_projection_recall",
-    "pair_alignment_spans", "span_corruption_plan",
-    "doc_prefix_containment", "quality_token_budget_cutoff",
-    "boilerplate_block_removal", "dedup_minhash_incremental",
-    "epoch_repetition_plan", "contrastive_pair_mining",
-    "ngram_novelty_profile", "embedding_batch_drift",
-    "repetition_tail_truncation", "label_balance_plan",
-    "hash_shard_skew", "bpe_vocab_pruning_curve",
-    "curation_pipeline_v3", "pii_inventory", "ingest_transitivity_gap",
-    "ccnet_perplexity_buckets", "source_overlap_matrix",
-    "doc_length_histogram",
-    "event_debounce", "embedding_dim_correlation",
-    "token_pmi_collocations",
-    "source_unigram_kl", "quality_dup_quartiles",
-    "distinct_ngram_diversity",
-    "zipf_fit_by_source", "ngram_entropy_curve", "dedup_rate_by_batch",
-    "cluster_prototype_pruning", "kmeans_silhouette",
-    "ivf_nprobe_recall_curve",
-    # -- bucket 2: r8-touched, light oracles (8) --
-    "url_canonicalize", "url_domain_dedup", "domain_token_budget",
-    "simhash_recall",
-    "dedup_clusters", "dedup_keep_canonical", "dup_cluster_size_histogram",
-    "curation_pipeline_v2",
-    # -- bucket 3: _RECONFIRM — EMPTY this round: every remaining slot
-    #    went to new wave-29/30/31 gates (doc_chunks / bm25_search /
-    #    inverted_index_postings yielded to wave 29,
-    #    doc_repetition_profile / pii_scrub to wave 30, tfidf_top_terms /
-    #    doc_unigram_surprise / embedding_int8_quantize to wave 31) --
-    # -- bucket 4: heavy oracles LAST — the new unrolled-MMR gate, then
-    #    the unrolled-k-means CC-touched gate --
+    # -- bucket 1: new this round (10) --
+    "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
+    "lsh_bucket_skew", "retrieval_mrr_capped_eval",
+    "knn_label_accuracy_capped_eval", "quality_score_calibration",
+    "dsir_resample_draw", "dedup_keep_newest", "dedup_token_savings",
+    # -- bucket 2: r9-touched, light oracles first (8) --
+    "embedding_batch_drift", "nb_source_classifier",
+    "dedup_clusters", "dup_cluster_size_histogram",
+    "dedup_keep_canonical", "ingest_transitivity_gap",
+    "curation_pipeline_v2", "cross_modal_dedup",
+    # -- bucket 3: _RECONFIRM — the whole r03 cohort (30), oldest green
+    #    rows in the ledger --
+    "rolling_var_minperiods_partitioned", "token_entropy",
+    "salted_join_brand_qty", "asof_price_join_forward",
+    "contamination_bloom_gated", "curation_pipeline_e2e",
+    "source_mix_rebalance", "dedup_char_jaccard_capped",
+    "transfer_volume_hourly_approx_check", "twap_per_user",
+    "funnel_view_click_purchase", "event_transition_matrix",
+    "hourly_locf_fill", "user_share_of_type_value",
+    "value_quantiles_approx_check", "tfidf_top_terms",
+    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "inverted_index_postings", "weighted_sample_topk",
+    "hybrid_search_rrf", "token_freq_cms", "substring_dup_spans",
+    "curation_clip_spans", "scd2_history", "grouping_sets_metrics",
+    # -- bucket 4: heavy oracles LAST --
     "mmr_diverse_selection",
     "dedup_embedding_canonical",
 ]
@@ -127,20 +121,54 @@ _PRIORITY = [
 # the _PRIORITY ∩ _DRIVER_GREEN overlap — tests/test_entry_order.py
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
-_RECONFIRM: list[str] = []
+_RECONFIRM: list[str] = [
+    "rolling_var_minperiods_partitioned", "token_entropy",
+    "salted_join_brand_qty", "asof_price_join_forward",
+    "contamination_bloom_gated", "curation_pipeline_e2e",
+    "source_mix_rebalance", "dedup_char_jaccard_capped",
+    "transfer_volume_hourly_approx_check", "twap_per_user",
+    "funnel_view_click_purchase", "event_transition_matrix",
+    "hourly_locf_fill", "user_share_of_type_value",
+    "value_quantiles_approx_check", "tfidf_top_terms",
+    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "inverted_index_postings", "weighted_sample_topk",
+    "hybrid_search_rrf", "token_freq_cms", "substring_dup_spans",
+    "curation_clip_spans", "scd2_history", "grouping_sets_metrics",
+]
 
 
-# Green driver row exists (r01 ∪ … ∪ r07) and the implementation is
+# Green driver row exists (r01 ∪ … ∪ r08) and the implementation is
 # unchanged since that row.  NOTE: every _PRIORITY bucket-2/4 query
-# (changed after its green row — the r8 CC batch-schedule, URL-domain
-# and simhash_recall-guard edits) is deliberately ABSENT here — the
-# convention is that changed-since-green means not-green, regardless of
-# prior rows.  _RECONFIRM names ARE here (green + unchanged) AND in
-# _PRIORITY bucket 3 — that overlap is exactly the _RECONFIRM ledger,
-# enforced by tests/test_entry_order.py.
+# (changed after its green row — the r9 adaptive-CC fast path, the
+# rank-based drift spine, the _nb_scored extraction, the greedy_mmr
+# error path) is deliberately ABSENT here — the convention is that
+# changed-since-green means not-green, regardless of prior rows.
+# _RECONFIRM names ARE here (green + unchanged) AND in _PRIORITY
+# bucket 3 — that overlap is exactly the _RECONFIRM ledger, enforced
+# by tests/test_entry_order.py.
 _DRIVER_GREEN = {
-    # -- green in r07 (CORRECTNESS_r07.json, 50/50), untouched by the
-    #    r8 CC/URL/simhash edits --
+    # -- green in r08 (CORRECTNESS_r08.json, 50/50 — the wave 16-31
+    #    window), minus the gates the r9 CC/drift/NB edits touched --
+    "dup_span_granularity", "doremi_source_weights",
+    "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
+    "random_projection_recall", "pair_alignment_spans",
+    "span_corruption_plan", "doc_prefix_containment",
+    "quality_token_budget_cutoff", "boilerplate_block_removal",
+    "dedup_minhash_incremental", "epoch_repetition_plan",
+    "contrastive_pair_mining", "ngram_novelty_profile",
+    "repetition_tail_truncation", "label_balance_plan",
+    "hash_shard_skew", "bpe_vocab_pruning_curve", "curation_pipeline_v3",
+    "pii_inventory", "ccnet_perplexity_buckets", "source_overlap_matrix",
+    "doc_length_histogram", "event_debounce", "embedding_dim_correlation",
+    "token_pmi_collocations", "source_unigram_kl", "quality_dup_quartiles",
+    "distinct_ngram_diversity", "zipf_fit_by_source",
+    "ngram_entropy_curve", "dedup_rate_by_batch",
+    "cluster_prototype_pruning", "kmeans_silhouette",
+    "ivf_nprobe_recall_curve",
+    "url_canonicalize", "url_domain_dedup", "domain_token_budget",
+    "simhash_recall",
+    # -- green in r07 (CORRECTNESS_r07.json, 50/50), untouched since --
     "paragraph_dup_spans", "paragraph_dedup_reassembly",
     "decontamination_incremental", "dedup_minhash_normalized",
     "paragraph_dup_rate_filter", "dedup_variant_agreement",

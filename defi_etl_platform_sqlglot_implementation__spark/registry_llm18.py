@@ -67,8 +67,13 @@ _TOPK = 10
 # naive-Bayes source classifier — confusion matrix on the held-out split
 # =========================================================================
 
-_NB_SQL = f"""
-    WITH tf AS (
+# The CTE chain up to the per-(doc, class) integer score frame
+# ``scored`` — shared verbatim by nb_source_classifier (argmax ->
+# confusion matrix) and registry_llm32.quality_score_calibration
+# (top1-top2 margin -> calibration buckets), so the two gates can never
+# disagree about a posterior score.
+_NB_SCORED_CTES = f"""
+    tf AS (
         SELECT doc_id, source,
                {_SPLIT.format(id='doc_id')} AS split,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -117,7 +122,11 @@ _NB_SQL = f"""
         FROM vd
         CROSS JOIN pri p
         LEFT JOIN sc ON sc.doc_id = vd.doc_id AND sc.cls = p.cls
-    ),
+    )
+"""
+
+_NB_SQL = f"""
+    WITH {_NB_SCORED_CTES},
     pred AS (
         SELECT true_source, cls,
                ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -131,16 +140,17 @@ _NB_SQL = f"""
 """
 
 
-@register("nb_source_classifier", _NB_SQL)
-def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive-Bayes source classifier, trained on the train
-    split, evaluated on every val/test doc — see module docstring for
-    the integer-exactness argument.  The class fan-out (every held-out
-    (doc, tok) count scored against every train class) is a broadcast
-    of the |classes|-row prior table; the per-class token likelihood
-    attach is a LEFT equi-join on (cls, tok) against the Zipf-bounded
-    train count table; unseen (cls, tok) pairs cost
-    round(1e6·ln(1/(n_s+V)))·c, never −inf."""
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(held-out doc, class) integer NB score frame (doc_id,
+    true_source, cls, score) — the Spark twin of ``_NB_SCORED_CTES``,
+    factored out so nb_source_classifier and
+    registry_llm32.quality_score_calibration share one scoring
+    construction (cross-gate agreement by byte-sharing).  The class
+    fan-out (every held-out (doc, tok) count scored against every train
+    class) is a broadcast of the |classes|-row prior table; the
+    per-class token likelihood attach is a LEFT equi-join on (cls, tok)
+    against the Zipf-bounded train count table; unseen (cls, tok) pairs
+    cost round(1e6·ln(1/(n_s+V)))·c, never −inf."""
     docs = t(spark, sf_dir, "documents").withColumn("split", _split_col())
     tf = docs.select(
         "doc_id", "source", "split",
@@ -181,7 +191,7 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vd = (tf.filter(F.col("split") != "train")
           .select("doc_id", F.col("source").alias("true_source")))
-    scored = (
+    return (
         vd.crossJoin(F.broadcast(pri.select("cls", "prior_micro")))
         .join(sc, ["doc_id", "cls"], "left")
         .select(
@@ -189,6 +199,16 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prior_micro")
              + F.coalesce("tok_score", F.lit(0))).alias("score"))
     )
+
+
+@register("nb_source_classifier", _NB_SQL)
+def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes source classifier, trained on the train
+    split, evaluated on every val/test doc — see module docstring and
+    :func:`_nb_scored` for the integer-exactness argument; this gate is
+    the argmax (score DESC, class ASC) of the shared score frame,
+    reduced to the confusion matrix."""
+    scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

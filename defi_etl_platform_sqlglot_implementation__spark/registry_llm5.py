@@ -326,8 +326,12 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_CAP = 128  # fixed eval-benchmark size — scale-INDEPENDENT by contract
 
-_KNN_CAPPED_SQL = f"""
-    WITH q AS (
+# The capped-eval ranked-neighbor chain (q -> scored -> top), shared
+# verbatim by knn_label_accuracy_capped_eval (majority vote over rk<=5)
+# and registry_llm33.retrieval_mrr_capped_eval (first same-label rank
+# over rk<=10) — one definition, so the two gates can never disagree on
+# a neighbor ranking.
+_KNN_CAPPED_TOP_CTES = f"""q AS (
         SELECT vec_id, label, embedding
         FROM embeddings WHERE vec_id % 10 = 0
         ORDER BY vec_id LIMIT {_KNN_CAP}
@@ -342,11 +346,14 @@ _KNN_CAPPED_SQL = f"""
         WHERE tr.vec_id % 10 <> 0
     ),
     top AS (
-        SELECT qid, qlabel, nlabel,
+        SELECT qid, qlabel, nid, nlabel,
                ROW_NUMBER() OVER (PARTITION BY qid
                                   ORDER BY cosine DESC, nid) AS rk
         FROM scored
-    ),
+    )"""
+
+_KNN_CAPPED_SQL = f"""
+    WITH {_KNN_CAPPED_TOP_CTES},
     votes AS (
         SELECT qid, qlabel, nlabel, COUNT(*) AS v
         FROM top WHERE rk <= 5 GROUP BY 1, 2, 3
@@ -368,22 +375,11 @@ _KNN_CAPPED_SQL = f"""
 """
 
 
-@register("knn_label_accuracy_capped_eval", _KNN_CAPPED_SQL)
-def knn_label_accuracy_capped_eval(spark: SparkSession, sf_dir: str
-                                   ) -> DataFrame:
-    """The PRODUCTION form of kNN eval (VERDICT r8 #4): the eval set is
-    a FIXED-size benchmark — the {_KNN_CAP} lowest-vec_id held-out
-    vectors — so total cost is O(cap x train) = LINEAR in corpus size,
-    unlike :func:`knn_label_accuracy` whose corpus-proportional eval
-    split makes eval x train quadratic in sf (kept registered as the
-    pricing twin; SCALE.md attributes its sf1 53x to exactly this).
-    Scoring semantics are byte-identical to the uncapped gate (same
-    fold-order cosine, same rank tie-breaks, same majority vote), so
-    the capped per-query predictions are a strict subset — pinned in
-    tests/test_llm5.py.  Shape: the cap is a distributed top-K
-    (TakeOrderedAndProject — no global sort), the {_KNN_CAP}-row eval
-    frame is broadcast against the training scan, and the two ranking
-    windows run on the per-query side (cap x 5 rows)."""
+def _knn_capped_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, qlabel, nid, nlabel, rk): every training neighbor of every
+    capped-eval query, ranked by (fold-order cosine DESC, nid) — the
+    Spark twin of ``_KNN_CAPPED_TOP_CTES``, shared by the capped kNN
+    vote gate and registry_llm33's MRR gate."""
     from .operators.similarity import dot, with_norm
 
     e = t(spark, sf_dir, "embeddings")
@@ -402,11 +398,31 @@ def knn_label_accuracy_capped_eval(spark: SparkSession, sf_dir: str
         (dot("eq", "etr", vectorized=True)
          / (F.col("nq") * F.col("ntr"))).alias("cosine"),
     )
-    top = scored.withColumn(
+    return scored.withColumn(
         "rk",
         F.row_number().over(
-            Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))),
-    ).filter(F.col("rk") <= 5)
+            Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                              F.asc("nid"))),
+    ).select("qid", "qlabel", "nid", "nlabel", "rk")
+
+
+@register("knn_label_accuracy_capped_eval", _KNN_CAPPED_SQL)
+def knn_label_accuracy_capped_eval(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """The PRODUCTION form of kNN eval (VERDICT r8 #4): the eval set is
+    a FIXED-size benchmark — the {_KNN_CAP} lowest-vec_id held-out
+    vectors — so total cost is O(cap x train) = LINEAR in corpus size,
+    unlike :func:`knn_label_accuracy` whose corpus-proportional eval
+    split makes eval x train quadratic in sf (kept registered as the
+    pricing twin; SCALE.md attributes its sf1 53x to exactly this).
+    Scoring semantics are byte-identical to the uncapped gate (same
+    fold-order cosine, same rank tie-breaks, same majority vote), so
+    the capped per-query predictions are a strict subset — pinned in
+    tests/test_llm5.py.  Shape: the cap is a distributed top-K
+    (TakeOrderedAndProject — no global sort), the {_KNN_CAP}-row eval
+    frame is broadcast against the training scan, and the two ranking
+    windows run on the per-query side (cap x 5 rows)."""
+    top = _knn_capped_ranked(spark, sf_dir).filter(F.col("rk") <= 5)
     votes = top.groupBy("qid", "qlabel", "nlabel").agg(F.count("*").alias("v"))
     pred = votes.withColumn(
         "pr",

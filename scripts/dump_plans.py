@@ -117,6 +117,19 @@ SHOWCASE = [
     "zipf_fit_by_source",          # source-partitioned rank + moment agg
     "ngram_entropy_curve",         # joinless gram agg + micro-nat entropy
     "dedup_rate_by_batch",         # 8-row cumulative window over verdicts
+    # round-9 wave-32 additions
+    "dedup_token_savings",         # victim doc-sets x token frame (CC eager)
+    "doc_suffix_containment",      # last-4-token block join + tail verify
+    "quality_score_calibration",   # NB margin windows x quality/dup joins
+    "source_lang_datasheet",       # one base reduce + cached marginal cascade
+    "knn_label_accuracy_capped_eval",  # TakeOrdered cap x train scan
+    # round-9 wave-33 additions
+    "lsh_bucket_skew",             # one sig build, three band occupancy aggs
+    "kanonymity_report",           # row-local QI bucket + one hash agg
+    "retrieval_mrr_capped_eval",   # shared capped ranking + per-label MIN
+    # round-9 wave-34 additions
+    "dedup_keep_newest",           # CC labels + two cluster windows
+    "dsir_resample_draw",          # row-local gumbel keys + source rank
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.001"
 # built eagerly (iterative connected components runs jobs at build time);
 # its component ops are linted via dedup_minhash_lsh + the CC unit tests
 EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup",
-         "ingest_transitivity_gap"}
+         "ingest_transitivity_gap", "dedup_token_savings"}
 
 _QUERIES = sorted(entry.queries())
 
@@ -618,3 +618,83 @@ def test_dedup_rate_by_batch_window_is_batch_summary_sized(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_suffix_containment_is_block_keyed(spark):
+    plan = _executed(spark, "doc_suffix_containment")
+    # one hash equi-join on the last-4-token md5 block key; the verify is
+    # a post-join row-local filter — never a nested-loop over doc pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") >= 1
+
+
+def test_calibration_windows_are_partitioned(spark):
+    plan = _executed(spark, "quality_score_calibration")
+    # both windows partition (doc_id for the margin rank, true_source for
+    # the quartile) — no global-sort window; the only nested-loops are the
+    # sanctioned tiny broadcast attaches of the NB device
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(true_source" in plan
+
+
+def test_datasheet_rollups_reaggregate_reduced_frame(spark):
+    plan = _executed(spark, "source_lang_datasheet")
+    # the token stream reduces ONCE (InMemory persist of the base count
+    # frame); the cell level and the three marginal levels all read the
+    # cache — exactly 4 InMemoryTableScan branches.  (The explode shows
+    # up in the printed tree only inside the cached-relation descriptions
+    # those scans embed, so its print count is 2 per scan, not a measure
+    # of execution.)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "InMemoryTableScan") == 4
+
+
+def test_bucket_skew_reuses_one_signature_scan(spark):
+    plan = _executed(spark, "lsh_bucket_skew")
+    # one persisted signature build feeds the three config branches
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "InMemoryTableScan") == 3
+
+
+def test_kanonymity_is_one_hash_aggregate(spark):
+    plan = _executed(spark, "kanonymity_report")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_mrr_is_capped_broadcast_scan(spark):
+    plan = _executed(spark, "retrieval_mrr_capped_eval")
+    # the 128-query cap is a TakeOrdered (never a global sort of the eval
+    # split) broadcast against the training scan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keep_newest_windows_are_cluster_partitioned(spark):
+    plan = _executed(spark, "dedup_keep_newest")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(cluster_id" in plan
+
+
+def test_resample_draw_window_is_source_partitioned(spark):
+    plan = _executed(spark, "dsir_resample_draw")
+    # the rank window partitions by source; the quota n_s attach is a
+    # broadcast of a |sources|-row frame
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(source" in plan
+    # (the dsir score chain's 1-row vocab scalars legitimately pass
+    # through SinglePartition exchanges — the sanctioned totals class —
+    # so no blanket SinglePartition assertion here)
