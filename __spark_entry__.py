@@ -59,6 +59,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm31  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm32  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm33  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm34  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm35  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -86,18 +87,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #      edit) and the unrolled-k-means CC-touched canonical gate — so
 #      any residual sweep degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: new this round (10) --
+    # -- bucket 1: new this round (13) --
     "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
     "lsh_bucket_skew", "retrieval_mrr_capped_eval",
     "knn_label_accuracy_capped_eval", "quality_score_calibration",
     "dsir_resample_draw", "dedup_keep_newest", "dedup_token_savings",
-    # -- bucket 2: r9-touched, light oracles first (8) --
+    "blocklist_screening_report", "chunk_dedup_report",
+    "ccnet_bucket_dup_matrix",
+    # -- bucket 2: r9-touched, light oracles first (9) --
     "embedding_batch_drift", "nb_source_classifier",
+    "ccnet_perplexity_buckets",
     "dedup_clusters", "dup_cluster_size_histogram",
     "dedup_keep_canonical", "ingest_transitivity_gap",
     "curation_pipeline_v2", "cross_modal_dedup",
-    # -- bucket 3: _RECONFIRM — the whole r03 cohort (30), oldest green
-    #    rows in the ledger --
+    # -- bucket 3: _RECONFIRM — the r03 cohort, oldest green rows in
+    #    the ledger, oldest-first (26 of 30; the last 4 yield their
+    #    slots to wave 36, staying in _DRIVER_GREEN) --
     "rolling_var_minperiods_partitioned", "token_entropy",
     "salted_join_brand_qty", "asof_price_join_forward",
     "contamination_bloom_gated", "curation_pipeline_e2e",
@@ -109,8 +114,7 @@ _PRIORITY = [
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk",
-    "hybrid_search_rrf", "token_freq_cms", "substring_dup_spans",
-    "curation_clip_spans", "scd2_history", "grouping_sets_metrics",
+    "hybrid_search_rrf", "token_freq_cms",
     # -- bucket 4: heavy oracles LAST --
     "mmr_diverse_selection",
     "dedup_embedding_canonical",
@@ -133,8 +137,7 @@ _RECONFIRM: list[str] = [
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
     "doc_repetition_profile", "pii_scrub", "bm25_search",
     "inverted_index_postings", "weighted_sample_topk",
-    "hybrid_search_rrf", "token_freq_cms", "substring_dup_spans",
-    "curation_clip_spans", "scd2_history", "grouping_sets_metrics",
+    "hybrid_search_rrf", "token_freq_cms",
 ]
 
 
@@ -159,7 +162,7 @@ _DRIVER_GREEN = {
     "contrastive_pair_mining", "ngram_novelty_profile",
     "repetition_tail_truncation", "label_balance_plan",
     "hash_shard_skew", "bpe_vocab_pruning_curve", "curation_pipeline_v3",
-    "pii_inventory", "ccnet_perplexity_buckets", "source_overlap_matrix",
+    "pii_inventory", "source_overlap_matrix",
     "doc_length_histogram", "event_debounce", "embedding_dim_correlation",
     "token_pmi_collocations", "source_unigram_kl", "quality_dup_quartiles",
     "distinct_ngram_diversity", "zipf_fit_by_source",

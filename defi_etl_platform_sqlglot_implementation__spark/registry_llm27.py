@@ -63,8 +63,11 @@ from .registry_llm6 import _split_col
 # CCNet perplexity partitioning — head / middle / tail per language
 # =========================================================================
 
-_CCNET_SQL = f"""
-    WITH tf AS (
+# CTE chain up to the per-doc bucketed frame ``ranked`` — shared
+# verbatim by ccnet_perplexity_buckets (bucket aggregate) and
+# registry_llm35.ccnet_bucket_dup_matrix (bucket × dup cross), so the
+# two gates can never disagree about a head/middle/tail assignment.
+_CCNET_RANKED_CTES = f"""tf AS (
         SELECT doc_id, lang,
                {_SPLIT.format(id='doc_id')} AS split,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -98,13 +101,16 @@ _CCNET_SQL = f"""
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT lang, n_bigrams, lp_micro,
+        SELECT doc_id, lang, n_bigrams, lp_micro,
                ntile(3) OVER (
                    PARTITION BY lang
                    ORDER BY CAST(lp_micro AS DOUBLE) / n_bigrams DESC,
                             doc_id) AS bucket
         FROM per_doc
-    )
+    )"""
+
+_CCNET_SQL = f"""
+    WITH {_CCNET_RANKED_CTES}
     SELECT lang, CAST(bucket AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
@@ -114,10 +120,11 @@ _CCNET_SQL = f"""
 """
 
 
-@register("ccnet_perplexity_buckets", _CCNET_SQL)
-def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail partition — see module docstring.  Bucket
-    1 = head (highest mean log-probability = lowest perplexity)."""
+def _ccnet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, lang, n_bigrams, lp_micro, bucket) — the Spark
+    twin of ``_CCNET_RANKED_CTES``, shared by ccnet_perplexity_buckets
+    and registry_llm35.ccnet_bucket_dup_matrix.  Covers docs with >= 2
+    tokens (the bigram domain); bucket 1 = head."""
     docs = t(spark, sf_dir, "documents").withColumn("split", _split_col())
     tf = docs.select(
         "doc_id", "lang", "split",
@@ -158,8 +165,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(
         F.desc(F.col("lp_micro").cast("double") / F.col("n_bigrams")),
         F.asc("doc_id"))
+    return per_doc.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+
+
+@register("ccnet_perplexity_buckets", _CCNET_SQL)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition — see module docstring and
+    :func:`_ccnet_bucketed` (the shared per-doc bucketing).  Bucket
+    1 = head (highest mean log-probability = lowest perplexity)."""
     return (
-        per_doc.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        _ccnet_bucketed(spark, sf_dir)
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

@@ -130,6 +130,10 @@ SHOWCASE = [
     # round-9 wave-34 additions
     "dedup_keep_newest",           # CC labels + two cluster windows
     "dsir_resample_draw",          # row-local gumbel keys + source rank
+    # round-9 wave-36 additions
+    "blocklist_screening_report",  # row-local lexicon match + source agg
+    "chunk_dedup_report",          # chunk-hash canon agg + source reduce
+    "ccnet_bucket_dup_matrix",     # shared ccnet buckets x dup doc-set
 ]
 
 SF = "/root/testdata/sf0.001"

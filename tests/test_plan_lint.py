@@ -698,3 +698,27 @@ def test_resample_draw_window_is_source_partitioned(spark):
     # (the dsir score chain's 1-row vocab scalars legitimately pass
     # through SinglePartition exchanges — the sanctioned totals class —
     # so no blanket SinglePartition assertion here)
+
+
+def test_blocklist_screening_is_row_local(spark):
+    plan = _executed(spark, "blocklist_screening_report")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") \
+        + _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_chunk_dedup_is_hash_keyed(spark):
+    plan = _executed(spark, "chunk_dedup_report")
+    # chunk canon = md5-keyed hash aggregate; source attach = doc equi-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ccnet_dup_matrix_windows_are_lang_partitioned(spark):
+    plan = _executed(spark, "ccnet_bucket_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(lang" in plan
