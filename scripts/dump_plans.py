@@ -134,6 +134,11 @@ SHOWCASE = [
     "blocklist_screening_report",  # row-local lexicon match + source agg
     "chunk_dedup_report",          # chunk-hash canon agg + source reduce
     "ccnet_bucket_dup_matrix",     # shared ccnet buckets x dup doc-set
+    # round-9 wave-37 additions
+    "minhash_k_error_sweep",       # one 16-hash family, three K prefixes
+    "chunk_level_contamination",   # chunk-hash train-membership join
+    "normalization_impact_report", # row-local regex + one aggregate
+    "dp_laplace_counts",           # |sources|-row mechanism arithmetic
 ]
 
 SF = "/root/testdata/sf0.001"

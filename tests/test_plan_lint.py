@@ -722,3 +722,31 @@ def test_ccnet_dup_matrix_windows_are_lang_partitioned(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_k_sweep_joins_bounded_pair_inventory(spark):
+    plan = _executed(spark, "minhash_k_error_sweep")
+    # signature table joins the (bounded) true-pair inventory on doc ids —
+    # equi-joins only, no cartesian/nested-loop pair formation
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_contamination_membership_is_hash_join(spark):
+    plan = _executed(spark, "chunk_level_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") \
+        + _count(plan, "BroadcastHashJoin") >= 1
+
+
+def test_norm_impact_and_dp_are_aggregate_only(spark):
+    for name in ("normalization_impact_report", "dp_laplace_counts"):
+        plan = _executed(spark, name)
+        assert "HashAggregate" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert _count(plan, "SortMergeJoin") \
+            + _count(plan, "ShuffledHashJoin") \
+            + _count(plan, "BroadcastHashJoin") \
+            + _count(plan, "BroadcastNestedLoopJoin") == 0, name
