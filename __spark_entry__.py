@@ -61,6 +61,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm33  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm34  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm35  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm36  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm37  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -73,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # unchanged: no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
 # HEAVY-LAST; the list is exactly 50 entries so the window composition
 # is fully pinned.  Buckets:
-#   1. waves 32-37 + the capped-eval family, new this round (17);
+#   1. waves 32-38 + the capped-eval family, new this round (19);
 #   2. r8-green gates whose implementation r9 touched: the adaptive
 #      driver union-find fast path (operators/dedup.py
 #      connected_components) reaches every CC consumer; the rank-based
@@ -88,7 +89,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      edit) and the unrolled-k-means CC-touched canonical gate — so
 #      any residual sweep degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: new this round (17) --
+    # -- bucket 1: new this round (19) --
     "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
     "lsh_bucket_skew", "retrieval_mrr_capped_eval",
     "knn_label_accuracy_capped_eval", "quality_score_calibration",
@@ -97,6 +98,7 @@ _PRIORITY = [
     "ccnet_bucket_dup_matrix",
     "minhash_k_error_sweep", "chunk_level_contamination",
     "normalization_impact_report", "dp_laplace_counts",
+    "covariance_power_iteration", "quality_filter_venn",
     # -- bucket 2: r9-touched, light oracles first (9) --
     "embedding_batch_drift", "nb_source_classifier",
     "ccnet_perplexity_buckets",
@@ -104,8 +106,8 @@ _PRIORITY = [
     "dedup_keep_canonical", "ingest_transitivity_gap",
     "curation_pipeline_v2", "cross_modal_dedup",
     # -- bucket 3: _RECONFIRM — the r03 cohort, oldest green rows in
-    #    the ledger, oldest-first (22 of 30; the last 8 yield their
-    #    slots to waves 36-37 and stay in _DRIVER_GREEN for a later
+    #    the ledger, oldest-first (20 of 30; the last 10 yield their
+    #    slots to waves 36-38 and stay in _DRIVER_GREEN for a later
     #    rotation) --
     "rolling_var_minperiods_partitioned", "token_entropy",
     "salted_join_brand_qty", "asof_price_join_forward",
@@ -116,7 +118,7 @@ _PRIORITY = [
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "doc_repetition_profile",
     # -- bucket 4: heavy oracles LAST --
     "mmr_diverse_selection",
     "dedup_embedding_canonical",
@@ -137,7 +139,7 @@ _RECONFIRM: list[str] = [
     "hourly_locf_fill", "user_share_of_type_value",
     "value_quantiles_approx_check", "tfidf_top_terms",
     "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "doc_repetition_profile",
 ]
 
 

@@ -139,6 +139,9 @@ SHOWCASE = [
     "chunk_level_contamination",   # chunk-hash train-membership join
     "normalization_impact_report", # row-local regex + one aggregate
     "dp_laplace_counts",           # |sources|-row mechanism arithmetic
+    # round-9 wave-38 additions
+    "covariance_power_iteration",  # one moment shuffle + 64x64 folds
+    "quality_filter_venn",         # three flag frames + 8-row aggregate
 ]
 
 SF = "/root/testdata/sf0.001"

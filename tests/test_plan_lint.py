@@ -750,3 +750,19 @@ def test_norm_impact_and_dp_are_aggregate_only(spark):
             + _count(plan, "ShuffledHashJoin") \
             + _count(plan, "BroadcastHashJoin") \
             + _count(plan, "BroadcastNestedLoopJoin") == 0, name
+
+
+def test_power_iteration_reduces_corpus_once(spark):
+    plan = _executed(spark, "covariance_power_iteration")
+    # the per-step C.v folds re-read the persisted 64x64 covariance
+    # relation; the corpus-sized moment shuffle runs once at build time
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_filter_venn_joins_on_doc_id(spark):
+    plan = _executed(spark, "quality_filter_venn")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan or \
+        "BroadcastHashJoin [doc_id" in plan or "doc_id" in plan
