@@ -142,6 +142,8 @@ SHOWCASE = [
     # round-9 wave-38 additions
     "covariance_power_iteration",  # one moment shuffle + 64x64 folds
     "quality_filter_venn",         # three flag frames + 8-row aggregate
+    # round-9 wave-39 additions
+    "feature_hash_collision_report",  # (tok, bucket) agg + 256-row reduce
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -24,7 +24,8 @@ SF = "/root/testdata/sf0.001"
 # built eagerly (iterative connected components runs jobs at build time);
 # its component ops are linted via dedup_minhash_lsh + the CC unit tests
 EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup",
-         "ingest_transitivity_gap", "dedup_token_savings"}
+         "ingest_transitivity_gap", "dedup_token_savings",
+         "dedup_sample_order_effect"}
 
 _QUERIES = sorted(entry.queries())
 
@@ -766,3 +767,10 @@ def test_filter_venn_joins_on_doc_id(spark):
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(doc_id" in plan or \
         "BroadcastHashJoin [doc_id" in plan or "doc_id" in plan
+
+
+def test_feature_hash_report_is_bucket_windowed(spark):
+    plan = _executed(spark, "feature_hash_collision_report")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(bucket" in plan
