@@ -144,6 +144,9 @@ SHOWCASE = [
     "quality_filter_venn",         # three flag frames + 8-row aggregate
     # round-9 wave-39 additions
     "feature_hash_collision_report",  # (tok, bucket) agg + 256-row reduce
+    # round-9 wave-40 additions
+    "source_js_divergence_matrix",    # pair-spine broadcast x token counts
+    "token_freq_drift",               # rank-spine batches + movers window
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -774,3 +774,19 @@ def test_feature_hash_report_is_bucket_windowed(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(bucket" in plan
+
+
+def test_js_matrix_halves_are_broadcast_spined(spark):
+    plan = _executed(spark, "source_js_divergence_matrix")
+    # the pair spine is a broadcast of the |sources|^2-row halves frame
+    # against the per-source token counts — equi-joins only
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_drift_window_is_batch_partitioned(spark):
+    plan = _executed(spark, "token_freq_drift")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(batch" in plan
