@@ -86,6 +86,14 @@ BENCH_QUERIES = SHARED_QUERIES + [
     # the single-partition parity form.
     "rolling_p90_partitioned",
     "rolling_var_cvar_partitioned",
+    # round-9 waves 32-40: one representative per new family (the
+    # multi-strategy dedup dividend — CC composition, the capped-eval
+    # retrieval family's linear scan, the crossed-marginal datasheet
+    # cascade, the banded-LSH cost monitor).
+    "dedup_token_savings",
+    "knn_label_accuracy_capped_eval",
+    "source_lang_datasheet",
+    "lsh_bucket_skew",
 ]
 
 
