@@ -64,6 +64,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm36  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm37  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm38  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm39  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm40  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -76,7 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # unchanged: no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
 # HEAVY-LAST; the list is exactly 50 entries so the window composition
 # is fully pinned.  Buckets:
-#   1. waves 32-40 + the capped-eval family, new this round (23);
+#   1. waves 32-41 + the capped-eval family, new this round (25);
 #   2. r8-green gates whose implementation r9 touched: the adaptive
 #      driver union-find fast path (operators/dedup.py
 #      connected_components) reaches every CC consumer; the rank-based
@@ -91,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      edit) and the unrolled-k-means CC-touched canonical gate — so
 #      any residual sweep degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: new this round (23) --
+    # -- bucket 1: new this round (25) --
     "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
     "lsh_bucket_skew", "retrieval_mrr_capped_eval",
     "knn_label_accuracy_capped_eval", "quality_score_calibration",
@@ -103,6 +104,7 @@ _PRIORITY = [
     "covariance_power_iteration", "quality_filter_venn",
     "feature_hash_collision_report", "dedup_sample_order_effect",
     "source_js_divergence_matrix", "token_freq_drift",
+    "bloom_fpr_curve", "embedding_projection_outliers",
     # -- bucket 2: r9-touched, light oracles first (9) --
     "embedding_batch_drift", "nb_source_classifier",
     "ccnet_perplexity_buckets",
@@ -110,8 +112,8 @@ _PRIORITY = [
     "dedup_keep_canonical", "ingest_transitivity_gap",
     "curation_pipeline_v2", "cross_modal_dedup",
     # -- bucket 3: _RECONFIRM — the r03 cohort, oldest green rows in
-    #    the ledger, oldest-first (16 of 30; the last 14 yield their
-    #    slots to waves 36-40 and stay in _DRIVER_GREEN for a later
+    #    the ledger, oldest-first (14 of 30; the last 16 yield their
+    #    slots to waves 36-41 and stay in _DRIVER_GREEN for a later
     #    rotation) --
     "rolling_var_minperiods_partitioned", "token_entropy",
     "salted_join_brand_qty", "asof_price_join_forward",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "transfer_volume_hourly_approx_check", "twap_per_user",
     "funnel_view_click_purchase", "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
-    "value_quantiles_approx_check", "tfidf_top_terms",
     # -- bucket 4: heavy oracles LAST --
     "mmr_diverse_selection",
     "dedup_embedding_canonical",
@@ -139,7 +140,6 @@ _RECONFIRM: list[str] = [
     "transfer_volume_hourly_approx_check", "twap_per_user",
     "funnel_view_click_purchase", "event_transition_matrix",
     "hourly_locf_fill", "user_share_of_type_value",
-    "value_quantiles_approx_check", "tfidf_top_terms",
 ]
 
 

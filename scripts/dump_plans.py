@@ -147,6 +147,9 @@ SHOWCASE = [
     # round-9 wave-40 additions
     "source_js_divergence_matrix",    # pair-spine broadcast x token counts
     "token_freq_drift",               # rank-spine batches + movers window
+    # round-9 wave-41 additions
+    "bloom_fpr_curve",                # broadcast bit-set semi-joins x 3
+    "embedding_projection_outliers",  # 64-row direction x vector scan
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -25,7 +25,8 @@ SF = "/root/testdata/sf0.001"
 # its component ops are linted via dedup_minhash_lsh + the CC unit tests
 EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup",
          "ingest_transitivity_gap", "dedup_token_savings",
-         "dedup_sample_order_effect"}
+         "dedup_sample_order_effect", "bloom_fpr_curve",
+         "covariance_power_iteration", "embedding_projection_outliers"}
 
 _QUERIES = sorted(entry.queries())
 
@@ -790,3 +791,18 @@ def test_token_drift_window_is_batch_partitioned(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(batch" in plan
+
+
+def test_bloom_curve_bit_sets_broadcast(spark):
+    plan = _executed(spark, "bloom_fpr_curve")
+    # per-size candidate selection = broadcast semi-join on bit_pos
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_projection_is_takeordered(spark):
+    plan = _executed(spark, "embedding_projection_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -115,3 +115,40 @@ class TestGreedyMMRProperties:
         out = greedy_mmr(rel, sim, k, lam_num=10, lam_den=10)
         want = sorted(rel, key=lambda c: (-rel[c], c))[:min(k, len(rel))]
         assert [c for _, c, *_ in out] == want
+
+
+class TestDriverUnionFind:
+    """The r9 CC fast path's min-label union-find, property-tested: on
+    random graphs its labels equal an independent BFS closure's minima
+    (the same certificate the distributed loop satisfies)."""
+
+    @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                    min_size=0, max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_labels_equal_bfs_component_minima(self, edges):
+        from defi_etl_platform_sqlglot_implementation__spark.operators.dedup import (
+            _driver_union_find,
+        )
+
+        got = _driver_union_find(list(edges))
+        # independent reference: BFS components over the same edges
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen = {}
+        for start in adj:
+            if start in seen:
+                continue
+            comp, stack = [], [start]
+            while stack:
+                n = stack.pop()
+                if n in seen:
+                    continue
+                seen[n] = None
+                comp.append(n)
+                stack.extend(adj[n] - seen.keys())
+            m = min(comp)
+            for n in comp:
+                seen[n] = m
+        assert got == seen
