@@ -3,7 +3,7 @@ contamination, normalization impact, and the DP-release mechanism.
 
 - ``minhash_k_error_sweep``: the OTHER MinHash dial.  The band sweep
   (wave 17) prices (bands, rows) at fixed K; this prices K itself —
-  per K ∈ {{4, 8, 16}}, the estimator error |est − exact| over the
+  per K ∈ {4, 8, 16}, the estimator error |est − exact| over the
   true (Jaccard >= 0.5) pair inventory, as mean/max basis points.  ONE
   16-hash md5 signature family serves all three points (K-prefix
   property: the K-hash estimate uses hashes i < K), so the sweep costs

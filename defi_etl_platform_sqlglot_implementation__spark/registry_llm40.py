@@ -4,7 +4,7 @@ and the principal-direction projection report.
 - ``bloom_fpr_curve``: the bits-per-filter dial of the two-phase
   contamination pipeline, PRICED — contamination_bloom_gated proves
   the Bloom prefilter exact-after-verify at one size; this gate prices
-  the knob itself: per num_bits ∈ {{4096, 16384, 65536}}, how many
+  the knob itself: per num_bits ∈ {4096, 16384, 65536}, how many
   corpus docs the bit-position prefilter flags as candidates, how many
   are TRUE (exact 4-gram overlap — the ``contamination_overlap``
   inventory), and the document-level false-positive rate in bp (the
