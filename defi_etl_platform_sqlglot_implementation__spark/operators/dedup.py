@@ -627,9 +627,21 @@ def connected_components(
     (cross_modal_dedup's ~4x composition constant was exactly this).
     Same spirit as AQE's runtime re-plan / the broadcast-join threshold:
     the DATA decides, the distributed path below stays the contract for
-    large graphs (pass ``driver_max_edges=0`` to force it).  Near-dup
-    edge lists are (long, long) rows — 2M rows is tens of MB on a 24g
-    driver, far under the sanctioned driver-sized class.
+    large graphs (pass ``driver_max_edges=0`` to force it).  The edge
+    list is fetched via Arrow (``toPandas`` on the two columns, Arrow
+    conversion force-enabled for the call): 2M (long, long) edges land
+    as ~32 MB of columnar buffers, NOT millions of driver-side Row
+    objects (ADVICE r9 #1 measured the Row form at hundreds of MB
+    transient heap); the union-find dicts over Python ints add roughly
+    ~200 MB at the 2M default — bounded, and well under the 24g driver
+    this repo sizes for, but callers on small drivers should lower
+    ``driver_max_edges`` accordingly.
+
+    NOTE on ``max_iter``: it applies ONLY to the distributed path below
+    — the fast path always fully converges (union-find has no round
+    structure to truncate), so a caller passing a small ``max_iter`` to
+    deliberately truncate must also pass ``driver_max_edges=0``
+    (ADVICE r9 #2).
 
     The distributed path: each round is one shuffle (join on the edge
     endpoint) + one min aggregate, both keyed on node id.  Rounds run in
@@ -664,11 +676,23 @@ def connected_components(
     sym = disk_ckpt(sym)
     if driver_max_edges:
         # one probe job over the checkpointed blocks; limit+1 rows decide
-        # small-vs-large without a separate count
-        probe = sym.limit(driver_max_edges + 1).collect()
+        # small-vs-large without a separate count.  Arrow transfer keeps
+        # the probe columnar (two flat buffers) instead of materializing
+        # Row objects; the conf flip is restored immediately so callers'
+        # sessions are not left with a changed Arrow setting.
+        spark = pairs.sparkSession
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        arrow_old = spark.conf.get(arrow_key, "false")
+        spark.conf.set(arrow_key, "true")
+        try:
+            probe = sym.limit(driver_max_edges + 1).toPandas()
+        finally:
+            spark.conf.set(arrow_key, arrow_old)
         if len(probe) <= driver_max_edges:
-            labels = _driver_union_find((r[0], r[1]) for r in probe)
-            spark = pairs.sparkSession
+            # .tolist() converts int64 buffers to plain Python ints once
+            # (dict keys / createDataFrame need Python scalars)
+            labels = _driver_union_find(
+                zip(probe["a"].tolist(), probe["b"].tolist()))
             node_type = sym.schema["a"].dataType
             out_schema = StructType([
                 StructField("node", node_type),
