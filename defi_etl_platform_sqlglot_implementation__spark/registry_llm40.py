@@ -191,8 +191,11 @@ def embedding_projection_outliers(spark: SparkSession, sf_dir: str
     from .registry_llm37 import covariance_power_iteration
 
     e = t(spark, sf_dir, "embeddings")
-    v3 = covariance_power_iteration(spark, sf_dir).select(
-        F.col("dim"), F.col("v3"))
+    # the real-data direction = the 'corpus' population (the r10
+    # _PERTURB rows carry the planted direction, not the corpus one)
+    v3 = (covariance_power_iteration(spark, sf_dir)
+          .filter(F.col("population") == "corpus")
+          .select(F.col("dim"), F.col("v3")))
     el = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select("vec_id", "dim",

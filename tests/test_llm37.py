@@ -35,20 +35,63 @@ def _py_power_iteration(q_int, steps=_PI_STEPS, scale=_V_SCALE):
     return out
 
 
+def _planted_q(vec_ids, d=64):
+    """The _PERTURB sub-population in pure Python — replays the gate's
+    deterministic construction."""
+    from defi_etl_platform_sqlglot_implementation__spark.registry_llm37 import (
+        _PLANT_AMP, _PLANT_MOD, _PLANT_SIGN_MOD)
+    rows = []
+    for vid in vec_ids:
+        if vid % _PLANT_MOD == 0:
+            c = 2 if vid % _PLANT_SIGN_MOD == 0 else -2
+            rows.append([c * (1 + (j % 3)) * _PLANT_AMP for j in range(d)])
+    return rows
+
+
 class TestCovariancePowerIteration:
     def test_exact_integer_replay(self, spark):
         df = pd.read_parquet(f"{SF}/embeddings.parquet")
         X = np.array([np.array(e, dtype=np.float64) for e in df.embedding])
         q_int = np.vectorize(int)(np.round(X * 1000).astype(object))
-        exp = _py_power_iteration(q_int)
-        got = sorted(QUERIES["covariance_power_iteration"](spark, SF)
-                     .collect(), key=lambda r: r.dim)
-        assert [r.v1 for r in got] == exp[0]
-        assert [r.v2 for r in got] == exp[1]
-        assert [r.v3 for r in got] == exp[2]
-        for r in got:
-            assert -_V_SCALE <= r.v1 <= _V_SCALE
+        all_rows = QUERIES["covariance_power_iteration"](spark, SF).collect()
+        for pop, q in (
+            ("corpus", q_int),
+            ("perturbed", np.array(
+                list(q_int) + _planted_q(df.vec_id.tolist()),
+                dtype=object)),
+        ):
+            exp = _py_power_iteration(q)
+            got = sorted((r for r in all_rows if r.population == pop),
+                         key=lambda r: r.dim)
+            assert [r.v1 for r in got] == exp[0], pop
+            assert [r.v2 for r in got] == exp[1], pop
+            assert [r.v3 for r in got] == exp[2], pop
+            for r in got:
+                assert -_V_SCALE <= r.v1 <= _V_SCALE
             assert max(abs(r.v3) for r in got) == _V_SCALE  # renormalized
+
+    def test_perturbed_population_aligns_to_planted_direction(self, spark):
+        """VERDICT r9 #3 done criterion: the GATE's perturbed population
+        demonstrates 3-step convergence — |cos| > 0.9 (8100 bp cos²)
+        against the planted direction, measured INSIDE the gate output —
+        while the flat corpus population stays visibly below it (the gap
+        between the two rows is the evidence)."""
+        rows = QUERIES["covariance_power_iteration"](spark, SF).collect()
+        by_pop = {}
+        for r in rows:
+            by_pop.setdefault(r.population, set()).add(r.align_cos2_bp)
+        # align is population-constant
+        assert all(len(v) == 1 for v in by_pop.values())
+        pert = by_pop["perturbed"].pop()
+        corp = by_pop["corpus"].pop()
+        assert pert > 8100          # |cos| > 0.9 — converged to the plant
+        assert pert > corp          # the spectral-gap signature
+        # replay the integer rational from the returned v3
+        v3 = {r.dim: r.v3 for r in rows if r.population == "perturbed"}
+        dot = sum(v * (1 + i % 3) for i, v in v3.items())
+        n3 = sum(v * v for v in v3.values())
+        nd = sum((1 + i % 3) ** 2 for i in v3)
+        assert pert == (dot * dot * 10000) // (n3 * nd)
 
     def test_converges_under_spectral_gap(self):
         """On an ANISOTROPIC population (planted dominant direction) the

@@ -73,7 +73,8 @@ class TestBloomFprCurve:
 class TestEmbeddingProjectionOutliers:
     def test_agrees_with_power_iteration_gate(self, spark):
         v3 = {r.dim: r.v3 for r in
-              QUERIES["covariance_power_iteration"](spark, SF).collect()}
+              QUERIES["covariance_power_iteration"](spark, SF).collect()
+              if r.population == "corpus"}
         df = pd.read_parquet(f"{SF}/embeddings.parquet")
         projs = {}
         labels = {}
