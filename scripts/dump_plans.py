@@ -150,6 +150,9 @@ SHOWCASE = [
     # round-9 wave-41 additions
     "bloom_fpr_curve",                # broadcast bit-set semi-joins x 3
     "embedding_projection_outliers",  # 64-row direction x vector scan
+    # round-10 wave-42 additions
+    "maximal_repeat_inventory",       # span-hash-keyed repeat classes
+    "span_dedup_token_savings",       # coverage explode + 2 hash aggs
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -806,3 +806,22 @@ def test_projection_is_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_repeat_inventory_reduces_on_span_hash(spark):
+    plan = _executed(spark, "maximal_repeat_inventory")
+    # classes form in ONE hash aggregate keyed on the span content hash;
+    # the only joins are the shingle-dup equi-join and the per-doc token
+    # lookup — repeat classes, not the corpus, size the reduce side
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(span_md5" in plan
+
+
+def test_span_savings_is_two_hash_aggregates(spark):
+    plan = _executed(spark, "span_dedup_token_savings")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # per-doc coverage reduce, then the source rollup
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(source" in plan
