@@ -153,6 +153,9 @@ SHOWCASE = [
     # round-10 wave-42 additions
     "maximal_repeat_inventory",       # span-hash-keyed repeat classes
     "span_dedup_token_savings",       # coverage explode + 2 hash aggs
+    # round-10 wave-43 additions
+    "knn_graph_edges",                # capped broadcast pairing + per-src rank
+    "graph_ann_recall_curve",         # 3 beam chains over one persisted graph
 ]
 
 SF = "/root/testdata/sf0.001"

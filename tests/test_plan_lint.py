@@ -825,3 +825,23 @@ def test_span_savings_is_two_hash_aggregates(spark):
     # per-doc coverage reduce, then the source rollup
     assert "hashpartitioning(doc_id" in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_knn_graph_is_capped_broadcast_pairing(spark):
+    plan = _executed(spark, "knn_graph_edges")
+    # the node cap is a distributed top-K, never a global sort; the
+    # 256x256 pairing is a broadcast nested loop of the capped frame
+    # (the knn_label_accuracy convention), scored by a JVM zip_with fold
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_graph_ann_search_hops_are_equi_joins(spark):
+    plan = _executed(spark, "graph_ann_beam_search")
+    # every hop = beam-expand (broadcast equi-join on node) + score
+    # lookup (equi-join on qid,node); per-query windows only
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(qid" in plan
