@@ -26,7 +26,8 @@ SF = "/root/testdata/sf0.001"
 EAGER = {"dedup_clusters", "bpe_vocab", "cross_modal_dedup",
          "ingest_transitivity_gap", "dedup_token_savings",
          "dedup_sample_order_effect", "bloom_fpr_curve",
-         "covariance_power_iteration", "embedding_projection_outliers"}
+         "covariance_power_iteration", "embedding_projection_outliers",
+         "cluster_diameter_report"}
 
 _QUERIES = sorted(entry.queries())
 
@@ -825,6 +826,25 @@ def test_span_savings_is_two_hash_aggregates(spark):
     # per-doc coverage reduce, then the source rollup
     assert "hashpartitioning(doc_id" in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_secret_screen_is_rowlocal_then_hash_aggs(spark):
+    plan = _executed(spark, "secret_screening_report")
+    # candidate selection is a row-local regex pair; the char explode
+    # runs on candidates only; reductions key on the doc then the source
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_quality_drift_spine_is_shard_decomposed(spark):
+    plan = _executed(spark, "quality_flag_drift")
+    # the doc rank comes from the shard-decomposed window — shard-
+    # partitioned row_number, never a single-partition global sort
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(shard" in plan
 
 
 def test_knn_graph_is_capped_broadcast_pairing(spark):
