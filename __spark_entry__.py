@@ -75,58 +75,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived for round 9 from CORRECTNESS_r08
-# (50/50 green) + the r8 Run J 260-gate one-session soak.  Convention
-# unchanged: no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
-# HEAVY-LAST; the list is exactly 50 entries so the window composition
-# is fully pinned.  Buckets:
-#   1. waves 32-41 + the capped-eval family, new this round (25);
-#   2. r8-green gates whose implementation r9 touched: the adaptive
-#      driver union-find fast path (operators/dedup.py
-#      connected_components) reaches every CC consumer; the rank-based
-#      batch spine rewrite reaches embedding_batch_drift; the
-#      _nb_scored extraction reaches nb_source_classifier.  Light
-#      oracles first;
-#   3. _RECONFIRM (VERDICT r8 #3/#5): the ENTIRE r03 cohort — 30 gates
-#      whose last driver rows date to CORRECTNESS_r03 (the oldest green
-#      evidence in the ledger; r8's final window evicted all of them
-#      for wave gates) — re-occupies the remaining slots;
-#   4. heavy unrolled oracles LAST — the MMR gate (greedy_mmr error-path
-#      edit) and the unrolled-k-means CC-touched canonical gate — so
-#      any residual sweep degradation burns only their own slots.
+# Verification priority, re-derived for round 10 from CORRECTNESS_r09
+# (50/50 green) + the r9 Run K 285-gate one-session sf0.01 soak.
+# Convention unchanged: no-green-row-under-current-code first,
+# LIGHT-ORACLE-FIRST / HEAVY-LAST; the list is exactly 50 entries so
+# the window composition is fully pinned.  Buckets:
+#   1. waves 42-44, new this round (8);
+#   2. r9-green gates whose implementation r10 touched: the Arrow
+#      edge-probe rewrite in connected_components (operators/dedup.py)
+#      reaches every direct CC consumer (10 gates, grep-derived); the
+#      _PERTURB planted-spectrum rewrite reaches the two power-
+#      iteration gates.  Light oracles first, the two heavy CC
+#      composites LAST (bucket 4);
+#   3. _RECONFIRM (VERDICT r9 #2, oldest-first): the 16 REMAINING r03
+#      names (last driver rows = CORRECTNESS_r03) + the first 14 of
+#      the r04 cohort (rows = CORRECTNESS_r04) — 30 slots, above the
+#      "all r03 + >=10 r04" ask;
+#   4. the heavy CC-touched composites last so any residual sweep
+#      degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: new this round (25) --
-    "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
-    "lsh_bucket_skew", "retrieval_mrr_capped_eval",
-    "knn_label_accuracy_capped_eval", "quality_score_calibration",
-    "dsir_resample_draw", "dedup_keep_newest", "dedup_token_savings",
-    "blocklist_screening_report", "chunk_dedup_report",
-    "ccnet_bucket_dup_matrix",
-    "minhash_k_error_sweep", "chunk_level_contamination",
-    "normalization_impact_report", "dp_laplace_counts",
-    "covariance_power_iteration", "quality_filter_venn",
-    "feature_hash_collision_report", "dedup_sample_order_effect",
-    "source_js_divergence_matrix", "token_freq_drift",
-    "bloom_fpr_curve", "embedding_projection_outliers",
-    # -- bucket 2: r9-touched, light oracles first (9) --
-    "embedding_batch_drift", "nb_source_classifier",
-    "ccnet_perplexity_buckets",
+    # -- bucket 1: new this round (8, waves 42-44) --
+    "maximal_repeat_inventory", "span_dedup_token_savings",
+    "knn_graph_edges", "graph_ann_beam_search", "graph_ann_recall_curve",
+    "secret_screening_report", "quality_flag_drift",
+    "cluster_diameter_report",
+    # -- bucket 2: r10-touched, light oracles first (10 of 12) --
+    "covariance_power_iteration", "embedding_projection_outliers",
     "dedup_clusters", "dup_cluster_size_histogram",
-    "dedup_keep_canonical", "ingest_transitivity_gap",
-    "curation_pipeline_v2", "cross_modal_dedup",
-    # -- bucket 3: _RECONFIRM — the r03 cohort, oldest green rows in
-    #    the ledger, oldest-first (14 of 30; the last 16 yield their
-    #    slots to waves 36-41 and stay in _DRIVER_GREEN for a later
-    #    rotation) --
-    "rolling_var_minperiods_partitioned", "token_entropy",
-    "salted_join_brand_qty", "asof_price_join_forward",
-    "contamination_bloom_gated", "curation_pipeline_e2e",
-    "source_mix_rebalance", "dedup_char_jaccard_capped",
-    "transfer_volume_hourly_approx_check", "twap_per_user",
-    "funnel_view_click_purchase", "event_transition_matrix",
-    "hourly_locf_fill", "user_share_of_type_value",
-    # -- bucket 4: heavy oracles LAST --
-    "mmr_diverse_selection",
+    "dedup_keep_canonical", "dedup_keep_newest",
+    "ingest_transitivity_gap", "dedup_sample_order_effect",
+    "curation_pipeline_v2", "dedup_token_savings",
+    # -- bucket 3: _RECONFIRM — the 16 remaining r03 names, then the
+    #    r04 cohort oldest-first (14) --
+    "value_quantiles_approx_check", "tfidf_top_terms",
+    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "inverted_index_postings", "weighted_sample_topk",
+    "hybrid_search_rrf", "token_freq_cms",
+    "substring_dup_spans", "curation_clip_spans",
+    "scd2_history", "grouping_sets_metrics",
+    "winsorized_stats", "mad_robust", "ewma_user_value",
+    "triangle_count", "column_profile", "dq_violations",
+    "zorder_locality", "fuzzy_customer_pairs", "value_time_correlation",
+    "lang_source_chi2", "ols_value_trend", "orders_snapshot_diff",
+    "transpiled_position_concat", "bi_nation_trade_volume",
+    # -- bucket 4: heavy CC-touched composites LAST --
+    "cross_modal_dedup",
     "dedup_embedding_canonical",
 ]
 
@@ -136,26 +130,44 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM: list[str] = [
-    "rolling_var_minperiods_partitioned", "token_entropy",
-    "salted_join_brand_qty", "asof_price_join_forward",
-    "contamination_bloom_gated", "curation_pipeline_e2e",
-    "source_mix_rebalance", "dedup_char_jaccard_capped",
-    "transfer_volume_hourly_approx_check", "twap_per_user",
-    "funnel_view_click_purchase", "event_transition_matrix",
-    "hourly_locf_fill", "user_share_of_type_value",
+    "value_quantiles_approx_check", "tfidf_top_terms",
+    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
+    "doc_repetition_profile", "pii_scrub", "bm25_search",
+    "inverted_index_postings", "weighted_sample_topk",
+    "hybrid_search_rrf", "token_freq_cms",
+    "substring_dup_spans", "curation_clip_spans",
+    "scd2_history", "grouping_sets_metrics",
+    "winsorized_stats", "mad_robust", "ewma_user_value",
+    "triangle_count", "column_profile", "dq_violations",
+    "zorder_locality", "fuzzy_customer_pairs", "value_time_correlation",
+    "lang_source_chi2", "ols_value_trend", "orders_snapshot_diff",
+    "transpiled_position_concat", "bi_nation_trade_volume",
 ]
 
 
-# Green driver row exists (r01 ∪ … ∪ r08) and the implementation is
+# Green driver row exists (r01 ∪ … ∪ r09) and the implementation is
 # unchanged since that row.  NOTE: every _PRIORITY bucket-2/4 query
-# (changed after its green row — the r9 adaptive-CC fast path, the
-# rank-based drift spine, the _nb_scored extraction, the greedy_mmr
-# error path) is deliberately ABSENT here — the convention is that
-# changed-since-green means not-green, regardless of prior rows.
-# _RECONFIRM names ARE here (green + unchanged) AND in _PRIORITY
-# bucket 3 — that overlap is exactly the _RECONFIRM ledger, enforced
-# by tests/test_entry_order.py.
+# (changed after its green row — the r10 Arrow edge probe reaches all
+# 10 direct connected_components consumers; the _PERTURB planted
+# spectrum reaches both power-iteration gates) is deliberately ABSENT
+# here — the convention is that changed-since-green means not-green,
+# regardless of prior rows.  _RECONFIRM names ARE here (green +
+# unchanged) AND in _PRIORITY bucket 3 — that overlap is exactly the
+# _RECONFIRM ledger, enforced by tests/test_entry_order.py.
 _DRIVER_GREEN = {
+    # -- green in r09 (CORRECTNESS_r09.json, 50/50 — the wave 32-41
+    #    window), minus the 12 gates the r10 CC/_PERTURB edits touch --
+    "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
+    "lsh_bucket_skew", "retrieval_mrr_capped_eval",
+    "knn_label_accuracy_capped_eval", "quality_score_calibration",
+    "dsir_resample_draw", "blocklist_screening_report",
+    "chunk_dedup_report", "ccnet_bucket_dup_matrix",
+    "minhash_k_error_sweep", "chunk_level_contamination",
+    "normalization_impact_report", "dp_laplace_counts",
+    "quality_filter_venn", "feature_hash_collision_report",
+    "source_js_divergence_matrix", "token_freq_drift", "bloom_fpr_curve",
+    "embedding_batch_drift", "nb_source_classifier",
+    "ccnet_perplexity_buckets", "mmr_diverse_selection",
     # -- green in r08 (CORRECTNESS_r08.json, 50/50 — the wave 16-31
     #    window), minus the gates the r9 CC/drift/NB edits touched --
     "dup_span_granularity", "doremi_source_weights",

@@ -94,6 +94,11 @@ BENCH_QUERIES = SHARED_QUERIES + [
     "knn_label_accuracy_capped_eval",
     "source_lang_datasheet",
     "lsh_bucket_skew",
+    # round-10 waves 42-44: one representative per new family (the
+    # suffix-array-style repeat classes over the shared shingle shuffle;
+    # the graph-ANN build + 3 beam chains over one persisted graph).
+    "maximal_repeat_inventory",
+    "graph_ann_recall_curve",
 ]
 
 
