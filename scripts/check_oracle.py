@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -186,7 +187,12 @@ def main() -> int:
         # Views are cheap to re-create; the parquet page cache is the
         # OS's, not the connection's, so re-connecting costs ~ms.
         c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
+        # 24GB default keeps a full sweep safe NEXT TO the Spark JVM;
+        # $SPARK_GRAFT_DUCK_MEM raises it for solo retries of the two
+        # sf1-heavy recursive/media oracles that exceed 24GB even with
+        # disk spill (cross_modal_dedup, ingest_transitivity_gap).
+        c.execute("SET memory_limit='%s'"
+                  % os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB"))
         for t in TABLES:
             # Spark-written tables are DIRECTORIES of part files; DuckDB
             # needs the glob form (single-file driver testdata unchanged)
