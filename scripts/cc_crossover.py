@@ -76,7 +76,8 @@ def main() -> None:
     out = []
 
     def _time(label: str, n_edges, build):
-        for path, dme in (("driver", 1 << 40), ("distributed", 0)):
+        # 2e9 fits the int32 limit() arg and exceeds every sweep size
+        for path, dme in (("driver", 2_000_000_000), ("distributed", 0)):
             best = float("inf")
             for _ in range(RUNS):
                 pairs = build()
