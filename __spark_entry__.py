@@ -68,6 +68,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm40  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm41  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm42  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm43  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm44  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
