@@ -129,10 +129,17 @@ def _session_log_path() -> Path:
         str(Path(__file__).resolve().parent / "bench_sessions.jsonl")))
 
 
-def _load_prior_sessions(sf: str) -> list[dict]:
-    """Sessions recorded earlier THIS round (same sf, within the TTL —
-    default 8h, under the ~6h round length so a previous round's sessions
-    at an older commit can never leak into this round's minima)."""
+def _load_prior_sessions(sf: str, tree: str) -> list[dict]:
+    """Sessions recorded earlier THIS round at the SAME ENGINE TREE
+    (same sf, within the TTL — default 8h, under the ~6h round length).
+    The tree filter (ADVICE r10 #1) closes the cross-commit mixing hole:
+    a mid-round perf regression can no longer hide behind minima taken
+    at an older, faster commit, because sessions only fold when the
+    committed engine content (package dir + bench.py blob) is identical.
+    Filtering on the engine TREE rather than the commit hash keeps
+    evidence-only commits (NOTES, CORRECTNESS, STRESS files) from
+    fragmenting the fold — the driver's closing session still folds with
+    the quiet sessions recorded at the final code commit."""
     ttl = float(os.environ.get("SPARK_GRAFT_BENCH_SESSION_TTL", "28800"))
     now = time.time()
     out: list[dict] = []
@@ -143,20 +150,41 @@ def _load_prior_sessions(sf: str) -> list[dict]:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if rec.get("sf") == sf and now - rec.get("ts", 0) <= ttl:
+            if (rec.get("sf") == sf and now - rec.get("ts", 0) <= ttl
+                    and rec.get("tree") == tree and tree):
                 out.append(rec)
     return out
 
 
-def _git_head() -> str:
+def _git(args: list[str]) -> str:
     try:
         import subprocess
         return subprocess.run(
-            ["git", "-C", str(Path(__file__).resolve().parent),
-             "rev-parse", "--short", "HEAD"],
+            ["git", "-C", str(Path(__file__).resolve().parent)] + args,
             capture_output=True, text=True, timeout=10).stdout.strip()
     except Exception:
         return ""
+
+
+def _git_head() -> str:
+    return _git(["rev-parse", "--short", "HEAD"])
+
+
+def _engine_tree() -> str:
+    """Identity of the engine content this session measures: the
+    committed tree hash of the package dir + the bench.py blob hash,
+    with a '-dirty' suffix when either has uncommitted edits (dirty
+    sessions therefore never fold with committed ones)."""
+    hashes = _git(["rev-parse",
+                   "HEAD:defi_etl_platform_sqlglot_implementation__spark",
+                   "HEAD:bench.py"])
+    if not hashes:
+        return ""
+    tree = hashes.split("\n")[0][:12] + "-" + hashes.split("\n")[-1][:12]
+    if _git(["status", "--porcelain", "--",
+             "defi_etl_platform_sqlglot_implementation__spark", "bench.py"]):
+        tree += "-dirty"
+    return tree
 
 
 def main() -> None:
@@ -274,13 +302,16 @@ def main() -> None:
     # min-of-sessions as truth — but the recorded artifact used to be ONE
     # session, decodable only via NOTES archaeology.  Now every run appends
     # its raw session to bench_sessions.jsonl and the EMITTED artifact is
-    # the per-query minimum over this round's sessions at the same sf (TTL
-    # 8h < round length, so stale-commit sessions cannot leak in), with the
-    # per-session raws kept inline under "sessions".
+    # the per-query minimum over this round's sessions at the same sf AND
+    # the same engine tree (r11: sessions fold only when the committed
+    # engine content is identical — see _load_prior_sessions; TTL 8h as
+    # the secondary guard), with per-session raws kept inline under
+    # "sessions".
+    tree = _engine_tree()
     session_rec = {"ts": round(time.time(), 1), "sf": sf,
-                   "commit": _git_head(), "host_load": session_load,
-                   "queries": timings}
-    prior = _load_prior_sessions(sf)
+                   "commit": _git_head(), "tree": tree,
+                   "host_load": session_load, "queries": timings}
+    prior = _load_prior_sessions(sf, tree)
     with _session_log_path().open("a") as fh:
         fh.write(json.dumps(session_rec) + "\n")
     all_sessions = prior + [session_rec]
@@ -315,6 +346,7 @@ def main() -> None:
         # compact per-session history the minima were taken over
         "this_session": {"total": round(total, 3), "queries": timings,
                          "host_load": session_load},
+        "engine_tree": tree,
         "sessions": [{"ts": s["ts"], "commit": s.get("commit", ""),
                       "start_load1": s["host_load"].get("start_load1"),
                       "end_load1": s["host_load"].get("end_load1"),

@@ -81,8 +81,8 @@ _REPEAT_SQL = f"""
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
-           CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
-               AS shared
+           CAST(CASE WHEN COUNT(DISTINCT doc_id) > 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS shared
     FROM runs GROUP BY span_md5
 """
 
@@ -118,8 +118,8 @@ def maximal_repeat_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("doc_id").cast("long").alias("n_docs"),
              F.count("*").cast("long").alias("n_occurrences"),
              F.min("doc_id").cast("long").alias("min_doc_id"),
-             F.when(F.count("*") > 1, 1).otherwise(0).cast("long")
-             .alias("shared"))
+             F.when(F.countDistinct("doc_id") > 1, 1).otherwise(0)
+             .cast("long").alias("shared"))
     )
 
 

@@ -6,7 +6,8 @@ and the quality-flag drift monitor.
   ``connected_components``' convergence contract.  The CC docstring
   (operators/dedup.py) claims near-dup components are cliquish
   ("diameter 1-3, so min-label converges in 2-4 rounds"); this gate
-  measures it on the actual LSH cluster graph: per cluster, the
+  measures it on the exact-Jaccard near-dup graph (the verified pair
+  set the banded LSH generator approximates): per cluster, the
   ECCENTRICITY of the canonical (min-id) node — the exact number of
   propagation rounds min-label needs for that cluster — via a 3-hop
   BFS from each canonical (ecc = 4 means ">3": some member unreached
@@ -99,17 +100,24 @@ _DIAMETER_SQL = f"""
 
 @register("cluster_diameter_report", _DIAMETER_SQL)
 def cluster_diameter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-node eccentricity per LSH cluster — see module
-    docstring.  Byte-shares the pair chain (minhash_lsh_pairs,
-    threshold 0.5) and the CC labels with dedup_clusters; the BFS is
-    {_ECC_CAP} unrolled frontier expansions (equi-joins on node,
-    left-anti dedup — the textbook distributed BFS, bounded by the
-    very diameter it measures)."""
-    from .operators.dedup import connected_components, minhash_lsh_pairs
+    """Canonical-node eccentricity per near-dup cluster — see module
+    docstring.  The edge set is the EXACT Jaccard pair inventory
+    (ngram_jaccard_pairs, threshold 0.5, oracle=True — the
+    dedup_ngram_jaccard chain): unlike membership (dedup_clusters),
+    eccentricity depends on the exact edge SET, not just connectivity —
+    an LSH-missed edge inside an already-connected cluster would flip
+    the measured ecc without changing membership (ADVICE r10 #2), so
+    the banded generator is the wrong device here.  This also makes the
+    row-for-row pin against ecc_by_threshold's 0.5 slice hold by
+    construction.  The BFS is {_ECC_CAP} unrolled frontier expansions
+    (equi-joins on node, left-anti dedup — the textbook distributed
+    BFS, bounded by the very diameter it measures)."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
     from .operators.materialize import scoped_persist
 
-    pairs = minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.5).select("d1", "d2")
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5,
+        oracle=True).select("d1", "d2")
     pairs = scoped_persist(pairs)
     sym = pairs.unionAll(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))

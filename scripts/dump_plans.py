@@ -156,6 +156,9 @@ SHOWCASE = [
     # round-10 wave-43 additions
     "knn_graph_edges",                # capped broadcast pairing + per-src rank
     "graph_ann_recall_curve",         # 3 beam chains over one persisted graph
+    # round-10 epilogue (wave 45, artifact set completed in round 11)
+    "secret_entropy_sweep",           # one entropy chain x threshold explode
+    "ecc_by_threshold",               # 3 BFS chains over exact pair sets
 ]
 
 SF = "/root/testdata/sf0.001"

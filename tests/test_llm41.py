@@ -61,7 +61,7 @@ class TestMaximalRepeatInventory:
                 len({d for d, _ in occ}),
                 len(occ),
                 min(d for d, _ in occ),
-                1 if len(occ) > 1 else 0)
+                1 if len({d for d, _ in occ}) > 1 else 0)
             for h, occ in classes.items()
         }
         got = {r.span_md5: (r.span_tokens, r.n_docs, r.n_occurrences,

@@ -26,10 +26,12 @@ SF = "/root/testdata/sf0.001"
 class TestClusterDiameterReport:
     def test_bfs_replay_against_pair_gate(self, spark):
         """Exact eccentricity replay: BFS from each cluster's min node
-        over the LSH-verified pair graph (the dedup_minhash_lsh
-        inventory — same threshold, same chain)."""
+        over the exact-Jaccard pair graph (the dedup_ngram_jaccard
+        inventory — same threshold, same chain; ADVICE r10 #2: ecc
+        depends on the exact edge SET, so the replay uses the exact
+        generator the gate now uses)."""
         pairs = [(r.d1, r.d2) for r in
-                 QUERIES["dedup_minhash_lsh"](spark, SF).collect()]
+                 QUERIES["dedup_ngram_jaccard"](spark, SF).collect()]
         adj: dict[int, set[int]] = {}
         for a, b in pairs:
             adj.setdefault(a, set()).add(b)

@@ -865,3 +865,24 @@ def test_graph_ann_search_hops_are_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(qid" in plan
+
+
+def test_secret_sweep_is_one_pass_threshold_explode(spark):
+    plan = _executed(spark, "secret_entropy_sweep")
+    # ONE candidate/entropy chain (persisted) feeds all three threshold
+    # rows via a row-local explode of the threshold array — never three
+    # re-reads; reductions key on the doc then the threshold value
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(ent_micro" in plan
+    assert "InMemoryTableScan" in plan  # the persisted entropy frame
+
+
+def test_ecc_sweep_hops_are_equi_joins(spark):
+    plan = _executed(spark, "ecc_by_threshold")
+    # three BFS chains, each: frontier expand = equi-join on the node
+    # column + left-anti dedup, reductions keyed on cluster_id — the
+    # cluster_diameter_report shape swept over the verify dial
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(cluster_id" in plan
