@@ -69,6 +69,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm41  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm42  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm43  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm44  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm45  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -159,6 +159,9 @@ SHOWCASE = [
     # round-10 epilogue (wave 45, artifact set completed in round 11)
     "secret_entropy_sweep",           # one entropy chain x threshold explode
     "ecc_by_threshold",               # 3 BFS chains over exact pair sets
+    # round-11 wave-46 additions
+    "graph_ann_two_stage",            # IVF candidates -> top-k, zero shuffles
+    "repeat_class_cut_plan",          # class-hash keeper window + 2 hash aggs
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -886,3 +886,29 @@ def test_ecc_sweep_hops_are_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(cluster_id" in plan
+
+
+def test_two_stage_graph_scores_candidates_only(spark):
+    plan = _executed(spark, "graph_ann_two_stage")
+    # the node cap is a distributed top-K; the centroid pairing is a
+    # broadcast nested loop of the capped frame against the |codebook|-
+    # row centroid literal; candidate scoring and the in_exact eval
+    # column are broadcast EQUI-joins; the capped frame is shuffle-free
+    # end-to-end (zero hashpartitioning exchanges) and the per-src rank
+    # runs under a WindowGroupLimit (rank<=k pushed below the window)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit [src" in plan
+    assert "hashpartitioning(" not in plan
+
+
+def test_cut_plan_keeper_window_keys_on_class_hash(spark):
+    plan = _executed(spark, "repeat_class_cut_plan")
+    # keeper election = ONE window keyed on the span content hash
+    # (classes size the shuffle), then doc + source hash aggregates
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(span_md5" in plan
+    assert "hashpartitioning(source" in plan
