@@ -77,53 +77,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived for round 10 from CORRECTNESS_r09
-# (50/50 green) + the r9 Run K 285-gate one-session sf0.01 soak.
+# Verification priority, re-derived for round 11 from CORRECTNESS_r10
+# (50/50 green) + the r10 full-registry sf1 tier (287/293 exact).
 # Convention unchanged: no-green-row-under-current-code first,
 # LIGHT-ORACLE-FIRST / HEAVY-LAST; the list is exactly 50 entries so
 # the window composition is fully pinned.  Buckets:
-#   1. waves 42-44, new this round (8);
-#   2. r9-green gates whose implementation r10 touched: the Arrow
-#      edge-probe rewrite in connected_components (operators/dedup.py)
-#      reaches every direct CC consumer (10 gates, grep-derived); the
-#      _PERTURB planted-spectrum rewrite reaches the two power-
-#      iteration gates.  Light oracles first, the two heavy CC
-#      composites LAST (bucket 4);
-#   3. _RECONFIRM (VERDICT r9 #2, oldest-first): the 16 REMAINING r03
-#      names (last driver rows = CORRECTNESS_r03) + the first 14 of
-#      the r04 cohort (rows = CORRECTNESS_r04) — 30 slots, above the
-#      "all r03 + >=10 r04" ask;
-#   4. the heavy CC-touched composites last so any residual sweep
-#      degradation burns only their own slots.
+#   1. new to the driver this round: the two wave-46 gates plus the
+#      two round-10 epilogue gates (wave 45) that shipped in the
+#      snapshot commit with no driver row (VERDICT r10 #1);
+#   2. r10-green gates whose implementation r11 touched: the
+#      shared-flag semantics fix in maximal_repeat_inventory (ADVICE
+#      r10 #3) and the exact-pair edge-source fix in
+#      cluster_diameter_report (ADVICE r10 #2 — moved to bucket 4,
+#      heavy: exact pair generation + CC + BFS);
+#   3. _RECONFIRM (VERDICT r10 #2, oldest-first BY ACTUAL NEWEST
+#      DRIVER ROW, not by wave ledger): all 18 gates whose newest row
+#      is CORRECTNESS_r01 + the first 26 (by name) of the 34 whose
+#      newest row is CORRECTNESS_r02 — 44 slots, above the "all 18
+#      r01 + >=10 r02" ask; the remaining 8 r02 names lead r12;
+#   4. the heavy sweep/CC gates last so any degradation burns only
+#      their own slots.
 _PRIORITY = [
-    # -- bucket 1: new this round (8, waves 42-44) --
-    "maximal_repeat_inventory", "span_dedup_token_savings",
-    "knn_graph_edges", "graph_ann_beam_search", "graph_ann_recall_curve",
-    "secret_screening_report", "quality_flag_drift",
+    # -- bucket 1: new to the driver (4: wave 46 + the wave-45 pair) --
+    "graph_ann_two_stage", "repeat_class_cut_plan",
+    "secret_entropy_sweep",
+    # -- bucket 2: r11-touched, light first --
+    "maximal_repeat_inventory",
+    # -- bucket 3: _RECONFIRM — the 18 r01 names, then the first 26
+    #    of the r02 cohort by name --
+    "brands_with_shipped_parts", "customers_without_urgent_orders",
+    "dedup_char_jaccard", "dedup_embedding_cosine",
+    "dedup_simhash_pairs", "dedup_simhash_signatures",
+    "dedup_simhash_weighted", "il_curve", "mev_scores",
+    "multimodal_decode_fake", "multimodal_frame_sample",
+    "multimodal_meta", "rolling_p90", "rolling_p90_partitioned",
+    "salted_group_sum", "similarity_lsh_pairs", "similarity_topk",
+    "stress_test_table",
+    "asof_price_join", "bernoulli_hash_sample", "big_quantity_orders",
+    "cohort_retention", "contamination_overlap", "curation_funnel",
+    "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
+    "multimodal_decode_real", "order_price_quartiles",
+    "priority_top_orders", "reservoir_sample_global",
+    "rolling_hour_user_value", "rolling_var_cvar",
+    "rolling_var_cvar_partitioned", "rolling_var_minperiods",
+    "secondary_sort_deltas", "segment_name_listagg", "session_stats",
+    "sliding_window_range_join", "source_numeric_profile",
+    "stratified_sample", "swap_decode_roundtrip",
+    "token_shard_assignment", "token_vocab_topk",
+    # -- bucket 4: heavy sweep/CC gates LAST (ecc_by_threshold is new;
+    #    cluster_diameter_report is r11-touched) --
+    "ecc_by_threshold",
     "cluster_diameter_report",
-    # -- bucket 2: r10-touched, light oracles first (10 of 12) --
-    "covariance_power_iteration", "embedding_projection_outliers",
-    "dedup_clusters", "dup_cluster_size_histogram",
-    "dedup_keep_canonical", "dedup_keep_newest",
-    "ingest_transitivity_gap", "dedup_sample_order_effect",
-    "curation_pipeline_v2", "dedup_token_savings",
-    # -- bucket 3: _RECONFIRM — the 16 remaining r03 names, then the
-    #    r04 cohort oldest-first (14) --
-    "value_quantiles_approx_check", "tfidf_top_terms",
-    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub", "bm25_search",
-    "inverted_index_postings", "weighted_sample_topk",
-    "hybrid_search_rrf", "token_freq_cms",
-    "substring_dup_spans", "curation_clip_spans",
-    "scd2_history", "grouping_sets_metrics",
-    "winsorized_stats", "mad_robust", "ewma_user_value",
-    "triangle_count", "column_profile", "dq_violations",
-    "zorder_locality", "fuzzy_customer_pairs", "value_time_correlation",
-    "lang_source_chi2", "ols_value_trend", "orders_snapshot_diff",
-    "transpiled_position_concat", "bi_nation_trade_volume",
-    # -- bucket 4: heavy CC-touched composites LAST --
-    "cross_modal_dedup",
-    "dedup_embedding_canonical",
 ]
 
 # Driver-green gates deliberately RE-OCCUPYING window slots this round
@@ -132,18 +136,25 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM: list[str] = [
-    "value_quantiles_approx_check", "tfidf_top_terms",
-    "doc_unigram_surprise", "doc_chunks", "embedding_int8_quantize",
-    "doc_repetition_profile", "pii_scrub", "bm25_search",
-    "inverted_index_postings", "weighted_sample_topk",
-    "hybrid_search_rrf", "token_freq_cms",
-    "substring_dup_spans", "curation_clip_spans",
-    "scd2_history", "grouping_sets_metrics",
-    "winsorized_stats", "mad_robust", "ewma_user_value",
-    "triangle_count", "column_profile", "dq_violations",
-    "zorder_locality", "fuzzy_customer_pairs", "value_time_correlation",
-    "lang_source_chi2", "ols_value_trend", "orders_snapshot_diff",
-    "transpiled_position_concat", "bi_nation_trade_volume",
+    "brands_with_shipped_parts", "customers_without_urgent_orders",
+    "dedup_char_jaccard", "dedup_embedding_cosine",
+    "dedup_simhash_pairs", "dedup_simhash_signatures",
+    "dedup_simhash_weighted", "il_curve", "mev_scores",
+    "multimodal_decode_fake", "multimodal_frame_sample",
+    "multimodal_meta", "rolling_p90", "rolling_p90_partitioned",
+    "salted_group_sum", "similarity_lsh_pairs", "similarity_topk",
+    "stress_test_table",
+    "asof_price_join", "bernoulli_hash_sample", "big_quantity_orders",
+    "cohort_retention", "contamination_overlap", "curation_funnel",
+    "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
+    "multimodal_decode_real", "order_price_quartiles",
+    "priority_top_orders", "reservoir_sample_global",
+    "rolling_hour_user_value", "rolling_var_cvar",
+    "rolling_var_cvar_partitioned", "rolling_var_minperiods",
+    "secondary_sort_deltas", "segment_name_listagg", "session_stats",
+    "sliding_window_range_join", "source_numeric_profile",
+    "stratified_sample", "swap_decode_roundtrip",
+    "token_shard_assignment", "token_vocab_topk",
 ]
 
 
@@ -157,8 +168,22 @@ _RECONFIRM: list[str] = [
 # unchanged) AND in _PRIORITY bucket 3 — that overlap is exactly the
 # _RECONFIRM ledger, enforced by tests/test_entry_order.py.
 _DRIVER_GREEN = {
+    # -- green in r10 (CORRECTNESS_r10.json, 50/50 — the wave 42-44
+    #    window + the CC/_PERTURB-touched set), minus the two gates the
+    #    r11 ADVICE fixes touch (maximal_repeat_inventory shared-flag
+    #    semantics, cluster_diameter_report exact-pair edge source —
+    #    both re-run via _PRIORITY buckets 2/4) --
+    "span_dedup_token_savings", "knn_graph_edges",
+    "graph_ann_beam_search", "graph_ann_recall_curve",
+    "secret_screening_report", "quality_flag_drift",
+    "covariance_power_iteration", "embedding_projection_outliers",
+    "dedup_clusters", "dup_cluster_size_histogram",
+    "dedup_keep_canonical", "dedup_keep_newest",
+    "ingest_transitivity_gap", "dedup_sample_order_effect",
+    "curation_pipeline_v2", "dedup_token_savings",
+    "cross_modal_dedup", "dedup_embedding_canonical",
     # -- green in r09 (CORRECTNESS_r09.json, 50/50 — the wave 32-41
-    #    window), minus the 12 gates the r10 CC/_PERTURB edits touch --
+    #    window), untouched since --
     "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
     "lsh_bucket_skew", "retrieval_mrr_capped_eval",
     "knn_label_accuracy_capped_eval", "quality_score_calibration",
