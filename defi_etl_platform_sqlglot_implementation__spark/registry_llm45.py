@@ -65,9 +65,9 @@ _TS_NPROBE = 2      # cells each source node probes for candidates
 # graph_ann_two_stage — IVF-bucketed kNN-graph construction
 # =========================================================================
 
-_TWO_STAGE_SQL = f"""
-    WITH {_GRAPH_CTES},
-    cents AS (
+# stage 1 as SQL: the centroid ranking every two-stage gate shares
+# (composes after _GRAPH_CTES, which provides nodes/nel)
+_CENTROID_CTES = f"""cents AS (
         SELECT vec_id AS cid FROM nodes ORDER BY vec_id LIMIT {_TS_CENTS}
     ),
     cel AS (
@@ -85,7 +85,11 @@ _TWO_STAGE_SQL = f"""
                                   ORDER BY cscore DESC, cid) AS crk
         FROM nc
     ),
-    asg1 AS (SELECT vec_id, cid FROM rkc WHERE crk = 1),
+    asg1 AS (SELECT vec_id, cid FROM rkc WHERE crk = 1)"""
+
+_TWO_STAGE_SQL = f"""
+    WITH {_GRAPH_CTES},
+    {_CENTROID_CTES},
     probes AS (SELECT vec_id, cid FROM rkc WHERE crk <= {_TS_NPROBE}),
     cand AS (
         SELECT p.vec_id AS src, a.vec_id AS dst
@@ -110,17 +114,12 @@ _TWO_STAGE_SQL = f"""
 """
 
 
-@register("graph_ann_two_stage", _TWO_STAGE_SQL)
-def graph_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed graph construction — see module docstring.  The
-    Spark side scores CANDIDATES ONLY (the two-stage point: the oracle
-    may reuse its full pair table, the engine must not), via the same
-    zip_with integer fold as the exact graph; the exact edges join in
-    solely as the ``in_exact`` eval column."""
-    nodes, graph, _, _ = _graph_frames(spark, sf_dir)
-    from .operators.materialize import scoped_persist
-
-    nodes = scoped_persist(nodes)
+def _centroid_ranks(nodes: DataFrame) -> DataFrame:
+    """(vec_id, cid, crk): every capped node's centroid ranking by exact
+    integer inner product (cid tie-break) against the first-
+    ``_TS_CENTS`` stand-in codebook — the stage-1 device shared by
+    ``graph_ann_two_stage`` and its nprobe pricing curve
+    (registry_llm46) so the two gates can never disagree."""
     cents = (nodes.orderBy("vec_id").limit(_TS_CENTS)
              .select(F.col("vec_id").alias("cid"),
                      F.col("qa").alias("ca")))
@@ -128,10 +127,18 @@ def graph_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("vec_id", "cid",
                   F.expr(_IDOT.format(a="qa", b="ca")).alias("cscore")))
     wc = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cid"))
-    rkc = nc.withColumn("crk", F.row_number().over(wc))
+    return nc.withColumn("crk", F.row_number().over(wc))
+
+
+def _two_stage_edges(nodes: DataFrame, nprobe: int) -> DataFrame:
+    """(src, rk, dst, score) edges of the two-stage construction at the
+    given nprobe: stage-1 candidates (probe top-``nprobe`` cells, match
+    nodes indexed under them), stage-2 exact integer scores on the
+    candidates only, top-``_G_K`` per source."""
+    rkc = _centroid_ranks(nodes)
     asg1 = rkc.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("dst"), "cid")
-    probes = rkc.filter(F.col("crk") <= _TS_NPROBE).select(
+    probes = rkc.filter(F.col("crk") <= nprobe).select(
         F.col("vec_id").alias("src"), "cid")
     cand = (probes.join(asg1, "cid")
             .filter(F.col("src") != F.col("dst"))
@@ -145,8 +152,22 @@ def graph_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_IDOT.format(a="qa", b="qb")).alias("score"))
     )
     ws = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    ivfg = (scored.withColumn("rk", F.row_number().over(ws))
+    return (scored.withColumn("rk", F.row_number().over(ws))
             .filter(F.col("rk") <= _G_K))
+
+
+@register("graph_ann_two_stage", _TWO_STAGE_SQL)
+def graph_ann_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed graph construction — see module docstring.  The
+    Spark side scores CANDIDATES ONLY (the two-stage point: the oracle
+    may reuse its full pair table, the engine must not), via the same
+    zip_with integer fold as the exact graph; the exact edges join in
+    solely as the ``in_exact`` eval column."""
+    nodes, graph, _, _ = _graph_frames(spark, sf_dir)
+    from .operators.materialize import scoped_persist
+
+    nodes = scoped_persist(nodes)
+    ivfg = _two_stage_edges(nodes, _TS_NPROBE)
     exact = graph.select("src", "dst", F.lit(1).alias("in_exact"))
     return (
         ivfg.join(F.broadcast(exact), ["src", "dst"], "left")

@@ -162,6 +162,9 @@ SHOWCASE = [
     # round-11 wave-46 additions
     "graph_ann_two_stage",            # IVF candidates -> top-k, zero shuffles
     "repeat_class_cut_plan",          # class-hash keeper window + 2 hash aggs
+    # round-11 wave-47 additions
+    "graph_two_stage_nprobe_curve",   # 3 nested probe chains, one node frame
+    "span_dedup_sample_effect",       # full + sampled shingle passes
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -912,3 +912,27 @@ def test_cut_plan_keeper_window_keys_on_class_hash(spark):
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(span_md5" in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_nprobe_curve_is_shuffle_free_broadcast_pairing(spark):
+    plan = _executed(spark, "graph_two_stage_nprobe_curve")
+    # three nested probe chains over ONE persisted node frame + ONE
+    # persisted centroid ranking; same zero-shuffle contract as the
+    # wave-46 detail gate
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "hashpartitioning(" not in plan
+
+
+def test_sample_effect_pays_two_linear_shingle_passes(spark):
+    plan = _executed(spark, "span_dedup_sample_effect")
+    # full + sampled duplicated-shingle chains (the sweep prices that
+    # second pass), each a shingle-keyed reduce; coverage reduces per
+    # doc, rollup per source — no pair joins anywhere
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(s#" in plan or "hashpartitioning(s," in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(source" in plan
