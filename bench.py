@@ -99,6 +99,11 @@ BENCH_QUERIES = SHARED_QUERIES + [
     # the graph-ANN build + 3 beam chains over one persisted graph).
     "maximal_repeat_inventory",
     "graph_ann_recall_curve",
+    # round-11 waves 46-47: one representative per new family (the
+    # IVF-bucketed two-stage graph construction — shuffle-free broadcast
+    # pairing; the class-granular cut plan over the span machinery).
+    "graph_ann_two_stage",
+    "repeat_class_cut_plan",
 ]
 
 
