@@ -165,6 +165,9 @@ SHOWCASE = [
     # round-11 wave-47 additions
     "graph_two_stage_nprobe_curve",   # 3 nested probe chains, one node frame
     "span_dedup_sample_effect",       # full + sampled shingle passes
+    # round-11 wave-48 additions
+    "dedup_keep_best_quality",        # row-local score + cluster rank windows
+    "keep_policy_matrix",             # one rank frame, 3 pairwise folds
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -936,3 +936,22 @@ def test_sample_effect_pays_two_linear_shingle_passes(spark):
     assert "hashpartitioning(s#" in plan or "hashpartitioning(s," in plan
     assert "hashpartitioning(doc_id" in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_keep_quality_windows_are_cluster_partitioned(spark):
+    plan = _executed(spark, "dedup_keep_best_quality")
+    # quality score is row-local integer arithmetic (no explode, no
+    # UDF); the three policy ranks are cluster-partitioned windows
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(cluster_id" in plan
+    assert "posexplode" not in plan
+
+
+def test_keep_policy_matrix_folds_one_rank_frame(spark):
+    plan = _executed(spark, "keep_policy_matrix")
+    # one persisted rank frame feeds all three pairwise comparisons
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "hashpartitioning(cluster_id" in plan
