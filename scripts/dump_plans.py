@@ -168,6 +168,9 @@ SHOWCASE = [
     # round-11 wave-48 additions
     "dedup_keep_best_quality",        # row-local score + cluster rank windows
     "keep_policy_matrix",             # one rank frame, 3 pairwise folds
+    # round-11 wave-49 additions
+    "pq_rerank_recall_curve",         # one ADC pass, prefix-sliced depths
+    "contamination_ngram_curve",      # one tokenize pass, per-n bcast probe
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -955,3 +955,32 @@ def test_keep_policy_matrix_folds_one_rank_frame(spark):
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan
     assert "hashpartitioning(cluster_id" in plan
+
+
+def test_pq_rerank_curve_slices_one_adc_ranking(spark):
+    plan = _executed(spark, "pq_rerank_recall_curve")
+    # ONE persisted ADC ranking (ann_pq at the deepest depth) is
+    # prefix-sliced by a broadcast join against the 3-row depth frame —
+    # never three corpus passes; exact rerank cosines touch candidate
+    # rows only via broadcast equi-joins, and every shuffle keys on the
+    # candidate-sized (depth, query_id) side, not the corpus
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # persisted pq / truth / cand
+    assert "BroadcastNestedLoopJoin" in plan  # rank <= depth prefix join
+    assert "hashpartitioning(depth" in plan
+    assert "hashpartitioning(vec_id" not in plan  # corpus never shuffles
+
+
+def test_contam_curve_probe_is_broadcast_per_n(spark):
+    plan = _executed(spark, "contamination_ngram_curve")
+    # one tokenize pass (persisted) feeds all three n chains; each
+    # bench shingle set is broadcast (the contamination_overlap
+    # posture), so corpus-side shuffles key only on the matched rows'
+    # (s, doc_id) reductions
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted token frame
+    assert plan.count("BroadcastHashJoin") >= 3  # one probe per n
+    assert "hashpartitioning(s" in plan
+    assert "hashpartitioning(doc_id" in plan
