@@ -73,6 +73,7 @@ from defi_etl_platform_sqlglot_implementation__spark import registry_llm45  # no
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm46  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm47  # noqa: F401 — fills registry dicts
 from defi_etl_platform_sqlglot_implementation__spark import registry_llm48  # noqa: F401 — fills registry dicts
+from defi_etl_platform_sqlglot_implementation__spark import registry_llm49  # noqa: F401 — fills registry dicts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -95,19 +96,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #      heavy: exact pair generation + CC + BFS);
 #   3. _RECONFIRM (VERDICT r10 #2, oldest-first BY ACTUAL NEWEST
 #      DRIVER ROW, not by wave ledger): all 18 gates whose newest row
-#      is CORRECTNESS_r01 + the first 20 (by name) of the 34 whose
-#      newest row is CORRECTNESS_r02 — 38 slots, above the "all 18
-#      r01 + >=10 r02" ask; the remaining 14 r02 names lead r12;
+#      is CORRECTNESS_r01 + the first 18 (by name) of the 34 whose
+#      newest row is CORRECTNESS_r02 — 36 slots, above the "all 18
+#      r01 + >=10 r02" ask; the remaining 16 r02 names lead r12;
 #   4. the heavy sweep/CC gates last so any degradation burns only
 #      their own slots.
 _PRIORITY = [
-    # -- bucket 1: new to the driver (10: waves 46-49 + the wave-45
+    # -- bucket 1: new to the driver (12: waves 46-50 + the wave-45
     #    pair — every gate new to the registry this round gets a window
     #    slot, the r10-epilogue lesson) --
     "graph_ann_two_stage", "repeat_class_cut_plan",
     "graph_two_stage_nprobe_curve", "span_dedup_sample_effect",
     "dedup_keep_best_quality", "keep_policy_matrix",
     "pq_rerank_recall_curve", "contamination_ngram_curve",
+    "gopher_strictness_curve", "ivf_codebook_size_curve",
     "secret_entropy_sweep",
     # -- bucket 2: r11-touched, light first --
     "maximal_repeat_inventory",
@@ -128,7 +130,7 @@ _PRIORITY = [
     "priority_top_orders", "reservoir_sample_global",
     "rolling_hour_user_value", "rolling_var_cvar",
     "rolling_var_cvar_partitioned", "rolling_var_minperiods",
-    "secondary_sort_deltas", "segment_name_listagg", "session_stats",
+    "secondary_sort_deltas",
     # -- bucket 4: heavy sweep/CC gates LAST (ecc_by_threshold is new;
     #    cluster_diameter_report is r11-touched) --
     "ecc_by_threshold",
@@ -156,7 +158,7 @@ _RECONFIRM: list[str] = [
     "priority_top_orders", "reservoir_sample_global",
     "rolling_hour_user_value", "rolling_var_cvar",
     "rolling_var_cvar_partitioned", "rolling_var_minperiods",
-    "secondary_sort_deltas", "segment_name_listagg", "session_stats",
+    "secondary_sort_deltas",
 ]
 
 

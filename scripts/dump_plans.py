@@ -171,6 +171,9 @@ SHOWCASE = [
     # round-11 wave-49 additions
     "pq_rerank_recall_curve",         # one ADC pass, prefix-sliced depths
     "contamination_ngram_curve",      # one tokenize pass, per-n bcast probe
+    # round-11 wave-50 additions
+    "gopher_strictness_curve",        # one metric frame, 3 level folds
+    "ivf_codebook_size_curve",        # map-only assigns + cell folds
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -984,3 +984,30 @@ def test_contam_curve_probe_is_broadcast_per_n(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # one probe per n
     assert "hashpartitioning(s" in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_strictness_curve_folds_one_metric_frame(spark):
+    plan = _executed(spark, "gopher_strictness_curve")
+    # the flag core's explode + two doc_id-keyed hash aggregates run
+    # ONCE (persisted); the three levels are constant-folded
+    # conditional sums over that frame — no per-level corpus pass,
+    # no UDF anywhere
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted metric frame
+    assert "hashpartitioning(doc_id" in plan
+    assert "ArrowEvalPython" not in plan  # pure JVM expressions
+
+
+def test_codebook_curve_is_maponly_assign_plus_cell_folds(spark):
+    plan = _executed(spark, "ivf_codebook_size_curve")
+    # per size: ONE map-only Arrow assignment (persisted), cell-sized
+    # folds for occupancy AND the candidate count (cluster_id-keyed),
+    # the ann_ivf broadcast search, hits against ONE persisted truth —
+    # the corpus never shuffles on vec_id
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the assignment kernel
+    assert "InMemoryTableScan" in plan
+    assert "hashpartitioning(cluster_id" in plan
+    assert "hashpartitioning(vec_id" not in plan
