@@ -104,6 +104,13 @@ BENCH_QUERIES = SHARED_QUERIES + [
     # pairing; the class-granular cut plan over the span machinery).
     "graph_ann_two_stage",
     "repeat_class_cut_plan",
+    # round-11 waves 48-50: the keep-policy capstone (CC chain + three
+    # policy windows + pairwise folds), the PQ rerank-depth curve (one
+    # ADC pass prefix-sliced), and the codebook-size curve (three
+    # map-only Arrow assignments + cell folds).
+    "keep_policy_matrix",
+    "pq_rerank_recall_curve",
+    "ivf_codebook_size_curve",
 ]
 
 
