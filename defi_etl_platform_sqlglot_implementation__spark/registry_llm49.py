@@ -183,81 +183,90 @@ def _codebook_curve_sql() -> str:
     with the size parameterized, plus the cell-size-derived candidate
     count and occupancy columns.
 
-    Every chain CTE is MATERIALIZED: without the hint DuckDB inlines
-    the windowed CTEs into the final one-row joins and its reorderer
-    builds a near-cartesian plan over multiple copies of the corpus
-    (OOM on 500 rows); materialization pins the intended evaluate-once
-    shape, which is also exactly what the Spark side's scoped_persist
-    does."""
+    Two DuckDB-robustness rules, both load-bearing: (1) every chain
+    CTE is MATERIALIZED — without the hint the reorderer inlines the
+    windowed CTEs into the final one-row joins and builds a
+    near-cartesian plan over multiple copies of the corpus (OOM on
+    500 rows); (2) every window SORTS ON A MATERIALIZED COLUMN, never
+    on the 192-term cosine expression directly — the
+    expression-in-ORDER-BY form passes in a fresh process but OOMs at
+    any memory cap once the process has executed ANY prior statement
+    (the chained check_oracle / driver-harness context), while the
+    compute-then-rank form runs in a few seconds either way.  Both
+    mirror what the Spark side already does (scoped_persist + a csim
+    projection before each row_number window)."""
     chains = []
     for n in _CB_SIZES:
+        cos_ec = (f"({_dot_chain('e', 'c')}) / "
+                  f"(sqrt({_dot_chain('e', 'e')})"
+                  f" * sqrt({_dot_chain('c', 'c')}))")
+        cos_qc = (f"({_dot_chain('q', 'c')}) / "
+                  f"(sqrt({_dot_chain('q', 'q')})"
+                  f" * sqrt({_dot_chain('c', 'c')}))")
+        cos_qe = (f"({_dot_chain('q', 'e')}) / "
+                  f"(sqrt({_dot_chain('q', 'q')})"
+                  f" * sqrt({_dot_chain('e', 'e')}))")
         chains.append(f"""SELECT * FROM (
     WITH cent AS (SELECT vec_id AS centroid_id, embedding
                   FROM embeddings WHERE vec_id < {n}),
     q AS (SELECT vec_id AS query_id, embedding
           FROM embeddings WHERE vec_id < 5),
+    esim AS MATERIALIZED (
+        SELECT e.vec_id, c.centroid_id, {cos_ec} AS csim
+        FROM embeddings e, cent c),
     asg AS MATERIALIZED (
         SELECT vec_id, centroid_id AS cluster_id FROM (
-            SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (
-                PARTITION BY e.vec_id ORDER BY
-                ({_dot_chain('e', 'c')})
-                / (sqrt({_dot_chain('e', 'e')})
-                   * sqrt({_dot_chain('c', 'c')})) DESC,
-                c.centroid_id) AS rn
-            FROM embeddings e, cent c
-        ) WHERE rn = 1
-    ),
-    cellsz AS MATERIALIZED (SELECT cluster_id, COUNT(*) AS csz FROM asg GROUP BY 1),
-    tot AS MATERIALIZED (SELECT SUM(csz) AS n_vecs, COUNT(*) AS occupied,
-                   MAX(csz) AS max_cell
-            FROM cellsz),
+            SELECT vec_id, centroid_id, ROW_NUMBER() OVER (
+                PARTITION BY vec_id
+                ORDER BY csim DESC, centroid_id) AS rn
+            FROM esim) WHERE rn = 1),
+    cellsz AS MATERIALIZED (
+        SELECT cluster_id, COUNT(*) AS csz FROM asg GROUP BY 1),
+    tot AS MATERIALIZED (
+        SELECT SUM(csz) AS n_vecs, COUNT(*) AS occupied,
+               MAX(csz) AS max_cell
+        FROM cellsz),
+    qsim AS MATERIALIZED (
+        SELECT q.query_id, c.centroid_id, {cos_qc} AS csim
+        FROM q, cent c),
     pr AS MATERIALIZED (
         SELECT query_id, centroid_id AS cluster_id FROM (
-            SELECT q.query_id, c.centroid_id, ROW_NUMBER() OVER (
-                PARTITION BY q.query_id ORDER BY
-                ({_dot_chain('q', 'c')})
-                / (sqrt({_dot_chain('q', 'q')})
-                   * sqrt({_dot_chain('c', 'c')})) DESC,
-                c.centroid_id) AS rn
-            FROM q, cent c
-        ) WHERE rn <= {_CB_NPROBE}
-    ),
+            SELECT query_id, centroid_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY csim DESC, centroid_id) AS rn
+            FROM qsim) WHERE rn <= {_CB_NPROBE}),
     ncand AS MATERIALIZED (
         SELECT SUM(cs.csz) - SUM(CASE WHEN a.cluster_id IS NOT NULL
                                       THEN 1 ELSE 0 END) AS candidates
         FROM pr
         JOIN cellsz cs ON cs.cluster_id = pr.cluster_id
         LEFT JOIN asg a ON a.vec_id = pr.query_id
-                       AND a.cluster_id = pr.cluster_id
-    ),
+                       AND a.cluster_id = pr.cluster_id),
+    cscore AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qe} AS csim
+        FROM pr p
+        JOIN asg a ON a.cluster_id = p.cluster_id
+                  AND a.vec_id != p.query_id
+        JOIN q ON q.query_id = p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id),
     ivf_topk AS MATERIALIZED (
         SELECT query_id, neighbor_id FROM (
-            SELECT p.query_id, a.vec_id AS neighbor_id, ROW_NUMBER()
-                OVER (PARTITION BY p.query_id ORDER BY
-                      ({_dot_chain('q', 'e')})
-                      / (sqrt({_dot_chain('q', 'q')})
-                         * sqrt({_dot_chain('e', 'e')})) DESC,
-                      a.vec_id) AS rank
-            FROM pr p
-            JOIN asg a ON a.cluster_id = p.cluster_id
-                      AND a.vec_id != p.query_id
-            JOIN q ON q.query_id = p.query_id
-            JOIN embeddings e ON e.vec_id = a.vec_id
-        ) WHERE rank <= {_CB_K}
-    ),
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY csim DESC, neighbor_id) AS rank
+            FROM cscore) WHERE rank <= {_CB_K}),
+    tscore AS MATERIALIZED (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {cos_qe} AS csim
+        FROM q, embeddings e WHERE e.vec_id != q.query_id),
     truth AS MATERIALIZED (
         SELECT query_id, neighbor_id FROM (
-            SELECT q.query_id, e.vec_id AS neighbor_id, ROW_NUMBER()
-                OVER (PARTITION BY q.query_id ORDER BY
-                      ({_dot_chain('q', 'e')})
-                      / (sqrt({_dot_chain('q', 'q')})
-                         * sqrt({_dot_chain('e', 'e')})) DESC,
-                      e.vec_id) AS rank
-            FROM q, embeddings e WHERE e.vec_id != q.query_id
-        ) WHERE rank <= {_CB_K}
-    ),
-    h AS MATERIALIZED (SELECT COUNT(*) AS hits
-          FROM ivf_topk JOIN truth USING (query_id, neighbor_id)),
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY csim DESC, neighbor_id) AS rank
+            FROM tscore) WHERE rank <= {_CB_K}),
+    h AS MATERIALIZED (
+        SELECT COUNT(*) AS hits
+        FROM ivf_topk JOIN truth USING (query_id, neighbor_id)),
     nt AS MATERIALIZED (SELECT COUNT(*) AS n_truth FROM truth)
     SELECT CAST({n} AS BIGINT) AS n_centroids,
            CAST(tot.occupied AS BIGINT) AS occupied_cells,
