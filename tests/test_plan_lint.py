@@ -982,8 +982,13 @@ def test_contam_curve_probe_is_broadcast_per_n(spark):
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan  # the persisted token frame
     assert plan.count("BroadcastHashJoin") >= 3  # one probe per n
-    assert "hashpartitioning(s" in plan
-    assert "hashpartitioning(doc_id" in plan
+    # the countDistinct Expand shuffles on (s, doc_id, gid) — the KEY SET
+    # is the claim; RewriteDistinctAggregates emits the two distinct
+    # groups in an expression-id-dependent order, so asserting a fixed
+    # prefix ("hashpartitioning(doc_id") flaps with session age
+    import re
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("s#" in k and "doc_id#" in k for k in keys)
 
 
 def test_strictness_curve_folds_one_metric_frame(spark):
