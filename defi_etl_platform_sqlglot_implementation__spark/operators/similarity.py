@@ -394,6 +394,7 @@ def ann_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's nprobe closest clusters.
 
@@ -402,12 +403,19 @@ def ann_ivf(
     (id_col, vec_col) to route through a TRAINED codebook instead (e.g.
     ``kmeans_micro`` — the offline index build a 100 TB deployment runs
     once and broadcasts); assignment, probing, and ranking are identical.
+    Pass ``assigned`` (id_col, vec_col, cluster_id — the output of
+    ``assign_clusters(embeddings, centroids)``, typically persisted) when
+    the caller already computed the coarse assignment for its own
+    bookkeeping: the corpus-wide Arrow assignment pass is the dominant
+    cost of the whole search, and callers that price the index (cell
+    stats + search over the same codebook) were paying it twice.
     """
     from pyspark.sql import Window
 
     if centroids is None:
         centroids = embeddings.orderBy(id_col).limit(n_centroids)
-    assigned = assign_clusters(embeddings, centroids, vec_col, id_col)
+    if assigned is None:
+        assigned = assign_clusters(embeddings, centroids, vec_col, id_col)
 
     c = with_norm(
         centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")),
@@ -463,6 +471,7 @@ def pq_encode(
     m: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into ``m`` contiguous
     subvectors and store, per subspace, the id of the nearest codeword
@@ -478,8 +487,13 @@ def pq_encode(
     encoded codes are ints, 8 bytes/vector instead of 256, which is the
     point of PQ at scale.
     """
-    dim_terms = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_terms[0]["d"] if dim_terms else m
+    if dim is None:
+        # one probe job; callers that already know the dimensionality
+        # (ann_pq computed it for its own ADC chain) pass it in instead
+        # of paying a second scheduling round trip (r11 opt)
+        dim_terms = (embeddings.select(F.size(vec_col).alias("d"))
+                     .limit(1).collect())
+        dim = dim_terms[0]["d"] if dim_terms else m
     dsub = dim // m
 
     cb_row = codebook.select(
@@ -532,7 +546,8 @@ def ann_pq(
     dsub = dim // m
 
     codebook = embeddings.orderBy(id_col).limit(n_codes)
-    enc = pq_encode(embeddings, codebook, m=m, vec_col=vec_col, id_col=id_col)
+    enc = pq_encode(embeddings, codebook, m=m, vec_col=vec_col,
+                    id_col=id_col, dim=dim)
     # drop the raw vector AND the per-row codebook copy: the scan side of
     # the ADC pass must be exactly (id, m code ids) — the narrow table
     # that is PQ's point. The codebook is re-attached AFTER the candidate
@@ -684,8 +699,19 @@ def _kmeans_micro_train(
 ) -> DataFrame:
     spark = embeddings.sparkSession
 
-    def q(col: Column) -> Column:
-        return F.round(col * scale).cast("long")
+    # one parsed expression per dimension (r11 opt): the Column-chain
+    # form (getItem * scale -> round -> cast -> sum -> alias) cost ~6
+    # gateway round trips per dimension, ~1.4 s of pure driver time per
+    # iteration at dim=64 — the training loop's dominant cost after the
+    # jobs themselves.  expr() parses to the IDENTICAL Catalyst tree
+    # (bracket indexing is 0-based GetArrayItem; the D suffix keeps the
+    # scale a DOUBLE literal, matching the old Python-float literal).
+    def sum_exprs(dim: int) -> list[Column]:
+        return [
+            F.expr(f"sum(cast(round(`{vec_col}`[{i}] * {scale!r}D) as long))"
+                   f" AS s{i}")
+            for i in range(dim)
+        ]
 
     def _round_half_away(v: float) -> int:
         # Spark's F.round and DuckDB's round() are HALF-AWAY-FROM-ZERO on
@@ -713,8 +739,7 @@ def _kmeans_micro_train(
             vec_col, id_col,
         )
         sums = assigned.groupBy("cluster_id").agg(
-            F.count("*").alias("n"),
-            *[F.sum(q(F.col(vec_col)[i])).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("n"), *sum_exprs(dim),
         )
         cents = sorted(
             (int(r["cluster_id"]),

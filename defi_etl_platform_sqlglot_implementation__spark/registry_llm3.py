@@ -601,7 +601,14 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     centroids = e.orderBy("vec_id").limit(16)
-    assigned = assign_clusters(e, centroids)
+    # materialize the assignment before the self-join (r11 opt — the
+    # same fix semdedup_pairs_probed carries): both join sides read it,
+    # and without the persist the map-only Arrow assignment pass — the
+    # dominant corpus cost — executes once PER SIDE; query-scoped so the
+    # blocks die with the gate.  The cosine uses the Arrow-vectorized
+    # fold twin (bit-identical to the expr fold by test_similarity's
+    # exhaustive pin) instead of the interpreted zip_with chain.
+    assigned = scoped_persist(assign_clusters(e, centroids))
     a = with_norm(
         assigned.select("cluster_id", F.col("vec_id").alias("d1"),
                         F.col("embedding").alias("ea")), "ea", "na")
@@ -609,7 +616,8 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select(F.col("cluster_id").alias("_cb"),
                         F.col("vec_id").alias("d2"),
                         F.col("embedding").alias("eb")), "eb", "nb")
-    cos = (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    cos = (dot("ea", "eb", vectorized=True)
+           / (F.col("na") * F.col("nb"))).alias("cosine")
     return (
         a.join(b, (F.col("cluster_id") == F.col("_cb"))
                & (F.col("d1") < F.col("d2")))

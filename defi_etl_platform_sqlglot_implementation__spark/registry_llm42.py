@@ -264,7 +264,17 @@ def _beam_search(nodes: DataFrame, graph: DataFrame, qn: DataFrame,
     two small equi-joins; the visited set stays per-query tiny
     (≤ 1 + H·b·k rows)."""
     entry = nodes.agg(F.min("vec_id").alias("node"))
-    vis = qn.join(F.broadcast(entry), "node").select("qid", "node", "score")
+    # key the visited set on qid ONCE per hop (r11 opt): distinct's
+    # clustering on (qid, node, score), the rank window's on qid, and
+    # the final fold's on qid are all satisfied by hashpartitioning(qid)
+    # (a subset of each key set), so each hop pays exactly one Exchange
+    # — the build shape paid two (the distinct's wide-key shuffle plus
+    # the window's qid re-shuffle) per hop per beam width (guide §2.4:
+    # operations keyed the same way share one exchange).  Values are
+    # partitioning-independent: distinct is set semantics and every
+    # rank has a total per-qid order (score desc, node asc).
+    vis = (qn.join(F.broadcast(entry), "node")
+           .select("qid", "node", "score").repartition("qid"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("node"))
     for _ in range(_G_HOPS):
         expand = (vis.withColumn("rk", F.row_number().over(w))
@@ -274,7 +284,7 @@ def _beam_search(nodes: DataFrame, graph: DataFrame, qn: DataFrame,
                 .select("qid", F.col("dst").alias("node")))
         scored = cand.join(qn, ["qid", "node"]).select(
             "qid", "node", "score")
-        vis = vis.unionByName(scored).distinct()
+        vis = vis.unionByName(scored).repartition("qid").distinct()
     return (
         vis.withColumn("fr", F.row_number().over(w))
         .groupBy("qid")

@@ -183,29 +183,39 @@ def keep_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums run over multi-doc clusters only."""
     from .operators.materialize import scoped_persist
 
-    rk = scoped_persist(_keep_rank_frame(spark, sf_dir))
+    rk = _keep_rank_frame(spark, sf_dir)
     wc = Window.partitionBy("cluster_id")
-    parts = []
-    for a, b in _POLICY_PAIRS:
-        ra, rb = _RN[a], _RN[b]
-        ann = rk.select(
-            "cluster_id", "n_words", ra, rb,
-            F.max(F.when((F.col(ra) == 1) & (F.col(rb) != 1), 1)
-                  .otherwise(0)).over(wc).alias("differs"),
-            F.count("*").over(wc).alias("csz")).filter(F.col("csz") > 1)
-        parts.append(
-            ann.agg(
-                F.lit(a).alias("policy_a"), F.lit(b).alias("policy_b"),
-                F.countDistinct("cluster_id").cast("long")
-                .alias("n_multi_clusters"),
-                F.countDistinct(F.when(F.col("differs") == 1,
-                                       F.col("cluster_id")))
-                .cast("long").alias("n_differ"),
-                F.sum(F.when(F.col(ra) == 1, F.col("n_words"))
-                      .otherwise(0)).cast("long").alias("tokens_kept_a"),
-                F.sum(F.when(F.col(rb) == 1, F.col("n_words"))
-                      .otherwise(0)).cast("long").alias("tokens_kept_b")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE window pass computes every pair's "differs" flag plus the
+    # cluster size (all four ride the same partitioning — one Exchange,
+    # one Window node), and ONE aggregate folds all seven distinct
+    # metrics the three output rows share (n_multi and the per-policy
+    # token sums are pair-independent; only n_differ varies).  The r11
+    # build shape re-shuffled and re-aggregated the persisted rank frame
+    # once per pair — 3 Exchanges + 3 aggs for 1 row each (guide §2.4).
+    flags = {
+        (a, b): F.max(
+            F.when((F.col(_RN[a]) == 1) & (F.col(_RN[b]) != 1), 1)
+            .otherwise(0)).over(wc).alias(f"diff_{a[0]}{b[0]}")
+        for a, b in _POLICY_PAIRS
+    }
+    ann = rk.select(
+        "cluster_id", "n_words", *_RN.values(), *flags.values(),
+        F.count("*").over(wc).alias("csz")).filter(F.col("csz") > 1)
+    folded = ann.agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_multi"),
+        *[F.countDistinct(
+            F.when(F.col(f"diff_{a[0]}{b[0]}") == 1, F.col("cluster_id")))
+          .cast("long").alias(f"nd_{a[0]}{b[0]}") for a, b in _POLICY_PAIRS],
+        *[F.sum(F.when(F.col(rn) == 1, F.col("n_words")).otherwise(0))
+          .cast("long").alias(f"tok_{p}") for p, rn in _RN.items()])
+    pair_rows = spark.createDataFrame(
+        list(_POLICY_PAIRS), "policy_a string, policy_b string")
+    pick = lambda col_of: F.coalesce(*[  # noqa: E731 — 3-way column pick
+        F.when((F.col("policy_a") == a) & (F.col("policy_b") == b),
+               F.col(col_of(a, b))) for a, b in _POLICY_PAIRS])
+    return (pair_rows.crossJoin(F.broadcast(folded)).select(
+        "policy_a", "policy_b",
+        F.col("n_multi").alias("n_multi_clusters"),
+        pick(lambda a, b: f"nd_{a[0]}{b[0]}").alias("n_differ"),
+        pick(lambda a, b: f"tok_{a}").alias("tokens_kept_a"),
+        pick(lambda a, b: f"tok_{b}").alias("tokens_kept_b")))

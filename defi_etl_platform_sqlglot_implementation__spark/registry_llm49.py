@@ -305,8 +305,15 @@ def ivf_codebook_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for n in _CB_SIZES:
         cents = e.orderBy("vec_id").limit(n)
-        asg = scoped_persist(
-            assign_clusters(e, cents).select("vec_id", "cluster_id"))
+        # ONE corpus assignment per codebook size: the persisted frame
+        # keeps the embedding column so the ann_ivf search below can ride
+        # the same assignment instead of re-running the (dominant)
+        # map-only Arrow pass — previously each size paid it twice, once
+        # for the cell stats and once inside ann_ivf (r11 opt; the
+        # persisted bytes grow by the vector column, which is the frame
+        # an index build materializes anyway).
+        asgfull = scoped_persist(assign_clusters(e, cents))
+        asg = asgfull.select("vec_id", "cluster_id")
         cellsz = asg.groupBy("cluster_id").agg(
             F.count("*").alias("csz"))
         tot = cellsz.agg(
@@ -343,7 +350,8 @@ def ivf_codebook_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select((F.col("gross") - F.col("self_hits"))
                          .alias("candidates")))
 
-        ivf = ann_ivf(e, q, k=_CB_K, n_centroids=n, nprobe=_CB_NPROBE)
+        ivf = ann_ivf(e, q, k=_CB_K, n_centroids=n, nprobe=_CB_NPROBE,
+                      centroids=cents, assigned=asgfull)
         h = (ivf.select("query_id", "neighbor_id")
              .join(truth, ["query_id", "neighbor_id"])
              .agg(F.count("*").alias("hits")))
