@@ -110,6 +110,14 @@ def train_bpe(
     seqs = seqs.persist()
     seqs.count()
     merges: list[tuple[str, str, int]] = []
+    # release schedule (r11 opt): each round's pair-count collect is the
+    # action that FILLS the current frame's cache (persisted frames cache
+    # on first computation), so the per-round eager `nxt.count()` job the
+    # build shape paid existed only to let the parent release early —
+    # deferring the parent's unpersist until after the next round's
+    # collect halves the training loop's job count (2 -> 1 per merge,
+    # plus one final fill job).  The merge sequence itself is untouched.
+    prev: DataFrame | None = None
     for _ in range(n_merges):
         top = (
             _pair_counts(seqs)
@@ -117,14 +125,22 @@ def train_bpe(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].n)
         merges.append((a, b, cnt))
         nxt = seqs.withColumn("seq", F.expr(_merge_expr(a, b))).persist()
-        nxt.count()
-        seqs.unpersist()
+        prev = seqs
         seqs = nxt
+    if prev is not None:
+        # the last merge's frame was never read in-loop: fill its cache
+        # from the still-cached parent, then release the parent (the
+        # caller owns the returned frame's unpersist, as before)
+        seqs.count()
+        prev.unpersist()
     return merges, seqs
 
 

@@ -248,11 +248,28 @@ def assign_clusters(
     plan and to the oracles' unrolled assignment CTEs (the fold chain
     is replayed exactly — see _assign_sims; ties break on ascending
     centroid id via stable argsort over the cid-sorted codebook)."""
+    cid_arr, sims = _assign_sims(*_centroid_matrix(centroids, vec_col, id_col))
+    return _assign_apply(embeddings, cid_arr, sims, vec_col, id_col, keep_sim)
+
+
+def _assign_apply(
+    embeddings: DataFrame,
+    cid_arr,
+    sims,
+    vec_col: str,
+    id_col: str,
+    keep_sim: bool,
+) -> DataFrame:
+    """The projection half of :func:`assign_clusters`, callable with an
+    ALREADY-DRIVER-SIDE codebook (cid array + sims closure from
+    ``_assign_sims``).  kmeans_micro's training loop holds the centroid
+    matrix as plain Python lists between iterations; routing it through
+    assign_clusters meant a createDataFrame -> collect round trip (one
+    scheduled job) per iteration whose only effect was handing the same
+    floats back (r11 opt)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    cid_arr, sims = _assign_sims(*_centroid_matrix(centroids, vec_col, id_col))
 
     def _best(col: pd.Series) -> pd.DataFrame:
         import numpy as np
@@ -501,19 +518,29 @@ def pq_encode(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
         ))).alias("cb")
     )
+    # two selects, not 2m chained withColumns (r11 opt): every
+    # withColumn re-analyzes the whole accumulated plan, so the chain
+    # was quadratic in m over these already-large expression trees —
+    # pure driver time.  The _d{j} distance arrays stay named columns in
+    # their own projection so each transform chain still evaluates once
+    # per row (array_position + array_min reference them twice).
     out = embeddings.crossJoin(F.broadcast(cb_row))
+    dists = []
     for j in range(m):
         chain = _pq_sq_chain(
             lambda i: f"element_at({vec_col}, {i})",
             lambda i: f"element_at(c.cv, {i})", j, dsub)
-        out = out.withColumn(f"_d{j}", F.expr(f"transform(cb, c -> {chain})"))
-        # first position achieving the min == lowest code id on ties
-        # (cb is sorted by code id); array_position is 1-based
-        out = out.withColumn(
-            f"code_{j}",
-            (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1).cast("int"),
-        ).drop(f"_d{j}")
-    return out
+        dists.append(F.expr(f"transform(cb, c -> {chain})").alias(f"_d{j}"))
+    out = out.select("*", *dists)
+    # first position achieving the min == lowest code id on ties
+    # (cb is sorted by code id); array_position is 1-based
+    codes = [
+        (F.expr(f"array_position(_d{j}, array_min(_d{j}))") - 1)
+        .cast("int").alias(f"code_{j}")
+        for j in range(m)
+    ]
+    keep = [c for c in out.columns if not c.startswith("_d")]
+    return out.select(*keep, *codes)
 
 
 def ann_pq(
@@ -563,8 +590,11 @@ def ann_pq(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
     cand = (enc.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
             .crossJoin(F.broadcast(cb_row)))
-    for j in range(m):
-        cand = cand.withColumn(f"_cw{j}", F.expr(f"element_at(cb, code_{j} + 1).cv"))
+    # one select, not m chained withColumns (see pq_encode)
+    cand = cand.select("*", *[
+        F.expr(f"element_at(cb, code_{j} + 1).cv").alias(f"_cw{j}")
+        for j in range(m)
+    ])
     adc = " + ".join(
         "(" + _pq_sq_chain(lambda i: f"element_at(qe, {i})",
                            lambda i, j=j: f"element_at(_cw{j}, {i})", j, dsub) + ")"
@@ -731,13 +761,16 @@ def _kmeans_micro_train(
         for r in seed_rows
     ]
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, ["centroid_id", "ce"])
-        assigned = assign_clusters(
-            embeddings,
-            cdf.select(F.col("centroid_id").alias(id_col),
-                       F.col("ce").alias(vec_col)),
-            vec_col, id_col,
-        )
+        # cents is already driver-side and ascending by centroid id (the
+        # seed collect is id-ordered; each update re-sorts) — hand the
+        # matrix straight to the assignment projection instead of the
+        # old createDataFrame -> _centroid_matrix collect round trip,
+        # which cost one scheduled job per iteration to move the same
+        # floats driver -> JVM -> driver (r11 opt; values identical)
+        cid_arr, sims = _assign_sims([c[0] for c in cents],
+                                     [c[1] for c in cents])
+        assigned = _assign_apply(embeddings, cid_arr, sims,
+                                 vec_col, id_col, False)
         sums = assigned.groupBy("cluster_id").agg(
             F.count("*").alias("n"), *sum_exprs(dim),
         )

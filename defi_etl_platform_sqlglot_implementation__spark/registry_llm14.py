@@ -606,18 +606,9 @@ def decontamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch."""
     docs = t(spark, sf_dir, "documents")
     n = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
-    from .operators.materialize import scoped_persist
-
-    # ONE tokenize+explode pass feeds BOTH splits (r11 opt): the train
-    # branch (tr_first) and the eval branch (ev join) each consumed
-    # their own full corpus shingle pass before; the persisted frame
-    # holds the same (doc_id, s) bytes the two downstream s-keyed
-    # shuffles already move, query-scoped (MEMORY_AND_DISK) so it spills
-    # rather than pins at scale and dies with the gate.
-    sh = scoped_persist(
-        _with_4gram_shingles(docs.select("doc_id", "text"))
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .withColumn("split", _split_col()))
+    sh = (_with_4gram_shingles(docs.select("doc_id", "text"))
+          .select("doc_id", F.explode("shingles").alias("s"))
+          .withColumn("split", _split_col()))
     # shingle device note: split_decontamination_report shares this exact
     # construction; the 4-gram definition lives in registry_llm2.
     tr = (sh.filter(F.col("split") == "train")
@@ -628,6 +619,8 @@ def decontamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pairs + docs): scoped-persist it, or the whole corpus shingle scan
     # re-runs three times (measured: 3 BroadcastNestedLoopJoin copies of
     # the 1-row size frame in the unpersisted plan)
+    from .operators.materialize import scoped_persist
+
     tr_first = scoped_persist(
         tr.groupBy("s").agg(F.min("batch").alias("first_batch")))
     new_per_batch = tr_first.groupBy(
