@@ -82,23 +82,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification priority, re-derived for round 11 from CORRECTNESS_r10
-# (50/50 green) + the r10 full-registry sf1 tier (287/293 exact).
-# Convention unchanged: no-green-row-under-current-code first,
-# LIGHT-ORACLE-FIRST / HEAVY-LAST; the list is exactly 50 entries so
-# the window composition is fully pinned.  Buckets:
-#   1. new to the driver this round: the two wave-46 gates plus the
-#      two round-10 epilogue gates (wave 45) that shipped in the
-#      snapshot commit with no driver row (VERDICT r10 #1);
-#   2. r10-green gates whose implementation r11 touched: the
-#      shared-flag semantics fix in maximal_repeat_inventory (ADVICE
-#      r10 #3) and the exact-pair edge-source fix in
-#      cluster_diameter_report (ADVICE r10 #2 — moved to bucket 4,
-#      heavy: exact pair generation + CC + BFS);
-#   3. _RECONFIRM (VERDICT r10 #2, oldest-first BY ACTUAL NEWEST
-#      DRIVER ROW, not by wave ledger): all 18 gates whose newest row
-#      is CORRECTNESS_r01 + the first 18 (by name) of the 34 whose
-#      newest row is CORRECTNESS_r02 — 36 slots, above the "all 18
-#      r01 + >=10 r02" ask; the remaining 16 r02 names lead r12;
+# (50/50 green) + the r10 full-registry sf1 tier (287/293 exact), then
+# RECOMPOSED by the r11 optimization phase: changed-since-green means
+# not-green, so every gate whose executed code path the optimization
+# diff reaches (AST call analysis over the touched operators) re-earns
+# its driver row this round.  Convention unchanged:
+# no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
+# HEAVY-LAST; the list is exactly 50 entries so the window composition
+# is fully pinned.  Buckets:
+#   1. new to the driver this round: waves 45-50 (the build phase);
+#   2. r11-build-touched (maximal_repeat_inventory, ADVICE r10 #3);
+#   2b. r11-OPTIMIZATION-touched (24): the semdedup/IVF/k-means
+#       families (assign_clusters refactor + kmeans_micro loop), the
+#       PQ pair (pq_encode/ann_pq select rewrite), the BPE family
+#       (train_bpe release schedule), and the two beam-search gates
+#       (per-hop exchange keying);
+#   3. _RECONFIRM (VERDICT r10 #2, oldest-first by actual newest
+#      driver row): the optimization set displaced most of the planned
+#      rotation — the first 12 r01-cohort names keep their slots, the
+#      remaining 6 r01 + 34 r02 names lead the r12 rotation;
 #   4. the heavy sweep/CC gates last so any degradation burns only
 #      their own slots.
 _PRIORITY = [
@@ -113,24 +115,37 @@ _PRIORITY = [
     "secret_entropy_sweep",
     # -- bucket 2: r11-touched, light first --
     "maximal_repeat_inventory",
-    # -- bucket 3: _RECONFIRM — the 18 r01 names, then the first 22
-    #    of the r02 cohort by name --
+    # -- bucket 2b: gates whose executed code path the r11 OPTIMIZATION
+    #    phase touched (changed-since-green means not-green, so each
+    #    leaves _DRIVER_GREEN and re-earns its row here).  Derived by
+    #    AST call analysis from the diff: assign_clusters refactor +
+    #    kmeans_micro loop (the semdedup/IVF/silhouette families),
+    #    pq_encode/ann_pq select rewrite (the PQ pair), train_bpe
+    #    release schedule (the BPE family), _beam_search exchange
+    #    keying (the two beam gates), and the three directly-edited
+    #    bucket-1 gates already above --
+    "semdedup_pairs", "semdedup_recall",
+    "semdedup_pairs_trained", "semdedup_recall_trained",
+    "semdedup_pairs_probed", "semdedup_recall_probed",
+    "dedup_embedding_canonical",
+    "similarity_ann_ivf_trained", "similarity_ann_recall_trained",
+    "similarity_ann_ivf", "similarity_ann_pq", "similarity_ann_recall",
+    "similarity_ann_ivf_fullprobe", "ivf_balance_report",
+    "ivf_nprobe_recall_curve", "cluster_prototype_pruning",
+    "kmeans_silhouette", "cluster_distance_outliers",
+    "bpe_vocab", "bpe_encode_segments", "bpe_vocab_pruning_curve",
+    "bpe_fertility_by_lang",
+    "graph_ann_beam_search", "graph_ann_recall_curve",
+    # -- bucket 3: _RECONFIRM — the optimization-touched set displaced
+    #    most of the planned r01/r02 rotation; the first 12 r01 names
+    #    keep their slots, the remaining 6 r01 + all 34 r02 names lead
+    #    the r12 rotation --
     "brands_with_shipped_parts", "customers_without_urgent_orders",
     "dedup_char_jaccard", "dedup_embedding_cosine",
     "dedup_simhash_pairs", "dedup_simhash_signatures",
     "dedup_simhash_weighted", "il_curve", "mev_scores",
     "multimodal_decode_fake", "multimodal_frame_sample",
-    "multimodal_meta", "rolling_p90", "rolling_p90_partitioned",
-    "salted_group_sum", "similarity_lsh_pairs", "similarity_topk",
-    "stress_test_table",
-    "asof_price_join", "bernoulli_hash_sample", "big_quantity_orders",
-    "cohort_retention", "contamination_overlap", "curation_funnel",
-    "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
-    "multimodal_decode_real", "order_price_quartiles",
-    "priority_top_orders", "reservoir_sample_global",
-    "rolling_hour_user_value", "rolling_var_cvar",
-    "rolling_var_cvar_partitioned", "rolling_var_minperiods",
-    "secondary_sort_deltas",
+    "multimodal_meta",
     # -- bucket 4: heavy sweep/CC gates LAST (ecc_by_threshold is new;
     #    cluster_diameter_report is r11-touched) --
     "ecc_by_threshold",
@@ -148,44 +163,35 @@ _RECONFIRM: list[str] = [
     "dedup_simhash_pairs", "dedup_simhash_signatures",
     "dedup_simhash_weighted", "il_curve", "mev_scores",
     "multimodal_decode_fake", "multimodal_frame_sample",
-    "multimodal_meta", "rolling_p90", "rolling_p90_partitioned",
-    "salted_group_sum", "similarity_lsh_pairs", "similarity_topk",
-    "stress_test_table",
-    "asof_price_join", "bernoulli_hash_sample", "big_quantity_orders",
-    "cohort_retention", "contamination_overlap", "curation_funnel",
-    "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
-    "multimodal_decode_real", "order_price_quartiles",
-    "priority_top_orders", "reservoir_sample_global",
-    "rolling_hour_user_value", "rolling_var_cvar",
-    "rolling_var_cvar_partitioned", "rolling_var_minperiods",
-    "secondary_sort_deltas",
+    "multimodal_meta",
 ]
 
 
 # Green driver row exists (r01 ∪ … ∪ r09) and the implementation is
-# unchanged since that row.  NOTE: every _PRIORITY bucket-2/4 query
-# (changed after its green row — the r10 Arrow edge probe reaches all
-# 10 direct connected_components consumers; the _PERTURB planted
-# spectrum reaches both power-iteration gates) is deliberately ABSENT
-# here — the convention is that changed-since-green means not-green,
-# regardless of prior rows.  _RECONFIRM names ARE here (green +
-# unchanged) AND in _PRIORITY bucket 3 — that overlap is exactly the
-# _RECONFIRM ledger, enforced by tests/test_entry_order.py.
+# unchanged since that row.  NOTE: every _PRIORITY bucket-2/2b/4 query
+# (changed after its green row — the r10 Arrow edge probe reached all
+# 10 direct connected_components consumers; the r11 optimization diff
+# reaches the semdedup/IVF/k-means, PQ, BPE, and beam-search families,
+# each removed from this set and re-run via bucket 2b) is deliberately
+# ABSENT here — the convention is that changed-since-green means
+# not-green, regardless of prior rows.  _RECONFIRM names ARE here
+# (green + unchanged) AND in _PRIORITY bucket 3 — that overlap is
+# exactly the _RECONFIRM ledger, enforced by tests/test_entry_order.py.
 _DRIVER_GREEN = {
     # -- green in r10 (CORRECTNESS_r10.json, 50/50 — the wave 42-44
     #    window + the CC/_PERTURB-touched set), minus the two gates the
     #    r11 ADVICE fixes touch (maximal_repeat_inventory shared-flag
     #    semantics, cluster_diameter_report exact-pair edge source —
-    #    both re-run via _PRIORITY buckets 2/4) --
+    #    both re-run via _PRIORITY buckets 2/4) and the r11-opt-touched
+    #    (bucket 2b) --
     "span_dedup_token_savings", "knn_graph_edges",
-    "graph_ann_beam_search", "graph_ann_recall_curve",
     "secret_screening_report", "quality_flag_drift",
     "covariance_power_iteration", "embedding_projection_outliers",
     "dedup_clusters", "dup_cluster_size_histogram",
     "dedup_keep_canonical", "dedup_keep_newest",
     "ingest_transitivity_gap", "dedup_sample_order_effect",
     "curation_pipeline_v2", "dedup_token_savings",
-    "cross_modal_dedup", "dedup_embedding_canonical",
+    "cross_modal_dedup",
     # -- green in r09 (CORRECTNESS_r09.json, 50/50 — the wave 32-41
     #    window), untouched since --
     "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
@@ -202,43 +208,32 @@ _DRIVER_GREEN = {
     # -- green in r08 (CORRECTNESS_r08.json, 50/50 — the wave 16-31
     #    window), minus the gates the r9 CC/drift/NB edits touched --
     "dup_span_granularity", "doremi_source_weights",
-    "minhash_band_sweep", "jaccard_threshold_sweep", "ivf_balance_report",
-    "random_projection_recall", "pair_alignment_spans",
+    "minhash_band_sweep", "jaccard_threshold_sweep", "random_projection_recall", "pair_alignment_spans",
     "span_corruption_plan", "doc_prefix_containment",
     "quality_token_budget_cutoff", "boilerplate_block_removal",
     "dedup_minhash_incremental", "epoch_repetition_plan",
     "contrastive_pair_mining", "ngram_novelty_profile",
     "repetition_tail_truncation", "label_balance_plan",
-    "hash_shard_skew", "bpe_vocab_pruning_curve", "curation_pipeline_v3",
+    "hash_shard_skew", "curation_pipeline_v3",
     "pii_inventory", "source_overlap_matrix",
     "doc_length_histogram", "event_debounce", "embedding_dim_correlation",
     "token_pmi_collocations", "source_unigram_kl", "quality_dup_quartiles",
     "distinct_ngram_diversity", "zipf_fit_by_source",
     "ngram_entropy_curve", "dedup_rate_by_batch",
-    "cluster_prototype_pruning", "kmeans_silhouette",
-    "ivf_nprobe_recall_curve",
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
     # -- green in r07 (CORRECTNESS_r07.json, 50/50), untouched since --
     "paragraph_dup_spans", "paragraph_dedup_reassembly",
     "decontamination_incremental", "dedup_minhash_normalized",
     "paragraph_dup_rate_filter", "dedup_variant_agreement",
-    "knn_label_accuracy", "linear_model_confusion", "similarity_ann_pq",
-    "similarity_ann_ivf", "similarity_ann_recall",
-    "similarity_ann_ivf_fullprobe", "semdedup_pairs", "semdedup_recall",
-    "semdedup_pairs_probed", "semdedup_recall_probed", "bpe_vocab",
-    "semdedup_pairs_trained", "similarity_ann_ivf_trained",
-    "cluster_distance_outliers", "semdedup_recall_trained",
-    "similarity_ann_recall_trained",
-    # -- green in r06 (CORRECTNESS_r06.json), untouched by the r7
+    "knn_label_accuracy", "linear_model_confusion", # -- green in r06 (CORRECTNESS_r06.json), untouched by the r7
     #    assignment-fold / CC-round-budget changes --
     "sequence_packing", "tokens_per_source_budget", "ngram_novelty",
     "minhash_estimate_error", "lang_confusion_matrix",
     "embedding_norm_outliers", "stratified_split_assignment",
     "split_leakage_pairs", "oov_rate", "doc_length_percentile_clip",
     "cross_source_dup_matrix", "perplexity_bucket_mix",
-    "spearman_len_distinct", "bpe_fertility_by_lang",
-    "source_temperature_weights", "vocab_growth_curve",
+    "spearman_len_distinct", "source_temperature_weights", "vocab_growth_curve",
     "split_decontamination_report", "length_bucket_batching",
     "vocab_coverage_curve", "embedding_dim_stats",
     "deterministic_downsample", "dsir_importance_weights",
@@ -313,8 +308,7 @@ _DRIVER_GREEN = {
     #    materialization refactor (those re-run via _PRIORITY bucket 3) --
     "transpiled_hourly_rollup", "transpiled_user_buckets",
     "transpiled_monthly_orders", "transpiled_rank_over",
-    "linestatus_priority_counts", "bpe_encode_segments",
-    "dedup_incremental", "doc_bigram_logprob", "embedding_mean_pool",
+    "linestatus_priority_counts", "dedup_incremental", "doc_bigram_logprob", "embedding_mean_pool",
     "gopher_quality_flags", "minhash_containment",
     "multimodal_resize_real", "reciprocal_trade_pairs",
     "schema_evolution_read", "transpiled_listagg",
