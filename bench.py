@@ -141,7 +141,7 @@ def _session_log_path() -> Path:
         str(Path(__file__).resolve().parent / "bench_sessions.jsonl")))
 
 
-def _load_prior_sessions(sf: str, tree: str) -> list[dict]:
+def _load_prior_sessions(sf: str, tree: str, cpus: str) -> list[dict]:
     """Sessions recorded earlier THIS round at the SAME ENGINE TREE
     (same sf, within the TTL — default 8h, under the ~6h round length).
     The tree filter (ADVICE r10 #1) closes the cross-commit mixing hole:
@@ -151,7 +151,13 @@ def _load_prior_sessions(sf: str, tree: str) -> list[dict]:
     Filtering on the engine TREE rather than the commit hash keeps
     evidence-only commits (NOTES, CORRECTNESS, STRESS files) from
     fragmenting the fold — the driver's closing session still folds with
-    the quiet sessions recorded at the final code commit."""
+    the quiet sessions recorded at the final code commit.
+
+    Sessions additionally fold only at the SAME CORE COUNT (VERDICT r11
+    #1): the driver re-runs the bench at a lower $SPARK_GRAFT_CPUS to
+    measure scaling, and r11's c8 artifact silently inherited 38/55
+    timings from the 32-core minima because the fold was blind to cpus.
+    Records without a "cpus" field (pre-r12) never fold with new runs."""
     ttl = float(os.environ.get("SPARK_GRAFT_BENCH_SESSION_TTL", "28800"))
     now = time.time()
     out: list[dict] = []
@@ -163,7 +169,8 @@ def _load_prior_sessions(sf: str, tree: str) -> list[dict]:
             except json.JSONDecodeError:
                 continue
             if (rec.get("sf") == sf and now - rec.get("ts", 0) <= ttl
-                    and rec.get("tree") == tree and tree):
+                    and rec.get("tree") == tree and tree
+                    and rec.get("cpus") == cpus):
                 out.append(rec)
     return out
 
@@ -184,17 +191,23 @@ def _git_head() -> str:
 
 def _engine_tree() -> str:
     """Identity of the engine content this session measures: the
-    committed tree hash of the package dir + the bench.py blob hash,
-    with a '-dirty' suffix when either has uncommitted edits (dirty
-    sessions therefore never fold with committed ones)."""
+    committed tree hash of the package dir + the bench.py and
+    __spark_entry__.py blob hashes (VERDICT r11 #4: query definitions
+    could in principle live in the entry file, so it must fragment the
+    fold too), with a '-dirty' suffix when any has uncommitted edits
+    (dirty sessions therefore never fold with committed ones)."""
     hashes = _git(["rev-parse",
                    "HEAD:defi_etl_platform_sqlglot_implementation__spark",
-                   "HEAD:bench.py"])
+                   "HEAD:bench.py", "HEAD:__spark_entry__.py"])
     if not hashes:
         return ""
-    tree = hashes.split("\n")[0][:12] + "-" + hashes.split("\n")[-1][:12]
+    parts = hashes.split("\n")
+    if len(parts) < 3:
+        return ""
+    tree = parts[0][:12] + "-" + parts[1][:8] + parts[2][:8]
     if _git(["status", "--porcelain", "--",
-             "defi_etl_platform_sqlglot_implementation__spark", "bench.py"]):
+             "defi_etl_platform_sqlglot_implementation__spark", "bench.py",
+             "__spark_entry__.py"]):
         tree += "-dirty"
     return tree
 
@@ -320,10 +333,10 @@ def main() -> None:
     # the secondary guard), with per-session raws kept inline under
     # "sessions".
     tree = _engine_tree()
-    session_rec = {"ts": round(time.time(), 1), "sf": sf,
+    session_rec = {"ts": round(time.time(), 1), "sf": sf, "cpus": cpus,
                    "commit": _git_head(), "tree": tree,
                    "host_load": session_load, "queries": timings}
-    prior = _load_prior_sessions(sf, tree)
+    prior = _load_prior_sessions(sf, tree, cpus)
     with _session_log_path().open("a") as fh:
         fh.write(json.dumps(session_rec) + "\n")
     all_sessions = prior + [session_rec]
@@ -354,6 +367,9 @@ def main() -> None:
         "shared_subtotal": round(
             sum(best[q] for q in SHARED_QUERIES) + best["etl_run_batch"], 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # core count the minima were taken at — sessions at other core
+        # counts never fold into these figures (VERDICT r11 #1)
+        "cpus": int(cpus),
         # this invocation's raw single-session figures + regime, plus the
         # compact per-session history the minima were taken over
         "this_session": {"total": round(total, 3), "queries": timings,
