@@ -704,10 +704,13 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equal-length case: one substitution cannot touch both disjoint
     blocks, so every distance<=1 pair shares at least one block key
     verbatim (length-changing edits are excluded by the length key and
-    impossible between equal-format names). The quadratic
-    levenshtein(UDF-free, JVM codegen on both engines) runs only on the
-    blocked candidates — never all-pairs. This is the standard Fellegi-
-    Sunter blocking shape record-linkage systems run at warehouse scale;
+    impossible between equal-format names). Within a pass, the
+    Hamming<=1 prefilter on the other block is itself an EQUI-join on
+    single-position-masked variant keys (see ``blocked``), so only
+    near-hit pairs ever materialize; the levenshtein (UDF-free, JVM
+    codegen on both engines) runs only on those — never all-pairs,
+    never the raw block product. This is the standard Fellegi-Sunter
+    blocking shape record-linkage systems run at warehouse scale;
     tests brute-verify completeness on the small SF."""
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name",
@@ -719,26 +722,37 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def blocked(key: str, other_positions: tuple[int, ...]) -> DataFrame:
+        # Hamming<=1 on the OTHER block as an EQUI-join (r12, guide §3):
+        # two equal-length rows differ in at most one of the other
+        # block's positions iff they share a single-position-masked
+        # variant of it at the same masked index — the classic
+        # deletion-neighborhood trick.  The r11 shape evaluated the
+        # Hamming prefilter as a join residual, i.e. per CANDIDATE pair
+        # (~2M substring compares per pass at sf0.1); here the variant
+        # string joins as part of the hash key, so non-near-hit pairs
+        # are never materialized at all — the candidate stream shrinks
+        # from O(sum block^2) to the near-hit pairs themselves.  The
+        # masked index _j is part of the key, so a literal '#' in the
+        # data can never cross-match two different masked positions.
+        variants = F.array(*[
+            F.concat(*[(F.lit("#") if i == j else F.substring("c_name", p, 1))
+                       for i, p in enumerate(other_positions)])
+            for j in range(len(other_positions))
+        ])
         a = c.select(F.col("c_custkey").alias("id_a"),
                      F.col("c_name").alias("name_a"),
-                     F.col(key).alias("_k"), F.col("nlen").alias("_la"))
+                     F.col(key).alias("_k"), F.col("nlen").alias("_la"),
+                     F.posexplode(variants).alias("_j", "_v"))
         b = c.select(F.col("c_custkey").alias("id_b"),
                      F.col("c_name").alias("name_b"),
-                     F.col(key).alias("_kb"), F.col("nlen").alias("_lb"))
-        # cheap prefilter before the DP: with the block key and the fixed
-        # prefix equal, a distance<=1 pair can differ in at most one of
-        # the OTHER block's digit positions — a handful of char compares
-        # prunes the candidate set to near-hits before any Levenshtein
-        other_ham = sum(
-            (F.substring("name_a", p, 1) != F.substring("name_b", p, 1))
-            .cast("int")
-            for p in other_positions
-        )
+                     F.col(key).alias("_kb"), F.col("nlen").alias("_lb"),
+                     F.posexplode(variants).alias("_jb", "_vb"))
         return (
             a.join(b, (F.col("_k") == F.col("_kb"))
                    & (F.col("_la") == F.col("_lb"))
+                   & (F.col("_j") == F.col("_jb"))
+                   & (F.col("_v") == F.col("_vb"))
                    & (F.col("id_a") < F.col("id_b")))
-            .filter(other_ham <= 1)
             .select("id_a", "id_b", "name_a", "name_b")
         )
 
