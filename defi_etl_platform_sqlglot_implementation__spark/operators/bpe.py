@@ -118,29 +118,42 @@ def train_bpe(
     # collect halves the training loop's job count (2 -> 1 per merge,
     # plus one final fill job).  The merge sequence itself is untouched.
     prev: DataFrame | None = None
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(seqs)
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
+    # try/finally (ADVICE r11 #3): a mid-training failure must not pin
+    # cache blocks — release the deferred parent, and on failure the
+    # orphaned working frame too (on success its unpersist stays with
+    # the caller, per the contract above)
+    ok = False
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(seqs)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            a, b, cnt = top[0].a, top[0].b, int(top[0].n)
+            merges.append((a, b, cnt))
+            nxt = seqs.withColumn("seq", F.expr(_merge_expr(a, b))).persist()
+            prev = seqs
+            seqs = nxt
         if prev is not None:
+            # the last merge's frame was never read in-loop: fill its cache
+            # from the still-cached parent, then release the parent (the
+            # caller owns the returned frame's unpersist, as before)
+            seqs.count()
             prev.unpersist()
             prev = None
-        if not top:
-            break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].n)
-        merges.append((a, b, cnt))
-        nxt = seqs.withColumn("seq", F.expr(_merge_expr(a, b))).persist()
-        prev = seqs
-        seqs = nxt
-    if prev is not None:
-        # the last merge's frame was never read in-loop: fill its cache
-        # from the still-cached parent, then release the parent (the
-        # caller owns the returned frame's unpersist, as before)
-        seqs.count()
-        prev.unpersist()
+        ok = True
+    finally:
+        if not ok:
+            if prev is not None:
+                prev.unpersist()
+            seqs.unpersist()
     return merges, seqs
 
 

@@ -539,7 +539,10 @@ def pq_encode(
         .cast("int").alias(f"code_{j}")
         for j in range(m)
     ]
-    keep = [c for c in out.columns if not c.startswith("_d")]
+    # drop exactly the _d{j} temporaries — a prefix test would silently
+    # eat a caller-supplied column that happens to start with "_d"
+    temp = {f"_d{j}" for j in range(m)}
+    keep = [c for c in out.columns if c not in temp]
     return out.select(*keep, *codes)
 
 

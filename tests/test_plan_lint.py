@@ -92,12 +92,16 @@ def test_partitioned_windows_have_no_global_sort(spark):
 
 def test_minhash_signatures_are_row_local(spark):
     # The signature stage (shingle -> 32-hash family -> per-band min) is
-    # in-row expressions. The naive shape — posexplode the hash family and
-    # groupBy (doc, hash_idx) min — would show up as a posexplode feeding
-    # a min aggregate. Node COUNTS are not asserted: cached subtrees from
+    # row-local: since r12 it runs as ONE vectorized Arrow kernel
+    # (MapInArrow + the NumPy xxHash64 twin, bit-exactness pinned by
+    # test_xxh.py) instead of 32 interpreted higher-order-function
+    # passes. The naive shape — posexplode the hash family and groupBy
+    # (doc, hash_idx) min — would show up as a posexplode feeding a min
+    # aggregate. Node COUNTS are not asserted: cached subtrees from
     # other tests legitimately change how the plan prints.
     plan = _executed(spark, "dedup_minhash_lsh")
     assert "posexplode" not in plan, "minhash family was exploded"
+    assert "MapInArrow" in plan, "vectorized signature kernel missing"
     # the h0..h31 family members must be computed by projections and
     # consumed in-row — never re-assembled by a per-hash min() aggregate
     for ln in plan.splitlines():
@@ -256,7 +260,9 @@ def test_decontamination_incremental_shares_shingle_scan(spark):
 def test_dedup_minhash_normalized_banded_join(spark):
     plan = _executed(spark, "dedup_minhash_normalized")
     # same banded-LSH discipline as dedup_minhash_lsh: equi-joins only,
-    # and the normalization stays a row-local projection (no Python)
+    # and the normalization stays a row-local projection (the only
+    # Python is the shared MapInArrow signature kernel, not a per-row
+    # UDF on the normalization itself)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
@@ -860,11 +866,16 @@ def test_knn_graph_is_capped_broadcast_pairing(spark):
 
 def test_graph_ann_search_hops_are_equi_joins(spark):
     plan = _executed(spark, "graph_ann_beam_search")
-    # every hop = beam-expand (broadcast equi-join on node) + score
-    # lookup (equi-join on qid,node); per-query windows only
+    # r12 shape: ALL hops run inside one grouped kernel over the score
+    # table clustered by qid (FlatMapGroupsInPandas; at sf0.1 that costs
+    # exactly one hashpartitioning(qid) exchange — at this lint's SF the
+    # single-partition input satisfies the distribution trivially, so no
+    # exchange is asserted here; plans/r12 carries the sf0.1 evidence);
+    # the bounded graph is collected and closed over — no per-hop joins,
+    # windows, or distincts remain
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "hashpartitioning(qid" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_secret_sweep_is_one_pass_threshold_explode(spark):
@@ -989,8 +1000,11 @@ def test_contam_curve_probe_is_broadcast_per_n(spark):
     # is the claim; RewriteDistinctAggregates emits the two distinct
     # groups in an expression-id-dependent order, so asserting a fixed
     # prefix ("hashpartitioning(doc_id") flaps with session age
+    # capture to end of line, not to the first ')' (ADVICE r11 #2: a
+    # key wrapped in an expression like cast(s#1 as bigint) would
+    # truncate a paren-bounded group before the second key appears)
     import re
-    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keys = re.findall(r"hashpartitioning\((.*)$", plan, re.MULTILINE)
     assert any("s#" in k and "doc_id#" in k for k in keys)
 
 
