@@ -546,6 +546,213 @@ def pq_encode(
     return out.select(*keep, *codes)
 
 
+def _cross_cosine_batches(q_rows, qlab_type, batches):
+    """mapInArrow kernel for :func:`cross_cosine_scores` — the
+    bit-identical twin of
+    ``tr.crossJoin(broadcast(q)).select(dot(eq, etr, vectorized=True)
+    / (nq * ntr))`` with both norms computed by the interpreted DOT
+    fold.
+
+    Exactness: float32 elements widen to float64 (exact); the dot
+    accumulates left-assoc over dimensions exactly like the fold
+    (``acc += A[:, i] * q[i]`` applies fold step i to the whole batch);
+    each norm is sqrt of the same fold over (v, v); and the cosine
+    divides by the PRODUCT (nq * ntr) computed first — the same
+    operation order as the column expression.  Each query's norm is a
+    pure function of its vector, so computing it once per task instead
+    of once per pair changes nothing.
+
+    The r11 shape shipped BOTH vectors per pair through the Arrow
+    boundary (|tr| x |q| x 2 x dim floats — hundreds of MB at sf0.1);
+    here the training batch crosses once and the query matrix rides the
+    task closure.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qids = np.array([r[0] for r in q_rows], np.int64)
+    qlabels = [r[1] for r in q_rows]
+    qm = np.array([r[2] for r in q_rows], np.float64)  # (nq, dim)
+    nq = qm.shape[0]
+
+    def fold_rows(a, b):
+        """Left-assoc per-row dot of two equally-shaped 2-D arrays."""
+        acc = a[:, 0] * b[:, 0]
+        for i in range(1, a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return acc
+
+    qnorm = np.sqrt(fold_rows(qm, qm)) if nq else np.empty(0)
+    qlab_arr = pa.array(qlabels, qlab_type)
+
+    out_names = ["qid", "qlabel", "nid", "nlabel", "cosine"]
+    for batch in batches:
+        nid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nlabel = batch.column(1)
+        lst = batch.column(2)
+        n = len(lst)
+        if n == 0 or nq == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], qlab_type),
+                 pa.array([], pa.int64()), pa.array([], nlabel.type),
+                 pa.array([], pa.float64())],
+                ["qid", "qlabel", "nid", "nlabel", "cosine"])
+            continue
+        loff = lst.offsets.to_numpy().astype(np.int64)
+        flat = np.asarray(lst.values, np.float64)
+        emb = flat[loff[0]:loff[-1]].reshape(n, -1)
+        tnorm = np.sqrt(fold_rows(emb, emb))
+        # dots[r, qi], fold step i applied to the whole (n, nq) plane
+        dots = emb[:, 0:1] * qm[None, :, 0]
+        for i in range(1, emb.shape[1]):
+            dots = dots + emb[:, i : i + 1] * qm[None, :, i]
+        cos = dots / (qnorm[None, :] * tnorm[:, None])
+        # query-major pair list
+        qcol = np.repeat(qids, n)
+        ncol = np.tile(nid, nq)
+        ccol = cos.T.reshape(-1)
+        qlab_col = _pa_take_repeat(qlab_arr, n)
+        nlab_col = _pa_tile(nlabel, nq)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qcol, pa.int64()), qlab_col,
+             pa.array(ncol, pa.int64()), nlab_col,
+             pa.array(ccol, pa.float64())], out_names)
+
+
+def _pa_take_repeat(arr, n):
+    """Repeat each element of ``arr`` n times (pa.Array), via take."""
+    import numpy as np
+    import pyarrow as pa
+
+    idx = np.repeat(np.arange(len(arr), dtype=np.int64), n)
+    return arr.take(pa.array(idx))
+
+
+def _pa_tile(arr, reps):
+    """Tile ``arr`` (pa.Array) reps times, via take."""
+    import numpy as np
+    import pyarrow as pa
+
+    idx = np.tile(np.arange(len(arr), dtype=np.int64), reps)
+    return arr.take(pa.array(idx))
+
+
+def cross_cosine_scores(tr: DataFrame, queries: DataFrame) -> DataFrame:
+    """(qid, qlabel, nid, nlabel, cosine) for every (training row,
+    query) pair — the kNN-eval scoring pass.
+
+    ``tr`` must carry (nid, nlabel, etr); ``queries`` (qid, qlabel, eq)
+    and must be driver-bounded (it was the broadcast side of the r11
+    crossJoin already — collecting moves the same rows into the kernel
+    closure).  Values are bit-identical to the crossJoin + vectorized
+    DOT fold + interpreted norm shape this replaces; see
+    :func:`_cross_cosine_batches` for the exactness argument.
+    """
+    import functools
+
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    src = tr.select("nid", "nlabel", "etr")
+    qlab_dt = queries.schema["qlabel"].dataType
+    nlab_dt = src.schema["nlabel"].dataType
+    q_rows = [(int(r["qid"]), r["qlabel"], [float(x) for x in r["eq"]])
+              for r in queries.select("qid", "qlabel", "eq").collect()]
+    schema = StructType([
+        StructField("qid", LongType()),
+        StructField("qlabel", qlab_dt),
+        StructField("nid", LongType()),
+        StructField("nlabel", nlab_dt),
+        StructField("cosine", DoubleType()),
+    ])
+    return src.mapInArrow(
+        functools.partial(_cross_cosine_batches, q_rows,
+                          to_arrow_type(qlab_dt)),
+        schema,
+    )
+
+
+def _pq_adc_batches(cb_rows, q_rows, m, dsub, batches):
+    """mapInArrow kernel for :func:`ann_pq`: PQ-encode each corpus batch
+    against the closed-over codebook, then score every (query, corpus
+    row) pair by ADC — bit-identical to the Catalyst chain it replaces.
+
+    Exactness: element values widen float32→float64 (exact); each
+    (a-b)*(a-b) term is one correctly-rounded multiply of one
+    correctly-rounded difference; per-subspace sums accumulate
+    left-assoc over the dsub terms and the per-pair ADC accumulates
+    left-assoc over the m subspaces — the same operation sequence as
+    ``_pq_sq_chain``.  argmin ties go to the lowest code id (np.argmin
+    picks the first minimum; the codebook is sorted by id).  The
+    query-to-codeword distance table is precomputed once per task —
+    valid because the chain is a pure function of (query, codeword,
+    subspace).  Self-pairs (neighbor == query id) are excluded, as the
+    join condition did.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cb = np.array([v for _, v in cb_rows], np.float64)  # (n_codes, dim)
+    qids = np.array([qid for qid, _ in q_rows], np.int64)
+    qm = np.array([v for _, v in q_rows], np.float64)   # (nq, dim)
+    n_codes = cb.shape[0]
+    nq = qm.shape[0]
+
+    def sq_chain(a, b, j):
+        """Left-assoc sum of squared diffs over subspace j; a is 2-D
+        (rows x dim), b is 1-D (dim) or 2-D — broadcasting keeps the
+        per-element operation order identical either way."""
+        base = j * dsub
+        d = a[..., base] - b[..., base]
+        acc = d * d
+        for i in range(1, dsub):
+            d = a[..., base + i] - b[..., base + i]
+            acc = acc + d * d
+        return acc
+
+    # dt[qi, j, c]: ADC distance of query qi to codeword c in subspace j
+    dt = np.empty((nq, m, n_codes), np.float64)
+    for j in range(m):
+        for c in range(n_codes):
+            dt[:, j, c] = sq_chain(qm, cb[c], j)
+
+    out_names = ["query_id", "neighbor_id", "adc"]
+    for batch in batches:
+        ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        lst = batch.column(1)
+        n = len(lst)
+        if n == 0 or nq == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())], out_names)
+            continue
+        loff = lst.offsets.to_numpy().astype(np.int64)
+        flat = np.asarray(lst.values, np.float64)
+        # uniform-dim corpus: a ragged batch would fail the reshape
+        # loudly rather than mis-score silently
+        emb = flat[loff[0]:loff[-1]].reshape(n, -1)
+        # per-subspace codes: argmin over the n_codes distance columns
+        codes = np.empty((n, m), np.int64)
+        for j in range(m):
+            dmat = np.empty((n, n_codes), np.float64)
+            for c in range(n_codes):
+                dmat[:, c] = sq_chain(emb, cb[c], j)
+            codes[:, j] = np.argmin(dmat, axis=1)
+        # adc[r, qi] = ((dt[qi,0,c0] + dt[qi,1,c1]) + ...) left-assoc
+        adc = dt[:, 0, :].T[codes[:, 0]]        # (n, nq)
+        for j in range(1, m):
+            adc = adc + dt[:, j, :].T[codes[:, j]]
+        qcol = np.repeat(qids, n)
+        ncol = np.tile(ids, nq)
+        acol = adc.T.reshape(-1)                 # query-major pair list
+        keep = ncol != qcol
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qcol[keep], pa.int64()),
+             pa.array(ncol[keep], pa.int64()),
+             pa.array(acol[keep], pa.float64())], out_names)
+
+
 def ann_pq(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -571,40 +778,40 @@ def ann_pq(
     """
     from pyspark.sql import Window
 
-    dim_terms = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_terms[0]["d"] if dim_terms else m
+    # ONE driver collect supplies the codebook AND the dimensionality
+    # (r12: the separate limit(1) dim probe job is gone; the codebook is
+    # <= n_codes rows and was a broadcast literal before anyway)
+    cb_rows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in embeddings.orderBy(id_col).limit(n_codes).collect()
+    )
+    dim = len(cb_rows[0][1]) if cb_rows else m
     dsub = dim // m
+    # queries were already a driver-bounded broadcast side; collecting
+    # them moves the same rows into the kernel closure instead
+    q_rows = [(int(r["query_id"]), [float(x) for x in r["qe"]])
+              for r in queries.select(
+                  F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qe")).collect()]
 
-    codebook = embeddings.orderBy(id_col).limit(n_codes)
-    enc = pq_encode(embeddings, codebook, m=m, vec_col=vec_col,
-                    id_col=id_col, dim=dim)
-    # drop the raw vector AND the per-row codebook copy: the scan side of
-    # the ADC pass must be exactly (id, m code ids) — the narrow table
-    # that is PQ's point. The codebook is re-attached AFTER the candidate
-    # join as a fresh 1-row broadcast, so candidate rows stay narrow
-    # through the join and only widen transiently for codeword lookup.
-    enc = enc.select(id_col, *[f"code_{j}" for j in range(m)])
-    cb_row = codebook.select(
-        F.sort_array(F.collect_list(F.struct(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-        ))).alias("cb")
-    )
+    # r12 shape (guide §4/§7.3): encode + ADC run as ONE vectorized
+    # Arrow kernel over the corpus scan.  The r11 form built the m
+    # per-subspace codeword-distance chains as giant Catalyst trees
+    # (transform() over the broadcast codebook — CodegenFallback, plus
+    # ~1 s of pure driver analysis per call) and re-attached codewords
+    # through a broadcast join per candidate pair.  The kernel replays
+    # the exact same float chains — float32→float64 widening, one
+    # correctly-rounded square/diff per element, left-assoc sums in the
+    # same order — so argmin codes, ADC values, and every rank are
+    # bit-identical (the DuckDB oracle pins it); tests/test_llm48 pins
+    # the depth-10 slice against similarity_ann_pq.
+    import functools
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
-    cand = (enc.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-            .crossJoin(F.broadcast(cb_row)))
-    # one select, not m chained withColumns (see pq_encode)
-    cand = cand.select("*", *[
-        F.expr(f"element_at(cb, code_{j} + 1).cv").alias(f"_cw{j}")
-        for j in range(m)
-    ])
-    adc = " + ".join(
-        "(" + _pq_sq_chain(lambda i: f"element_at(qe, {i})",
-                           lambda i, j=j: f"element_at(_cw{j}, {i})", j, dsub) + ")"
-        for j in range(m)
-    )
-    scored = cand.select(
-        "query_id", F.col(id_col).alias("neighbor_id"), F.expr(adc).alias("adc")
+    scored = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ev")
+    ).mapInArrow(
+        functools.partial(_pq_adc_batches, cb_rows, q_rows, m, dsub),
+        "query_id long, neighbor_id long, adc double",
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     return (

@@ -288,22 +288,22 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the brute scan swaps for the IVF index
     (operators/similarity.py ann_ivf) with identical vote/accuracy
     logic — this gate pins the scoring semantics the index must match."""
-    from .operators.similarity import dot, with_norm
+    from .operators.similarity import cross_cosine_scores
 
     e = t(spark, sf_dir, "embeddings")
-    q = with_norm(
-        e.filter(F.col("vec_id") % 10 == 0).select(
-            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
-            F.col("embedding").alias("eq")), "eq", "nq")
-    tr = with_norm(
-        e.filter(F.col("vec_id") % 10 != 0).select(
-            F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
-            F.col("embedding").alias("etr")), "etr", "ntr")
-    scored = tr.crossJoin(F.broadcast(q)).select(
-        "qid", "qlabel", "nid", "nlabel",
-        (dot("eq", "etr", vectorized=True)
-         / (F.col("nq") * F.col("ntr"))).alias("cosine"),
-    )
+    # r12 (guide §4): the held-out set was the broadcast side of a
+    # crossJoin whose Arrow-vectorized dot shipped BOTH 64-dim vectors
+    # per (train, query) pair through the Python boundary (~200 MB at
+    # sf0.1); cross_cosine_scores ships the training scan once and
+    # closes over the query matrix — bit-identical cosines by the fold
+    # replay argument pinned in tests/test_similarity.
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("eq"))
+    tr = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("embedding").alias("etr"))
+    scored = cross_cosine_scores(tr, q)
     top = scored.withColumn(
         "rk",
         F.row_number().over(
@@ -380,24 +380,21 @@ def _knn_capped_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped-eval query, ranked by (fold-order cosine DESC, nid) — the
     Spark twin of ``_KNN_CAPPED_TOP_CTES``, shared by the capped kNN
     vote gate and registry_llm33's MRR gate."""
-    from .operators.similarity import dot, with_norm
+    from .operators.similarity import cross_cosine_scores
 
     e = t(spark, sf_dir, "embeddings")
-    q = with_norm(
-        e.filter(F.col("vec_id") % 10 == 0)
-        .orderBy("vec_id").limit(_KNN_CAP)
-        .select(
-            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
-            F.col("embedding").alias("eq")), "eq", "nq")
-    tr = with_norm(
-        e.filter(F.col("vec_id") % 10 != 0).select(
-            F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
-            F.col("embedding").alias("etr")), "etr", "ntr")
-    scored = tr.crossJoin(F.broadcast(q)).select(
-        "qid", "qlabel", "nid", "nlabel",
-        (dot("eq", "etr", vectorized=True)
-         / (F.col("nq") * F.col("ntr"))).alias("cosine"),
-    )
+    # r12: kernel-closure scoring — see knn_label_accuracy's note; the
+    # capped query set is the same TakeOrdered frame, collected instead
+    # of broadcast
+    q = (e.filter(F.col("vec_id") % 10 == 0)
+         .orderBy("vec_id").limit(_KNN_CAP)
+         .select(
+             F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+             F.col("embedding").alias("eq")))
+    tr = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+        F.col("embedding").alias("etr"))
+    scored = cross_cosine_scores(tr, q)
     return scored.withColumn(
         "rk",
         F.row_number().over(
