@@ -99,6 +99,37 @@ def scoped_persist(df: DataFrame, eager: bool = True,
     return out
 
 
+def scoped_persist_all(dfs: list[DataFrame],
+                       level: StorageLevel | None = None,
+                       max_workers: int = 2) -> list[DataFrame]:
+    """Eagerly scoped-persist INDEPENDENT frames with their fill jobs
+    overlapped from a small driver thread pool (guide §2.6: actions are
+    only sequential because driver code calls them sequentially; a
+    later job's tasks back-fill executors freed by the earlier job's
+    stragglers).
+
+    Correctness is unchanged — each fill is the same deterministic
+    count() job :func:`scoped_persist` runs, just submitted
+    concurrently; use ONLY for frames with no shared UNFILLED persisted
+    subtree (two fills racing to populate the same cache block would
+    each compute it).  2-3 in flight is plenty (the guide's rule).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if level is None:
+        level = _default_level()
+    out = [df.persist(level) for df in dfs]
+    if len(out) > 1:
+        # a plain driver thread pool suffices for concurrent actions
+        # (guide §2.6); FIFO scheduling gives the back-fill behaviour
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(lambda df: df.count(), out))
+    elif out:
+        out[0].count()
+    _SCOPED.extend(out)
+    return out
+
+
 def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted frame for release at the next
     top-level registry call — for operator-library call sites that manage

@@ -139,15 +139,18 @@ def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it the banded candidate joins re-execute per branch (and the edge
     list is tiny next to the joins that produce it)."""
     from .operators.dedup import connected_components, minhash_lsh_pairs
-    from .operators.materialize import scoped_persist
+    from .operators.materialize import scoped_persist_all
     from .operators.media_dedup import ahash_near_pairs, image_ahash_signatures
 
     docs = t(spark, sf_dir, "documents")
-    img = scoped_persist(
+    # the two modalities' pair streams are independent plans over
+    # disjoint persisted subtrees — fill both caches concurrently so
+    # the second stream's stages back-fill the first's tail (§2.6)
+    img, txt = scoped_persist_all([
         ahash_near_pairs(image_ahash_signatures(docs), max_hamming=3)
-        .select(F.col("doc_a").alias("d1"), F.col("doc_b").alias("d2")))
-    txt = scoped_persist(
-        minhash_lsh_pairs(docs, threshold=0.5).select("d1", "d2"))
+        .select(F.col("doc_a").alias("d1"), F.col("doc_b").alias("d2")),
+        minhash_lsh_pairs(docs, threshold=0.5).select("d1", "d2"),
+    ])
     edges = img.unionAll(txt)
     cc = connected_components(edges).withColumnRenamed("node", "doc_id")
     img_docs = (

@@ -189,14 +189,28 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax (dedup_keep_canonical), _canonicalized + the per-domain cap
     (url_domain_dedup), and _paragraphs + canon (paragraph_dup_spans)
     — so this gate can never disagree with the strategies it prices."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators.dedup import connected_components, minhash_lsh_pairs
     from .operators.materialize import scoped_persist
     from .registry_llm14 import _canonicalized, _paragraphs
 
     docs = t(spark, sf_dir, "documents")
-    tok = scoped_persist(docs.select(
+    tok_src = docs.select(
         "doc_id",
-        F.expr(f"size({_TOKS_SPARK})").cast("long").alias("n_tok")))
+        F.expr(f"size({_TOKS_SPARK})").cast("long").alias("n_tok"))
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("d1", "d2")
+    # the token-count cache fill and the CC edge materialization are
+    # independent driver-blocking actions over disjoint cache subtrees
+    # — overlap them (guide §2.6) so the second job's stages back-fill
+    # the first's tail; results are the same deterministic frames
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _tok_f = _pool.submit(scoped_persist, tok_src)
+        _cc_f = _pool.submit(
+            lambda: connected_components(pairs)
+            .withColumnRenamed("node", "doc_id"))
+        tok = _tok_f.result()
+        cc = _cc_f.result()
     tot = tok.agg(F.sum("n_tok").cast("long").alias("t"),
                   F.count("*").cast("long").alias("nd"))
 
@@ -222,8 +236,6 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exv = (docs.select("doc_id", F.min("doc_id").over(wmin).alias("c"))
            .filter(F.col("doc_id") != F.col("c")).select("doc_id"))
     # lsh_canonical: keep-the-longest per CC cluster, victims = rest
-    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("d1", "d2")
-    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
     lab = (docs.select("doc_id", F.length("text").alias("n_chars"))
            .join(cc, "doc_id", "left")
            .select("doc_id",
