@@ -81,75 +81,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["transfer_volume_hourly"](spark, "/root/testdata/sf0.001")
 
 
-# Verification priority, re-derived for round 11 from CORRECTNESS_r10
-# (50/50 green) + the r10 full-registry sf1 tier (287/293 exact), then
-# RECOMPOSED by the r11 optimization phase: changed-since-green means
-# not-green, so every gate whose executed code path the optimization
-# diff reaches (AST call analysis over the touched operators) re-earns
-# its driver row this round.  Convention unchanged:
-# no-green-row-under-current-code first, LIGHT-ORACLE-FIRST /
-# HEAVY-LAST; the list is exactly 50 entries so the window composition
-# is fully pinned.  Buckets:
-#   1. new to the driver this round: waves 45-50 (the build phase);
-#   2. r11-build-touched (maximal_repeat_inventory, ADVICE r10 #3);
-#   2b. r11-OPTIMIZATION-touched (24): the semdedup/IVF/k-means
-#       families (assign_clusters refactor + kmeans_micro loop), the
-#       PQ pair (pq_encode/ann_pq select rewrite), the BPE family
-#       (train_bpe release schedule), and the two beam-search gates
-#       (per-hop exchange keying);
-#   3. _RECONFIRM (VERDICT r10 #2, oldest-first by actual newest
-#      driver row): the optimization set displaced most of the planned
-#      rotation — the first 12 r01-cohort names keep their slots, the
-#      remaining 6 r01 + 34 r02 names lead the r12 rotation;
-#   4. the heavy sweep/CC gates last so any degradation burns only
-#      their own slots.
+# Verification priority, re-derived for round 12 from CORRECTNESS_r11
+# (50/50 green), then RECOMPOSED by the r12 optimization phase:
+# changed-since-green means not-green, so every gate whose executed
+# code path the r12 optimization diff reaches (AST call analysis over
+# the touched operators) re-earns its driver row this round.
+# Convention unchanged: no-green-row-under-current-code first,
+# LIGHT-ORACLE-FIRST / HEAVY-LAST; the list is exactly 50 entries so
+# the window composition is fully pinned.  Buckets:
+#   1. r12-OPTIMIZATION-touched (32, AST-derived from the diff): the
+#      minhash signature kernel (minhash_signatures -> every
+#      minhash_lsh_pairs consumer), the beam-search grouped kernel
+#      (the two graph gates), the fuzzy variant-key join, the PQ ADC
+#      kernel (pq_encode/ann_pq), the kNN scoring kernel
+#      (cross_cosine_scores -> the two kNN gates + the MRR gate), the
+#      train_bpe try/finally (the BPE family), and the thread-overlap
+#      composites (cross_modal_dedup, dedup_token_savings);
+#   2. _RECONFIRM (VERDICT r11 #9, oldest-first by actual newest
+#      driver row): the r12 optimization set again displaced most of
+#      the planned r01/r02 rotation — the 6 remaining r01 names + the
+#      12 alphabetically-first r02 names take the free slots; the
+#      remaining 21 r02 names (bernoulli/big_quantity/... tail from
+#      reservoir_sample_global on) lead the r13 rotation;
+#   3. within bucket 1 the heavy CC/composite gates run LAST so any
+#      degradation burns only their own slots.
 _PRIORITY = [
-    # -- bucket 1: new to the driver (12: waves 46-50 + the wave-45
-    #    pair — every gate new to the registry this round gets a window
-    #    slot, the r10-epilogue lesson) --
-    "graph_ann_two_stage", "repeat_class_cut_plan",
-    "graph_two_stage_nprobe_curve", "span_dedup_sample_effect",
-    "dedup_keep_best_quality", "keep_policy_matrix",
-    "pq_rerank_recall_curve", "contamination_ngram_curve",
-    "gopher_strictness_curve", "ivf_codebook_size_curve",
-    "secret_entropy_sweep",
-    # -- bucket 2: r11-touched, light first --
-    "maximal_repeat_inventory",
-    # -- bucket 2b: gates whose executed code path the r11 OPTIMIZATION
-    #    phase touched (changed-since-green means not-green, so each
-    #    leaves _DRIVER_GREEN and re-earns its row here).  Derived by
-    #    AST call analysis from the diff: assign_clusters refactor +
-    #    kmeans_micro loop (the semdedup/IVF/silhouette families),
-    #    pq_encode/ann_pq select rewrite (the PQ pair), train_bpe
-    #    release schedule (the BPE family), _beam_search exchange
-    #    keying (the two beam gates), and the three directly-edited
-    #    bucket-1 gates already above --
-    "semdedup_pairs", "semdedup_recall",
-    "semdedup_pairs_trained", "semdedup_recall_trained",
-    "semdedup_pairs_probed", "semdedup_recall_probed",
-    "dedup_embedding_canonical",
-    "similarity_ann_ivf_trained", "similarity_ann_recall_trained",
-    "similarity_ann_ivf", "similarity_ann_pq", "similarity_ann_recall",
-    "similarity_ann_ivf_fullprobe", "ivf_balance_report",
-    "ivf_nprobe_recall_curve", "cluster_prototype_pruning",
-    "kmeans_silhouette", "cluster_distance_outliers",
+    # -- bucket 1: r12-touched, light oracles first --
+    "fuzzy_customer_pairs",
+    "knn_label_accuracy_capped_eval", "retrieval_mrr_capped_eval",
+    "knn_label_accuracy",
+    "similarity_ann_pq", "pq_rerank_recall_curve",
+    "graph_ann_beam_search", "graph_ann_recall_curve",
     "bpe_vocab", "bpe_encode_segments", "bpe_vocab_pruning_curve",
     "bpe_fertility_by_lang",
-    "graph_ann_beam_search", "graph_ann_recall_curve",
-    # -- bucket 3: _RECONFIRM — the optimization-touched set displaced
-    #    most of the planned r01/r02 rotation; the first 12 r01 names
-    #    keep their slots, the remaining 6 r01 + all 34 r02 names lead
-    #    the r12 rotation --
-    "brands_with_shipped_parts", "customers_without_urgent_orders",
-    "dedup_char_jaccard", "dedup_embedding_cosine",
-    "dedup_simhash_pairs", "dedup_simhash_signatures",
-    "dedup_simhash_weighted", "il_curve", "mev_scores",
-    "multimodal_decode_fake", "multimodal_frame_sample",
-    "multimodal_meta",
-    # -- bucket 4: heavy sweep/CC gates LAST (ecc_by_threshold is new;
-    #    cluster_diameter_report is r11-touched) --
-    "ecc_by_threshold",
-    "cluster_diameter_report",
+    "dedup_minhash_lsh", "dedup_minhash_normalized",
+    "dedup_minhash_incremental", "dedup_rate_by_batch",
+    "quality_dup_quartiles", "quality_score_calibration",
+    "source_overlap_matrix", "ccnet_bucket_dup_matrix",
+    "dedup_keep_best_quality",
+    # -- bucket 1, heavy CC/composite tail --
+    "dedup_clusters", "dup_cluster_size_histogram",
+    "dedup_keep_canonical", "dedup_keep_newest",
+    "dedup_sample_order_effect", "ingest_transitivity_gap",
+    "curation_pipeline_v3", "curation_pipeline_v2",
+    "keep_policy_matrix", "dedup_token_savings", "cross_modal_dedup",
+    # -- bucket 2: _RECONFIRM — the r01/r02 rotation debt, oldest
+    #    driver row first (r01 cohort, then r02 alphabetical) --
+    "rolling_p90", "rolling_p90_partitioned", "salted_group_sum",
+    "similarity_lsh_pairs", "similarity_topk", "stress_test_table",
+    "asof_price_join", "bernoulli_hash_sample", "big_quantity_orders",
+    "cohort_retention", "contamination_overlap", "curation_funnel",
+    "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
+    "multimodal_decode_real", "order_price_quartiles",
+    "priority_top_orders",
 ]
 
 # Driver-green gates deliberately RE-OCCUPYING window slots this round
@@ -158,47 +142,59 @@ _PRIORITY = [
 # enforces that, so a name can never sit ambiguously in both ledgers
 # again (the r7 bookkeeping failure).
 _RECONFIRM: list[str] = [
-    "brands_with_shipped_parts", "customers_without_urgent_orders",
-    "dedup_char_jaccard", "dedup_embedding_cosine",
-    "dedup_simhash_pairs", "dedup_simhash_signatures",
-    "dedup_simhash_weighted", "il_curve", "mev_scores",
-    "multimodal_decode_fake", "multimodal_frame_sample",
-    "multimodal_meta",
+    "rolling_p90", "rolling_p90_partitioned", "salted_group_sum",
+    "similarity_lsh_pairs", "similarity_topk", "stress_test_table",
+    "asof_price_join", "bernoulli_hash_sample", "big_quantity_orders",
+    "cohort_retention", "contamination_overlap", "curation_funnel",
+    "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
+    "multimodal_decode_real", "order_price_quartiles",
+    "priority_top_orders",
 ]
 
 
-# Green driver row exists (r01 ∪ … ∪ r09) and the implementation is
-# unchanged since that row.  NOTE: every _PRIORITY bucket-2/2b/4 query
-# (changed after its green row — the r10 Arrow edge probe reached all
-# 10 direct connected_components consumers; the r11 optimization diff
-# reaches the semdedup/IVF/k-means, PQ, BPE, and beam-search families,
-# each removed from this set and re-run via bucket 2b) is deliberately
-# ABSENT here — the convention is that changed-since-green means
-# not-green, regardless of prior rows.  _RECONFIRM names ARE here
-# (green + unchanged) AND in _PRIORITY bucket 3 — that overlap is
+# Green driver row exists (r01 ∪ … ∪ r11) and the implementation is
+# unchanged since that row.  NOTE: every _PRIORITY bucket-1 query
+# (changed after its green row — the r12 optimization diff reaches the
+# minhash/LSH consumers, the kNN/PQ scoring kernels, the beam-search
+# gates, the fuzzy variant join, the BPE family, and the two
+# thread-overlap composites, each removed from this set and re-run via
+# bucket 1) is deliberately ABSENT here — the convention is that
+# changed-since-green means not-green, regardless of prior rows.  The
+# r11 window's 50 green gates whose code the r12 diff does NOT reach
+# (the semdedup/IVF/k-means families, the curve gates, the repeat/span
+# machinery, ecc/cluster_diameter) moved IN.  _RECONFIRM names ARE
+# here (green + unchanged) AND in _PRIORITY bucket 2 — that overlap is
 # exactly the _RECONFIRM ledger, enforced by tests/test_entry_order.py.
 _DRIVER_GREEN = {
+    # -- green in r11 (CORRECTNESS_r11.json, 50/50), untouched by the
+    #    r12 optimization diff --
+    "graph_ann_two_stage", "repeat_class_cut_plan",
+    "graph_two_stage_nprobe_curve", "span_dedup_sample_effect",
+    "contamination_ngram_curve", "gopher_strictness_curve",
+    "ivf_codebook_size_curve", "secret_entropy_sweep",
+    "maximal_repeat_inventory",
+    "semdedup_pairs", "semdedup_recall",
+    "semdedup_pairs_trained", "semdedup_recall_trained",
+    "semdedup_pairs_probed", "semdedup_recall_probed",
+    "dedup_embedding_canonical",
+    "similarity_ann_ivf_trained", "similarity_ann_recall_trained",
+    "similarity_ann_ivf", "similarity_ann_recall",
+    "similarity_ann_ivf_fullprobe", "ivf_balance_report",
+    "ivf_nprobe_recall_curve", "cluster_prototype_pruning",
+    "kmeans_silhouette", "cluster_distance_outliers",
+    "ecc_by_threshold", "cluster_diameter_report",
     # -- green in r10 (CORRECTNESS_r10.json, 50/50 — the wave 42-44
-    #    window + the CC/_PERTURB-touched set), minus the two gates the
-    #    r11 ADVICE fixes touch (maximal_repeat_inventory shared-flag
-    #    semantics, cluster_diameter_report exact-pair edge source —
-    #    both re-run via _PRIORITY buckets 2/4) and the r11-opt-touched
-    #    (bucket 2b) --
+    #    window + the CC/_PERTURB-touched set), minus the r12-touched
+    #    (bucket 1) --
     "span_dedup_token_savings", "knn_graph_edges",
     "secret_screening_report", "quality_flag_drift",
     "covariance_power_iteration", "embedding_projection_outliers",
-    "dedup_clusters", "dup_cluster_size_histogram",
-    "dedup_keep_canonical", "dedup_keep_newest",
-    "ingest_transitivity_gap", "dedup_sample_order_effect",
-    "curation_pipeline_v2", "dedup_token_savings",
-    "cross_modal_dedup",
     # -- green in r09 (CORRECTNESS_r09.json, 50/50 — the wave 32-41
-    #    window), untouched since --
+    #    window), minus the r12-touched; untouched since --
     "kanonymity_report", "source_lang_datasheet", "doc_suffix_containment",
-    "lsh_bucket_skew", "retrieval_mrr_capped_eval",
-    "knn_label_accuracy_capped_eval", "quality_score_calibration",
+    "lsh_bucket_skew",
     "dsir_resample_draw", "blocklist_screening_report",
-    "chunk_dedup_report", "ccnet_bucket_dup_matrix",
+    "chunk_dedup_report",
     "minhash_k_error_sweep", "chunk_level_contamination",
     "normalization_impact_report", "dp_laplace_counts",
     "quality_filter_venn", "feature_hash_collision_report",
@@ -206,27 +202,29 @@ _DRIVER_GREEN = {
     "embedding_batch_drift", "nb_source_classifier",
     "ccnet_perplexity_buckets", "mmr_diverse_selection",
     # -- green in r08 (CORRECTNESS_r08.json, 50/50 — the wave 16-31
-    #    window), minus the gates the r9 CC/drift/NB edits touched --
+    #    window), minus the gates the r9 CC/drift/NB edits touched and
+    #    the r12-touched --
     "dup_span_granularity", "doremi_source_weights",
     "minhash_band_sweep", "jaccard_threshold_sweep", "random_projection_recall", "pair_alignment_spans",
     "span_corruption_plan", "doc_prefix_containment",
     "quality_token_budget_cutoff", "boilerplate_block_removal",
-    "dedup_minhash_incremental", "epoch_repetition_plan",
+    "epoch_repetition_plan",
     "contrastive_pair_mining", "ngram_novelty_profile",
     "repetition_tail_truncation", "label_balance_plan",
-    "hash_shard_skew", "curation_pipeline_v3",
-    "pii_inventory", "source_overlap_matrix",
+    "hash_shard_skew",
+    "pii_inventory",
     "doc_length_histogram", "event_debounce", "embedding_dim_correlation",
-    "token_pmi_collocations", "source_unigram_kl", "quality_dup_quartiles",
+    "token_pmi_collocations", "source_unigram_kl",
     "distinct_ngram_diversity", "zipf_fit_by_source",
-    "ngram_entropy_curve", "dedup_rate_by_batch",
+    "ngram_entropy_curve",
     "url_canonicalize", "url_domain_dedup", "domain_token_budget",
     "simhash_recall",
-    # -- green in r07 (CORRECTNESS_r07.json, 50/50), untouched since --
+    # -- green in r07 (CORRECTNESS_r07.json, 50/50), minus the
+    #    r12-touched; untouched since --
     "paragraph_dup_spans", "paragraph_dedup_reassembly",
-    "decontamination_incremental", "dedup_minhash_normalized",
+    "decontamination_incremental",
     "paragraph_dup_rate_filter", "dedup_variant_agreement",
-    "knn_label_accuracy", "linear_model_confusion", # -- green in r06 (CORRECTNESS_r06.json), untouched by the r7
+    "linear_model_confusion", # -- green in r06 (CORRECTNESS_r06.json), untouched by the r7
     #    assignment-fold / CC-round-budget changes --
     "sequence_packing", "tokens_per_source_budget", "ngram_novelty",
     "minhash_estimate_error", "lang_confusion_matrix",
@@ -240,7 +238,7 @@ _DRIVER_GREEN = {
     "embedding_sq8_error", "heldout_bigram_perplexity",
     "source_sampling_plan", "winnowing_fingerprints",
     "winnowing_candidate_pairs", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "pagerank_nation_graph", "bfs_trade_distance",
+    "pagerank_nation_graph", "bfs_trade_distance",
     "transfer_volume_hourly",
     "topk_parts_by_quantity", "hour_spine_join",
     "order_lineitem_pairing", "event_projection", "block_range_scan",
@@ -288,7 +286,7 @@ _DRIVER_GREEN = {
     #    window entries — the 5 fails are _PRIORITY bucket 1) --
     "winsorized_stats", "mad_robust", "ewma_user_value", "triangle_count",
     "column_profile", "dq_violations", "zorder_locality",
-    "fuzzy_customer_pairs", "value_time_correlation", "lang_source_chi2",
+    "value_time_correlation", "lang_source_chi2",
     "ols_value_trend", "orders_snapshot_diff", "transpiled_position_concat",
     "bi_nation_trade_volume", "part_qty_share_threshold",
     "top_revenue_suppliers", "dominant_part_suppliers", "min_cost_supplier",
