@@ -299,6 +299,65 @@ def _assign_apply(
     )
 
 
+def assign_clusters_multi(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    sizes: tuple[int, ...],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment for every PREFIX codebook size in
+    ``sizes``, in ONE Arrow pass — (id, vec, cluster_id_{n} ...).
+
+    ``centroids`` is the LARGEST codebook; each size-n codebook must be
+    its first n centroids in ascending centroid-id order (the
+    codebook-size-curve construction: ``orderBy(id).limit(n)`` frames
+    are prefixes of each other by definition).  Bit-identical to
+    per-size :func:`assign_clusters` calls: every (vector, centroid)
+    cosine in ``_assign_sims`` is computed per centroid COLUMN
+    independently (the fold accumulates element-wise), so restricting
+    the shared similarity matrix to its first n columns reproduces the
+    size-n matrix exactly, and the same stable argsort takes the same
+    winner with the same lowest-centroid-id tie-break.  This replaces
+    |sizes| corpus-wide Arrow passes (and their per-size cache fills)
+    with one (guide §1.2: remove whole passes).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cids, mat = _centroid_matrix(centroids, vec_col, id_col)
+    sizes = tuple(sorted(sizes))
+    if sizes and sizes[-1] != len(cids):
+        raise ValueError(
+            f"assign_clusters_multi: largest size {sizes[-1]} must equal "
+            f"the codebook size {len(cids)} (sizes are prefixes)")
+    cid_arr, sims = _assign_sims(cids, mat)
+
+    def _best(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(col):
+            return pd.DataFrame(
+                {f"c{n}": pd.Series([], dtype="int64") for n in sizes})
+        s = sims(col)
+        out = {}
+        for n in sizes:
+            order = np.argsort(-s[:, :n], axis=1, kind="stable")[:, 0]
+            out[f"c{n}"] = cid_arr[:n][order]
+        return pd.DataFrame(out)
+
+    _best.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(StructType(
+        [StructField(f"c{n}", LongType()) for n in sizes]))(_best)
+    return (
+        embeddings.withColumn("_a", udf(F.col(vec_col)))
+        .select(F.col(id_col), F.col(vec_col),
+                *[F.col(f"_a.c{n}").alias(f"cluster_id_{n}")
+                  for n in sizes])
+    )
+
+
 def assign_clusters_top2(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -282,15 +282,16 @@ def _codebook_curve_sql() -> str:
 
 @register("ivf_codebook_size_curve", _codebook_curve_sql())
 def ivf_codebook_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The codebook-size knob — see module docstring.  Per size: one
-    map-only Arrow assignment, a cells-sized fold for occupancy AND the
-    candidate count (never a second corpus scan to price the cost), the
-    ann_ivf search itself, and the hits join against ONE persisted
-    brute-force truth shared by all three sizes."""
+    """The codebook-size knob — see module docstring.  ONE map-only
+    Arrow assignment pass emits every size's nearest-centroid column
+    (the codebooks are prefixes of each other); per size: a cells-sized
+    fold for occupancy AND the candidate count (never a second corpus
+    scan to price the cost), the ann_ivf search itself, and the hits
+    join against ONE persisted brute-force truth shared by all three
+    sizes."""
     from .operators.materialize import scoped_persist
     from .operators.similarity import (
         ann_ivf,
-        assign_clusters,
         cosine_topk,
         dot,
         with_norm,
@@ -302,17 +303,25 @@ def ivf_codebook_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk(e, q, k=_CB_K).select("query_id", "neighbor_id"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))
 
+    # ONE corpus assignment for ALL codebook sizes (r12, guide §1.2):
+    # the size-n codebooks are prefixes of the largest one, so
+    # assign_clusters_multi emits every size's nearest-centroid column
+    # from one shared similarity matrix in one Arrow pass —
+    # bit-identical per-size values by the per-column-independence
+    # argument on its docstring.  r11 had already cut 2 passes per size
+    # to 1; this cuts the 3 remaining passes (and their 3 eager cache
+    # fills) to 1.  The persisted frame keeps the embedding column so
+    # each size's ann_ivf search rides the same materialization.
+    from .operators.similarity import assign_clusters_multi
+
+    multi = scoped_persist(assign_clusters_multi(
+        e, e.orderBy("vec_id").limit(max(_CB_SIZES)), _CB_SIZES))
     parts = []
     for n in _CB_SIZES:
         cents = e.orderBy("vec_id").limit(n)
-        # ONE corpus assignment per codebook size: the persisted frame
-        # keeps the embedding column so the ann_ivf search below can ride
-        # the same assignment instead of re-running the (dominant)
-        # map-only Arrow pass — previously each size paid it twice, once
-        # for the cell stats and once inside ann_ivf (r11 opt; the
-        # persisted bytes grow by the vector column, which is the frame
-        # an index build materializes anyway).
-        asgfull = scoped_persist(assign_clusters(e, cents))
+        asgfull = multi.select(
+            "vec_id", "embedding",
+            F.col(f"cluster_id_{n}").alias("cluster_id"))
         asg = asgfull.select("vec_id", "cluster_id")
         cellsz = asg.groupBy("cluster_id").agg(
             F.count("*").alias("csz"))
