@@ -100,8 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. _RECONFIRM (VERDICT r11 #9, oldest-first by actual newest
 #      driver row): the r12 optimization set again displaced most of
 #      the planned r01/r02 rotation — the 6 remaining r01 names + the
-#      12 alphabetically-first r02 names take the free slots; the
-#      remaining 21 r02 names (bernoulli/big_quantity/... tail from
+#      11 alphabetically-first r02 names take the free slots; the
+#      remaining 22 r02 names (priority_top_orders, then the tail from
 #      reservoir_sample_global on) lead the r13 rotation;
 #   3. within bucket 1 the heavy CC/composite gates run LAST so any
 #      degradation burns only their own slots.
@@ -119,6 +119,10 @@ _PRIORITY = [
     "quality_dup_quartiles", "quality_score_calibration",
     "source_overlap_matrix", "ccnet_bucket_dup_matrix",
     "dedup_keep_best_quality",
+    # ivf_codebook_size_curve re-enters: the r12 multi-size assignment
+    # pass (assign_clusters_multi) reaches it after the first window
+    # composition — it displaces the last reconfirm slot
+    "ivf_codebook_size_curve",
     # -- bucket 1, heavy CC/composite tail --
     "dedup_clusters", "dup_cluster_size_histogram",
     "dedup_keep_canonical", "dedup_keep_newest",
@@ -133,7 +137,6 @@ _PRIORITY = [
     "cohort_retention", "contamination_overlap", "curation_funnel",
     "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
     "multimodal_decode_real", "order_price_quartiles",
-    "priority_top_orders",
 ]
 
 # Driver-green gates deliberately RE-OCCUPYING window slots this round
@@ -148,7 +151,6 @@ _RECONFIRM: list[str] = [
     "cohort_retention", "contamination_overlap", "curation_funnel",
     "event_type_pivot", "hourly_daily_rollup", "lone_late_suppliers",
     "multimodal_decode_real", "order_price_quartiles",
-    "priority_top_orders",
 ]
 
 
@@ -168,10 +170,12 @@ _RECONFIRM: list[str] = [
 _DRIVER_GREEN = {
     # -- green in r11 (CORRECTNESS_r11.json, 50/50), untouched by the
     #    r12 optimization diff --
+    # (ivf_codebook_size_curve left this set when the r12
+    # assign_clusters_multi pass reached it — bucket 1 re-runs it)
     "graph_ann_two_stage", "repeat_class_cut_plan",
     "graph_two_stage_nprobe_curve", "span_dedup_sample_effect",
     "contamination_ngram_curve", "gopher_strictness_curve",
-    "ivf_codebook_size_curve", "secret_entropy_sweep",
+    "secret_entropy_sweep",
     "maximal_repeat_inventory",
     "semdedup_pairs", "semdedup_recall",
     "semdedup_pairs_trained", "semdedup_recall_trained",
