@@ -168,9 +168,13 @@ def _load_prior_sessions(sf: str, tree: str, cpus: str) -> list[dict]:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # str() both sides: session records store cpus as the env
+            # string while the summary artifact records an int — a
+            # record written (or replayed) in the summary's convention
+            # must not silently fail to fold on a type mismatch
             if (rec.get("sf") == sf and now - rec.get("ts", 0) <= ttl
                     and rec.get("tree") == tree and tree
-                    and rec.get("cpus") == cpus):
+                    and str(rec.get("cpus")) == str(cpus)):
                 out.append(rec)
     return out
 

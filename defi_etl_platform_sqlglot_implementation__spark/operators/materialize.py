@@ -44,9 +44,15 @@ from pyspark.storagelevel import StorageLevel
 # Module-level on purpose: the registry decorator (registry.py) is the
 # single writer of the scope boundary, and the driver harness is
 # single-threaded per session (as are bench.py / scripts/check_oracle.py).
-# NOT thread-safe — concurrent registry queries from multiple Python
-# threads would interleave _DEPTH/_SCOPED; the driver contract is
-# single-threaded and so is this module.  Library consumers calling the
+# Threading contract: _DEPTH has a SINGLE writer (the registry
+# decorator, main thread only — concurrent registry queries from
+# multiple Python threads remain unsupported), while _SCOPED is mutated
+# ONLY via list.append/extend/pop, which are atomic under CPython —
+# the two composite gates (cross_modal_dedup, dedup_token_savings)
+# rely on exactly that when they overlap independent fill actions from
+# a 2-thread driver pool (guide §2.6).  Any change that replaces
+# _SCOPED with a richer structure or adds non-atomic read-modify-write
+# must add a lock for those callers.  Library consumers calling the
 # tracked operators OUTSIDE the registry (tests, notebooks) should wrap
 # their usage in :func:`material_scope` so refs do not accumulate until
 # an unrelated registry call happens to drain them.
@@ -113,12 +119,21 @@ def scoped_persist_all(dfs: list[DataFrame],
     concurrently; use ONLY for frames with no shared UNFILLED persisted
     subtree (two fills racing to populate the same cache block would
     each compute it).  2-3 in flight is plenty (the guide's rule).
+
+    Frames are registered in _SCOPED BEFORE the fill jobs run, so a
+    fill that throws (executor OOM, interrupted job) still leaves every
+    persisted frame releasable at the next scope boundary instead of
+    pinned for the session lifetime — the same failure-path ownership
+    train_bpe's try/finally guarantees.  Early registration is safe:
+    release of an unfilled persisted frame merely recomputes from
+    lineage (see :func:`release_scoped`).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     if level is None:
         level = _default_level()
     out = [df.persist(level) for df in dfs]
+    _SCOPED.extend(out)
     if len(out) > 1:
         # a plain driver thread pool suffices for concurrent actions
         # (guide §2.6); FIFO scheduling gives the back-fill behaviour
@@ -126,7 +141,6 @@ def scoped_persist_all(dfs: list[DataFrame],
             list(pool.map(lambda df: df.count(), out))
     elif out:
         out[0].count()
-    _SCOPED.extend(out)
     return out
 
 

@@ -47,7 +47,12 @@ def main() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
-    names = args.queries or bench.BENCH_QUERIES
+    # `-q` with zero names is a scoping mistake, not a request for the
+    # full (expensive at sf0.1) bench sweep — fail loudly instead
+    if args.queries is not None and not args.queries:
+        sys.exit("dump_r12_plans.py: -q given without query names; "
+                 "omit -q entirely to dump the full bench set")
+    names = args.queries if args.queries is not None else bench.BENCH_QUERIES
     out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
     out_dir.mkdir(parents=True, exist_ok=True)
 
